@@ -1,0 +1,136 @@
+"""Environment-driven configuration, single-sourced at import like the
+reference's app/config.py (env vars → module constants, hosted-mode
+fail-fast validation that collects all problems at once;
+reference: app/config.py:24-232).
+
+TPU-native differences: config carries device/mesh/dtype/index-layout
+knobs instead of DB pool sizes, and validation checks shape alignment
+(embedding dim, tile sizes, tag-word counts) instead of DSNs.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import lru_cache
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = os.getenv(name, "").strip()
+    return int(raw) if raw else default
+
+
+def _env_float(name: str, default: float) -> float:
+    raw = os.getenv(name, "").strip()
+    return float(raw) if raw else default
+
+
+def _env_bool(name: str, default: bool = False) -> bool:
+    raw = os.getenv(name, "").strip().lower()
+    if not raw:
+        return default
+    return raw in ("1", "true", "yes", "on")
+
+
+def _env_str(name: str, default: str) -> str:
+    return os.getenv(name, "").strip() or default
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All framework tunables. Frozen; construct via :func:`get_config`."""
+
+    # ---- index layout -------------------------------------------------
+    # Embedding dimension. The reference pins 1536 (Vertex
+    # gemini-embedding-001; app/services/embedding_provider.py:95-100).
+    # 1536 = 12 * 128 → MXU-lane aligned.
+    embed_dim: int = _env_int("MRAG_EMBED_DIM", 1536)
+    # Initial device-array capacity (rows). Grows by doubling.
+    initial_capacity: int = _env_int("MRAG_INITIAL_CAPACITY", 8192)
+    # Tag-bitset width in 32-bit words per kind (j/d/p). 8 words = 256
+    # tags/kind; the reference lexicon has 231 total curated tags
+    # (app/services/corpus_search_lexicon.py:4).
+    tag_words: int = _env_int("MRAG_TAG_WORDS", 8)
+    # Lexicon-phrase presence bitset width in 32-bit words. 64 words =
+    # 2048 distinct phrases tracked per chunk for the on-device
+    # coverage/rerank signal.
+    phrase_words: int = _env_int("MRAG_PHRASE_WORDS", 64)
+    # Hashed-term buckets for the device lexical (BM25-style) arm.
+    lexical_buckets: int = _env_int("MRAG_LEXICAL_BUCKETS", 16384)
+    # Storage dtype for the chunk matrix: "float32" | "bfloat16".
+    vector_dtype: str = _env_str("MRAG_VECTOR_DTYPE", "float32")
+
+    # ---- search tunables (semantics mirrored from the reference) ------
+    # RRF k constant (Cormack 2009) — app/services/corpus_search.py:397.
+    rrf_k: int = _env_int("MRAG_RRF_K", 60)
+    # Per-arm over-fetch multiplier before fusion (tie-crowding guard;
+    # app/services/corpus_search.py:1453-1457).
+    over_fetch: int = _env_int("MRAG_OVER_FETCH", 4)
+    # Default top-k.
+    default_k: int = _env_int("MRAG_DEFAULT_K", 10)
+    # Vector-arm minimum cosine similarity post-filter.
+    min_similarity: float = _env_float("MRAG_MIN_SIMILARITY", 0.0)
+    # Confidence label thresholds (corpus_search.py:380-384).
+    confidence_high: float = _env_float("MRAG_CONFIDENCE_HIGH", 0.55)
+    confidence_medium: float = _env_float("MRAG_CONFIDENCE_MEDIUM", 0.35)
+    confidence_low: float = _env_float("MRAG_CONFIDENCE_LOW", 0.18)
+    # Max lexicon entries contributing to one query
+    # (corpus_search_lexicon.py:47).
+    max_lexicon_entries_per_query: int = _env_int("MRAG_MAX_LEXICON_ENTRIES", 12)
+
+    # ---- mesh / parallel ----------------------------------------------
+    # Name of the corpus-shard mesh axis.
+    shard_axis: str = _env_str("MRAG_SHARD_AXIS", "shard")
+    # Number of corpus shards; 0 → one shard per local device.
+    num_shards: int = _env_int("MRAG_NUM_SHARDS", 0)
+
+    # ---- encoder model -------------------------------------------------
+    encoder_vocab_size: int = _env_int("MRAG_ENCODER_VOCAB", 32768)
+    encoder_layers: int = _env_int("MRAG_ENCODER_LAYERS", 12)
+    encoder_heads: int = _env_int("MRAG_ENCODER_HEADS", 12)
+    encoder_model_dim: int = _env_int("MRAG_ENCODER_MODEL_DIM", 768)
+    encoder_mlp_dim: int = _env_int("MRAG_ENCODER_MLP_DIM", 3072)
+    encoder_max_seq: int = _env_int("MRAG_ENCODER_MAX_SEQ", 512)
+
+    # ---- paths ----------------------------------------------------------
+    # Where checkpoints/snapshots are written.
+    data_dir: str = _env_str("MRAG_DATA_DIR", os.path.expanduser("~/.mobius_rag_tpu"))
+    # Reference eval banks (read-only; consumed as-is as the parity oracle).
+    eval_bank_dir: str = _env_str("MRAG_EVAL_BANK_DIR", "/root/reference/eval")
+
+    def validate(self) -> list[str]:
+        """Collect-all validation (mirrors the reference's
+        assert_hosted_config style, app/config.py:176-231)."""
+        problems: list[str] = []
+        if self.embed_dim % 128 != 0:
+            problems.append(
+                f"MRAG_EMBED_DIM={self.embed_dim} must be a multiple of 128 "
+                "(TPU lane width)"
+            )
+        if self.vector_dtype not in ("float32", "bfloat16"):
+            problems.append(
+                f"MRAG_VECTOR_DTYPE={self.vector_dtype!r} must be float32|bfloat16"
+            )
+        if self.lexical_buckets % 128 != 0:
+            problems.append(
+                f"MRAG_LEXICAL_BUCKETS={self.lexical_buckets} must be a "
+                "multiple of 128"
+            )
+        if self.tag_words <= 0 or self.phrase_words <= 0:
+            problems.append("tag_words and phrase_words must be positive")
+        if self.initial_capacity < 128:
+            problems.append("MRAG_INITIAL_CAPACITY must be >= 128")
+        return problems
+
+    def assert_valid(self) -> None:
+        problems = self.validate()
+        if problems:
+            raise ValueError(
+                "invalid mobius_rag_tpu config:\n  - " + "\n  - ".join(problems)
+            )
+
+
+@lru_cache(maxsize=1)
+def get_config() -> Config:
+    cfg = Config()
+    cfg.assert_valid()
+    return cfg

@@ -1,0 +1,462 @@
+"""Device-resident chunk index — the TPU-native replacement for the
+reference's ``rag_published_embeddings`` Postgres table
+(reference: app/models.py:242-280) and its pgvector/GIN indexes.
+
+Layout (all fixed-capacity device arrays; capacity doubles on overflow,
+unused rows masked via ``valid`` — mutable-index-vs-jit is solved by
+static shapes + masking, never by reshaping under jit):
+
+  vectors      [C, D]   f32/bf16  L2-normalized chunk embeddings
+  valid        [C]      f32       1.0 = live row, 0.0 = hole/pad
+  doc_id       [C]      i32       int-coded document
+  authority    [C]      f32       authority_level normalized to [0, 1]
+  length_score [C]      f32       precomputed body-length signal
+  payer/state/program [C] i32     int-coded canonical metadata
+  j/d/p_tags   [C, TW]  u32       tag-membership bitsets (Path-B tags)
+  phrase_bits  [C, PW]  u32       lexicon-phrase presence over the
+                                  ENRICHED haystack (body + neighbors +
+                                  doc metadata) — precomputed at ingest by
+                                  Aho-Corasick so the reranker's coverage
+                                  signal (corpus_search.py:1909 semantics)
+                                  is a pure bit-AND-popcount on device
+  lexical      [C, H]   bf16      hashed-term BM25 weights (field-weighted
+                                  A/B/C/D like the reference's multi-field
+                                  search_vec; migration
+                                  rebuild_rag_published_fts_multifield.py)
+
+Host side keeps the row ↔ chunk-record map (text, ids, display metadata)
+for assembly; nothing host-side is on the query hot path before result
+materialization.
+
+Writes are publish-grain and idempotent: ``publish_document`` =
+delete_by_document + append (the reference's DELETE+INSERT republish
+contract, app/services/publish.py:27-481). Appends go through a jitted
+fixed-size block writer (``lax.dynamic_update_slice``) so ingest never
+recompiles.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import os
+from typing import Any, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobius_rag_tpu.config import Config, get_config
+from mobius_rag_tpu.utils import round_up
+
+# Rows written per device scatter call; appends are padded up to this so
+# the writer jit-compiles exactly once per array signature.
+_WRITE_BLOCK = 256
+
+
+def pack_bits(ids: Iterable[int], words: int) -> np.ndarray:
+    """Pack small-int ids into a uint32 bitset of `words` words."""
+    out = np.zeros(words, dtype=np.uint32)
+    for i in ids:
+        if 0 <= i < words * 32:
+            out[i // 32] |= np.uint32(1) << np.uint32(i % 32)
+    return out
+
+
+def unpack_bits(bits: np.ndarray) -> list[int]:
+    out = []
+    for w, word in enumerate(np.asarray(bits, dtype=np.uint32)):
+        word = int(word)
+        b = 0
+        while word:
+            if word & 1:
+                out.append(w * 32 + b)
+            word >>= 1
+            b += 1
+    return out
+
+
+@dataclasses.dataclass
+class ChunkRecord:
+    """One published chunk — host-side record + everything needed to build
+    its device row. Mirrors the reference's published-embedding row
+    (app/models.py:242-280: denormalized doc metadata + embedding +
+    chunk_{d,p,j}_tags) plus the precomputed device signals."""
+
+    chunk_id: str
+    doc_id: str
+    text: str
+    embedding: np.ndarray  # [D] (will be L2-normalized)
+    source_id: str = ""  # embeddable-unit id, for incremental resume
+    authority_level: int = 0  # 0..4 (higher = more authoritative)
+    payer: str = ""
+    state: str = ""
+    program: str = ""
+    filename: str = ""
+    section_path: str = ""
+    summary: str = ""
+    page: int = 0
+    j_tags: list[int] = dataclasses.field(default_factory=list)
+    d_tags: list[int] = dataclasses.field(default_factory=list)
+    p_tags: list[int] = dataclasses.field(default_factory=list)
+    phrase_ids: list[int] = dataclasses.field(default_factory=list)
+    lexical_weights: dict[int, float] = dataclasses.field(default_factory=dict)
+    neighbor_text: str = ""
+    extra: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@jax.tree_util.register_pytree_node_class
+class DeviceIndex:
+    """The pytree of device arrays handed to compiled query pipelines."""
+
+    FIELDS = (
+        "vectors", "valid", "doc_id", "authority", "length_score",
+        "payer", "state", "program",
+        "j_tags", "d_tags", "p_tags", "phrase_bits", "lexical",
+    )
+
+    def __init__(self, **arrays):
+        for f in self.FIELDS:
+            setattr(self, f, arrays[f])
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self.FIELDS), None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(**dict(zip(cls.FIELDS, children)))
+
+    @property
+    def capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    @classmethod
+    def empty(cls, capacity: int, cfg: Config) -> "DeviceIndex":
+        vec_dtype = jnp.float32 if cfg.vector_dtype == "float32" else jnp.bfloat16
+        c = capacity
+        return cls(
+            vectors=jnp.zeros((c, cfg.embed_dim), vec_dtype),
+            valid=jnp.zeros((c,), jnp.float32),
+            doc_id=jnp.full((c,), -1, jnp.int32),
+            authority=jnp.zeros((c,), jnp.float32),
+            length_score=jnp.zeros((c,), jnp.float32),
+            payer=jnp.full((c,), -1, jnp.int32),
+            state=jnp.full((c,), -1, jnp.int32),
+            program=jnp.full((c,), -1, jnp.int32),
+            j_tags=jnp.zeros((c, cfg.tag_words), jnp.uint32),
+            d_tags=jnp.zeros((c, cfg.tag_words), jnp.uint32),
+            p_tags=jnp.zeros((c, cfg.tag_words), jnp.uint32),
+            phrase_bits=jnp.zeros((c, cfg.phrase_words), jnp.uint32),
+            lexical=jnp.zeros((c, cfg.lexical_buckets), jnp.bfloat16),
+        )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_block(index: DeviceIndex, start: jnp.ndarray, block: dict) -> DeviceIndex:
+    """Write a fixed-size row block at dynamic offset `start` (donated
+    in-place update; one compile per array signature)."""
+    new = {}
+    for f in DeviceIndex.FIELDS:
+        arr = getattr(index, f)
+        upd = block[f].astype(arr.dtype)
+        if arr.ndim == 1:
+            new[f] = jax.lax.dynamic_update_slice(arr, upd, (start,))
+        else:
+            new[f] = jax.lax.dynamic_update_slice(arr, upd, (start, 0))
+    return DeviceIndex(**new)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _clear_rows(index: DeviceIndex, rows: jnp.ndarray) -> DeviceIndex:
+    """Mark a fixed-size padded list of rows invalid (rows < 0 are no-ops)."""
+    safe = jnp.where(rows >= 0, rows, 0)
+    keep = (rows >= 0).astype(jnp.float32)
+    valid = index.valid.at[safe].multiply(1.0 - keep)
+    out = {f: getattr(index, f) for f in DeviceIndex.FIELDS}
+    out["valid"] = valid
+    return DeviceIndex(**out)
+
+
+class _Interner:
+    """String → dense int id (payer/state/program/doc interning)."""
+
+    def __init__(self):
+        self.to_id: dict[str, int] = {}
+        self.to_str: list[str] = []
+
+    def intern(self, s: str) -> int:
+        if s not in self.to_id:
+            self.to_id[s] = len(self.to_str)
+            self.to_str.append(s)
+        return self.to_id[s]
+
+    def lookup(self, i: int) -> str:
+        return self.to_str[i] if 0 <= i < len(self.to_str) else ""
+
+    def state_dict(self):
+        return {"to_str": self.to_str}
+
+    def load_state(self, st):
+        self.to_str = list(st["to_str"])
+        self.to_id = {s: i for i, s in enumerate(self.to_str)}
+
+
+# Authority levels normalize to [0,1] over a 0..4 scale (the reference
+# scores authority_level through _authority_score, corpus_search.py).
+_AUTH_MAX = 4.0
+
+
+def _length_score(text: str) -> float:
+    """Body-length signal in [0,1]: ramps to 1.0 at ~600 chars, flat after.
+    (Same intent as the reference's _length_score: penalize stub rows,
+    don't reward bloat.)"""
+    return min(len(text) / 600.0, 1.0)
+
+
+class ChunkStore:
+    """Mutable host handle around a :class:`DeviceIndex`."""
+
+    def __init__(self, cfg: Config | None = None, capacity: int | None = None):
+        self.cfg = cfg or get_config()
+        cap = round_up(capacity or self.cfg.initial_capacity, _WRITE_BLOCK)
+        self.index = DeviceIndex.empty(cap, self.cfg)
+        self.records: list[ChunkRecord | None] = []
+        self.docs = _Interner()
+        self.payers = _Interner()
+        self.states = _Interner()
+        self.programs = _Interner()
+        self._doc_rows: dict[str, list[int]] = {}
+        self._source_ids: dict[str, set[str]] = {}  # doc → embedded source ids
+        self._free_rows: list[int] = []
+
+    # -- sizing ----------------------------------------------------------
+
+    @property
+    def size(self) -> int:
+        return len(self.records) - len(self._free_rows)
+
+    @property
+    def capacity(self) -> int:
+        return self.index.capacity
+
+    def _ensure_capacity(self, extra: int) -> None:
+        needed = len(self.records) + extra
+        if needed <= self.capacity:
+            return
+        new_cap = self.capacity
+        while new_cap < needed:
+            new_cap *= 2
+        old = jax.device_get(self.index)
+        grown = {}
+        for f in DeviceIndex.FIELDS:
+            arr = np.asarray(getattr(old, f))
+            pad = np.zeros((new_cap - arr.shape[0],) + arr.shape[1:], arr.dtype)
+            if f in ("doc_id", "payer", "state", "program"):
+                pad.fill(-1)
+            grown[f] = jnp.asarray(np.concatenate([arr, pad], axis=0))
+        self.index = DeviceIndex(**grown)
+
+    # -- writes ------------------------------------------------------------
+
+    def add_chunks(self, recs: Sequence[ChunkRecord]) -> list[int]:
+        """Append records; returns assigned device rows. Embeddings are
+        L2-normalized here (pgvector cosine ordering is normalization-
+        invariant; normalizing once at publish makes query-time scoring a
+        pure dot product)."""
+        if not recs:
+            return []
+        cfg = self.cfg
+        # Validate before mutating any host state so a bad batch is atomic.
+        for r in recs:
+            emb = np.asarray(r.embedding, np.float32)
+            if emb.shape != (cfg.embed_dim,):
+                raise ValueError(
+                    f"embedding shape {emb.shape} != ({cfg.embed_dim},) "
+                    f"for chunk {r.chunk_id!r}"
+                )
+        self._ensure_capacity(len(recs))
+        rows = []
+        start = len(self.records)
+        for r in recs:
+            rows.append(len(self.records))
+            self.records.append(r)
+            self._doc_rows.setdefault(r.doc_id, []).append(rows[-1])
+            if r.source_id:
+                self._source_ids.setdefault(r.doc_id, set()).add(r.source_id)
+
+        # Stage host blocks, then write in fixed-size device blocks.
+        n = len(recs)
+        n_pad = round_up(n, _WRITE_BLOCK)
+        d = cfg.embed_dim
+        vecs = np.zeros((n_pad, d), np.float32)
+        valid = np.zeros((n_pad,), np.float32)
+        doc_id = np.full((n_pad,), -1, np.int32)
+        authority = np.zeros((n_pad,), np.float32)
+        length_score = np.zeros((n_pad,), np.float32)
+        payer = np.full((n_pad,), -1, np.int32)
+        state = np.full((n_pad,), -1, np.int32)
+        program = np.full((n_pad,), -1, np.int32)
+        j_tags = np.zeros((n_pad, cfg.tag_words), np.uint32)
+        d_tags = np.zeros((n_pad, cfg.tag_words), np.uint32)
+        p_tags = np.zeros((n_pad, cfg.tag_words), np.uint32)
+        phrase_bits = np.zeros((n_pad, cfg.phrase_words), np.uint32)
+        lexical = np.zeros((n_pad, cfg.lexical_buckets), np.float32)
+
+        for i, r in enumerate(recs):
+            v = np.asarray(r.embedding, np.float32)
+            norm = float(np.linalg.norm(v))
+            vecs[i] = v / norm if norm > 0 else v
+            valid[i] = 1.0
+            doc_id[i] = self.docs.intern(r.doc_id)
+            authority[i] = min(max(r.authority_level, 0), _AUTH_MAX) / _AUTH_MAX
+            length_score[i] = _length_score(r.text)
+            payer[i] = self.payers.intern(r.payer) if r.payer else -1
+            state[i] = self.states.intern(r.state) if r.state else -1
+            program[i] = self.programs.intern(r.program) if r.program else -1
+            j_tags[i] = pack_bits(r.j_tags, cfg.tag_words)
+            d_tags[i] = pack_bits(r.d_tags, cfg.tag_words)
+            p_tags[i] = pack_bits(r.p_tags, cfg.tag_words)
+            phrase_bits[i] = pack_bits(r.phrase_ids, cfg.phrase_words)
+            for bucket, w in r.lexical_weights.items():
+                lexical[i, bucket % cfg.lexical_buckets] += w
+
+        for off in range(0, n_pad, _WRITE_BLOCK):
+            block = {
+                "vectors": jnp.asarray(vecs[off:off + _WRITE_BLOCK]),
+                "valid": jnp.asarray(valid[off:off + _WRITE_BLOCK]),
+                "doc_id": jnp.asarray(doc_id[off:off + _WRITE_BLOCK]),
+                "authority": jnp.asarray(authority[off:off + _WRITE_BLOCK]),
+                "length_score": jnp.asarray(length_score[off:off + _WRITE_BLOCK]),
+                "payer": jnp.asarray(payer[off:off + _WRITE_BLOCK]),
+                "state": jnp.asarray(state[off:off + _WRITE_BLOCK]),
+                "program": jnp.asarray(program[off:off + _WRITE_BLOCK]),
+                "j_tags": jnp.asarray(j_tags[off:off + _WRITE_BLOCK]),
+                "d_tags": jnp.asarray(d_tags[off:off + _WRITE_BLOCK]),
+                "p_tags": jnp.asarray(p_tags[off:off + _WRITE_BLOCK]),
+                "phrase_bits": jnp.asarray(phrase_bits[off:off + _WRITE_BLOCK]),
+                "lexical": jnp.asarray(lexical[off:off + _WRITE_BLOCK]),
+            }
+            self.index = _write_block(self.index, jnp.int32(start + off), block)
+        return rows
+
+    def delete_by_document(self, doc_id: str) -> int:
+        """Invalidate all live rows of a document (the reference's
+        delete_by_document / republish-DELETE half)."""
+        rows = [r for r in self._doc_rows.pop(doc_id, []) if self.records[r] is not None]
+        if not rows:
+            self._source_ids.pop(doc_id, None)
+            return 0
+        for r in rows:
+            self.records[r] = None
+            self._free_rows.append(r)
+        self._source_ids.pop(doc_id, None)
+        n_pad = round_up(len(rows), _WRITE_BLOCK)
+        padded = np.full((n_pad,), -1, np.int32)
+        padded[: len(rows)] = rows
+        for off in range(0, n_pad, _WRITE_BLOCK):
+            self.index = _clear_rows(self.index, jnp.asarray(padded[off:off + _WRITE_BLOCK]))
+        return len(rows)
+
+    def publish_document(self, doc_id: str, recs: Sequence[ChunkRecord]) -> list[int]:
+        """Idempotent republish: DELETE+INSERT (publish.py:1-7 contract)."""
+        self.delete_by_document(doc_id)
+        return self.add_chunks(recs)
+
+    def embedded_source_ids(self, doc_id: str) -> set[str]:
+        """Which embeddable-unit source_ids are already live for this doc —
+        the incremental-resume diff contract (embedding_worker.py:187-203)."""
+        return set(self._source_ids.get(doc_id, set()))
+
+    # -- reads -------------------------------------------------------------
+
+    def record(self, row: int) -> ChunkRecord | None:
+        if 0 <= row < len(self.records):
+            return self.records[row]
+        return None
+
+    def doc_name(self, doc_int: int) -> str:
+        return self.docs.lookup(doc_int)
+
+    # -- snapshot / resume ---------------------------------------------------
+
+    def snapshot(self, path: str) -> None:
+        """Durable checkpoint: device arrays + host record map. The TPU
+        analogue of the reference's per-batch-commit durability
+        (embedding_worker.py:215-266)."""
+        os.makedirs(path, exist_ok=True)
+        host = jax.device_get(self.index)
+        arrays = {f: np.asarray(getattr(host, f)) for f in DeviceIndex.FIELDS}
+        # bf16 has no numpy dtype — store as uint16 bit pattern.
+        meta_dtypes = {}
+        for f, a in arrays.items():
+            if a.dtype == jnp.bfloat16:
+                arrays[f] = a.view(np.uint16)
+                meta_dtypes[f] = "bfloat16"
+        np.savez_compressed(os.path.join(path, "index.npz"), **arrays)
+        recs = []
+        for r in self.records:
+            if r is None:
+                recs.append(None)
+            else:
+                d = dataclasses.asdict(r)
+                d["embedding"] = None  # lives in index.npz
+                d["lexical_weights"] = {str(k): v for k, v in d["lexical_weights"].items()}
+                recs.append(d)
+        state = {
+            "version": 1,
+            "records": recs,
+            "free_rows": self._free_rows,
+            "doc_rows": self._doc_rows,
+            "source_ids": {k: sorted(v) for k, v in self._source_ids.items()},
+            "interners": {
+                "docs": self.docs.state_dict(),
+                "payers": self.payers.state_dict(),
+                "states": self.states.state_dict(),
+                "programs": self.programs.state_dict(),
+            },
+            "bf16_fields": meta_dtypes,
+            "config": {
+                "embed_dim": self.cfg.embed_dim,
+                "tag_words": self.cfg.tag_words,
+                "phrase_words": self.cfg.phrase_words,
+                "lexical_buckets": self.cfg.lexical_buckets,
+            },
+        }
+        with open(os.path.join(path, "store.json"), "w") as f:
+            json.dump(state, f)
+
+    @classmethod
+    def restore(cls, path: str, cfg: Config | None = None) -> "ChunkStore":
+        with open(os.path.join(path, "store.json")) as f:
+            state = json.load(f)
+        cfg = cfg or get_config()
+        for key, val in state["config"].items():
+            if getattr(cfg, key) != val:
+                raise ValueError(
+                    f"snapshot {key}={val} != config {getattr(cfg, key)}"
+                )
+        data = np.load(os.path.join(path, "index.npz"))
+        arrays = {}
+        for f in DeviceIndex.FIELDS:
+            a = data[f]
+            if state["bf16_fields"].get(f) == "bfloat16":
+                a = a.view(jnp.bfloat16)
+            arrays[f] = jnp.asarray(a)
+        store = cls(cfg, capacity=arrays["vectors"].shape[0])
+        store.index = DeviceIndex(**arrays)
+        store.records = []
+        for d in state["records"]:
+            if d is None:
+                store.records.append(None)
+            else:
+                d["embedding"] = np.zeros((cfg.embed_dim,), np.float32)
+                d["lexical_weights"] = {int(k): v for k, v in d["lexical_weights"].items()}
+                store.records.append(ChunkRecord(**d))
+        store._free_rows = list(state["free_rows"])
+        store._doc_rows = {k: list(v) for k, v in state["doc_rows"].items()}
+        store._source_ids = {k: set(v) for k, v in state["source_ids"].items()}
+        store.docs.load_state(state["interners"]["docs"])
+        store.payers.load_state(state["interners"]["payers"])
+        store.states.load_state(state["interners"]["states"])
+        store.programs.load_state(state["interners"]["programs"])
+        return store

@@ -1,0 +1,23 @@
+"""Test environment: force an 8-device virtual CPU mesh so sharding tests
+(parallel/) run without TPU hardware, per the driver contract. Must run
+before jax initializes a backend."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Small shapes for tests — keep device arrays tiny.
+os.environ.setdefault("MRAG_EMBED_DIM", "256")
+os.environ.setdefault("MRAG_INITIAL_CAPACITY", "1024")
+os.environ.setdefault("MRAG_LEXICAL_BUCKETS", "2048")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,108 @@
+"""ChunkStore contract tests: append/search, DELETE+INSERT republish
+idempotency, capacity growth, incremental-resume diffing, and
+snapshot/restore (the reference's durability contracts:
+app/services/publish.py DELETE+INSERT, app/embedding_worker.py:187-266)."""
+import numpy as np
+import pytest
+
+from mobius_rag_tpu.config import get_config
+from mobius_rag_tpu.index.store import ChunkRecord, ChunkStore, pack_bits, unpack_bits
+from mobius_rag_tpu.ops.topk import NEG_INF, cosine_topk_xla
+
+
+def _rec(rng, doc, i, **kw):
+    cfg = get_config()
+    return ChunkRecord(
+        chunk_id=f"{doc}-c{i}",
+        doc_id=doc,
+        text=f"paragraph {i} of {doc} " * 10,
+        embedding=rng.standard_normal(cfg.embed_dim).astype(np.float32),
+        source_id=f"{doc}-s{i}",
+        **kw,
+    )
+
+
+def test_pack_unpack_roundtrip():
+    ids = [0, 5, 31, 32, 63, 200]
+    bits = pack_bits(ids, 8)
+    assert unpack_bits(bits) == ids
+
+
+def test_add_and_search(rng):
+    store = ChunkStore()
+    recs = [_rec(rng, "docA", i) for i in range(20)]
+    rows = store.add_chunks(recs)
+    assert rows == list(range(20))
+    assert store.size == 20
+
+    # query = one of the stored embeddings → that row must rank first
+    q = recs[7].embedding / np.linalg.norm(recs[7].embedding)
+    penalty = np.where(np.asarray(store.index.valid) > 0, 0.0, NEG_INF).astype(np.float32)
+    vals, idx = cosine_topk_xla(store.index.vectors, q[None, :], penalty, 3)
+    assert int(np.asarray(idx)[0, 0]) == 7
+    assert np.asarray(vals)[0, 0] == pytest.approx(1.0, abs=2e-3)
+
+
+def test_delete_and_republish(rng):
+    store = ChunkStore()
+    store.add_chunks([_rec(rng, "docA", i) for i in range(5)])
+    store.add_chunks([_rec(rng, "docB", i) for i in range(5)])
+    assert store.delete_by_document("docA") == 5
+    assert store.size == 5
+    valid = np.asarray(store.index.valid)
+    assert valid[:5].sum() == 0 and valid[5:10].sum() == 5
+
+    # republish is idempotent: delete+insert
+    store.publish_document("docB", [_rec(rng, "docB", i) for i in range(3)])
+    assert store.size == 3 + 5 - 5  # docA gone, docB now 3
+    assert len(store.embedded_source_ids("docB")) == 3
+
+
+def test_incremental_resume_diff(rng):
+    store = ChunkStore()
+    store.add_chunks([_rec(rng, "docA", i) for i in range(4)])
+    have = store.embedded_source_ids("docA")
+    wanted = {f"docA-s{i}" for i in range(6)}
+    missing = wanted - have
+    assert missing == {"docA-s4", "docA-s5"}
+
+
+def test_capacity_growth(rng):
+    store = ChunkStore(capacity=256)
+    store.add_chunks([_rec(rng, "big", i) for i in range(300)])
+    assert store.capacity >= 300
+    assert store.size == 300
+    assert float(np.asarray(store.index.valid).sum()) == 300
+
+
+def test_metadata_and_tags(rng):
+    store = ChunkStore()
+    r = _rec(rng, "docA", 0, payer="sunshine_health", state="FL",
+             authority_level=4, j_tags=[3], d_tags=[10, 11], phrase_ids=[100])
+    store.add_chunks([r])
+    assert store.payers.lookup(int(np.asarray(store.index.payer)[0])) == "sunshine_health"
+    assert np.asarray(store.index.authority)[0] == pytest.approx(1.0)
+    assert unpack_bits(np.asarray(store.index.j_tags)[0]) == [3]
+    assert unpack_bits(np.asarray(store.index.d_tags)[0]) == [10, 11]
+    assert unpack_bits(np.asarray(store.index.phrase_bits)[0]) == [100]
+
+
+def test_snapshot_restore(tmp_path, rng):
+    store = ChunkStore()
+    recs = [_rec(rng, "docA", i, payer="aetna") for i in range(10)]
+    store.add_chunks(recs)
+    store.delete_by_document("docA")
+    recs2 = [_rec(rng, "docB", i) for i in range(8)]
+    store.add_chunks(recs2)
+    store.snapshot(str(tmp_path / "snap"))
+
+    loaded = ChunkStore.restore(str(tmp_path / "snap"))
+    assert loaded.size == store.size == 8
+    np.testing.assert_array_equal(
+        np.asarray(loaded.index.valid), np.asarray(store.index.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.index.vectors), np.asarray(store.index.vectors)
+    )
+    assert loaded.embedded_source_ids("docB") == store.embedded_source_ids("docB")
+    assert loaded.record(12).chunk_id == "docB-c2"
