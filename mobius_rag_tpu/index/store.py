@@ -228,6 +228,7 @@ class ChunkStore:
         self._doc_rows: dict[str, list[int]] = {}
         self._source_ids: dict[str, set[str]] = {}  # doc → embedded source ids
         self._free_rows: list[int] = []
+        self._lexical_stats_cache: tuple[dict[int, int], int] | None = None
 
     # -- sizing ----------------------------------------------------------
 
@@ -337,6 +338,7 @@ class ChunkStore:
                 "lexical": jnp.asarray(lexical[off:off + _WRITE_BLOCK]),
             }
             self.index = _write_block(self.index, jnp.int32(start + off), block)
+        self._lexical_stats_cache = None
         return rows
 
     def delete_by_document(self, doc_id: str) -> int:
@@ -355,6 +357,7 @@ class ChunkStore:
         padded[: len(rows)] = rows
         for off in range(0, n_pad, _WRITE_BLOCK):
             self.index = _clear_rows(self.index, jnp.asarray(padded[off:off + _WRITE_BLOCK]))
+        self._lexical_stats_cache = None
         return len(rows)
 
     def publish_document(self, doc_id: str, recs: Sequence[ChunkRecord]) -> list[int]:
@@ -366,6 +369,22 @@ class ChunkStore:
         """Which embeddable-unit source_ids are already live for this doc —
         the incremental-resume diff contract (embedding_worker.py:187-203)."""
         return set(self._source_ids.get(doc_id, set()))
+
+    def lexical_stats(self) -> tuple[dict[int, int], int]:
+        """(bucket → live-chunk document frequency, live chunk count) for
+        query-side IDF. Cached; invalidated by add/delete."""
+        if self._lexical_stats_cache is None:
+            df: dict[int, int] = {}
+            n = 0
+            for r in self.records:
+                if r is None:
+                    continue
+                n += 1
+                for b in r.lexical_weights:
+                    key = b % self.cfg.lexical_buckets
+                    df[key] = df.get(key, 0) + 1
+            self._lexical_stats_cache = (df, n)
+        return self._lexical_stats_cache
 
     # -- reads -------------------------------------------------------------
 

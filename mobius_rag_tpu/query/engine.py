@@ -1,0 +1,469 @@
+"""The compiled hybrid retrieval pipeline ("strategy a").
+
+This is the TPU-native rebuild of the reference's ``corpus_search``
+(app/services/corpus_search.py:3280): three arms → RRF fusion → weighted
+rerank → confidence labels — but where the reference runs two SQL scans
+plus Python loops per query, here the entire pipeline is ONE jitted XLA
+program over the device-resident index, batched over queries:
+
+  vector arm   pgvector HNSW cosine + strict/relaxed filters (:1427)
+               → masked dot-product scores + per-query strict/relaxed
+                 mask with auto-relax (strict yields < k → relaxed)
+  lexical arm  weighted tsvector FTS over search_vec (:806)
+               → hashed-term BM25 weights [C, H] ⊗ IDF query vector
+  d-tag arm    tag-membership candidates ordered by authority (:1605)
+               → d-tag bitset overlap gated, authority-scored
+  RRF          k=60 reciprocal-rank fusion (:1708) → scatter-add
+  rerank       v1.3 unified selectivity-weighted coverage + sim +
+               authority + length + jpd (:1909) → gathered signal math
+               over fused candidates, with binary j-tag doc credit
+  confidence   high/medium/low/abstain thresholds (:2307)
+
+Everything string-shaped (tokenizing, lexicon matching, IDF lookup)
+happens host-side in ``prepare_query``; everything O(corpus) happens
+on device in ``_search_compiled``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobius_rag_tpu.config import Config, get_config
+from mobius_rag_tpu.index.store import ChunkStore, DeviceIndex, pack_bits
+from mobius_rag_tpu.ingest.featurize import query_lexical_weights
+from mobius_rag_tpu.ops.topk import NEG_INF
+from mobius_rag_tpu.query.lexicon import Lexicon, LexiconExpansion
+
+# Rerank weights — reranker v1.3 (corpus_search.py:2013-2018).
+W_SIM, W_AUTH, W_LEN, W_JPD, W_COV = 0.25, 0.10, 0.05, 0.20, 0.55
+
+# Max coverage-phrase slots per query (12 lexicon entries × a few phrases
+# each; 64 covers the reference's expansion cap comfortably).
+MAX_PHRASE_SLOTS = 64
+
+_MODES = ("corpus", "precision", "recall")
+# Per-mode arm weights in RRF (vector, lexical, dtag). precision is the
+# BM25-dominant mode, recall the vector-dominant one (corpus_search.py
+# mode semantics: modes pick arm emphasis, not different code paths).
+_MODE_ARM_WEIGHTS = {
+    "corpus": (1.0, 1.0, 0.5),
+    "precision": (0.5, 1.0, 0.7),
+    "recall": (1.0, 0.6, 0.3),
+}
+# Mode-default minimum confidence floor (corpus_search.py:_MODE_MIN).
+MODE_MIN_LABEL = {"corpus": "low", "precision": "low", "recall": "abstain"}
+
+
+@dataclasses.dataclass
+class QueryRequest:
+    """One search request (the reference's CorpusSearchRequest shape)."""
+
+    query: str
+    embedding: np.ndarray | None = None  # [D]; required until an encoder is attached
+    mode: str = "corpus"
+    payer: str = ""
+    state: str = ""
+    program: str = ""
+    min_similarity: float = 0.0
+    tag_mode: str = "strict"  # strict | relaxed | none
+
+
+@dataclasses.dataclass
+class SearchHit:
+    row: int
+    chunk_id: str
+    doc_id: str
+    text: str
+    score: float  # rerank score in [0, 1]
+    similarity: float  # best-arm cosine
+    signals: dict[str, float]
+    metadata: dict[str, Any]
+
+
+@dataclasses.dataclass
+class SearchResult:
+    query: str
+    hits: list[SearchHit]
+    confidence_label: str
+    expansion: LexiconExpansion
+    telemetry: dict[str, Any]
+
+
+def _confidence_label(score: float, cfg: Config) -> str:
+    if score >= cfg.confidence_high:
+        return "high"
+    if score >= cfg.confidence_medium:
+        return "medium"
+    if score >= cfg.confidence_low:
+        return "low"
+    return "abstain"
+
+
+# ---------------------------------------------------------------------------
+# The compiled pipeline
+# ---------------------------------------------------------------------------
+
+def _bit_test(bits_rows: jnp.ndarray, word: jnp.ndarray, bit: jnp.ndarray) -> jnp.ndarray:
+    """bits_rows [..., W] u32; word/bit broadcastable int32 → {0,1} f32."""
+    w = jnp.take_along_axis(bits_rows, word[..., None], axis=-1)[..., 0]
+    return ((w >> bit.astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.float32)
+
+
+def _overlap(bits: jnp.ndarray, qbits: jnp.ndarray) -> jnp.ndarray:
+    """Any-bit overlap between chunk bitsets [C, W] and query bitsets
+    [B, W] → [B, C] {0,1} f32."""
+    inter = bits[None, :, :] & qbits[:, None, :]
+    return (inter.astype(jnp.uint32).sum(axis=-1) > 0).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k"))
+def _search_compiled(
+    index: DeviceIndex,
+    q: dict,
+    k: int,
+    over_fetch: int,
+    rrf_k: int,
+):
+    """One XLA program: all arms, fusion, rerank. q holds per-query arrays
+    (see prepare_query for the schema)."""
+    valid = index.valid  # [C] f32
+    c = valid.shape[0]
+    b = q["vec"].shape[0]
+    m = min(k * over_fetch, c)
+
+    # ---- metadata + tag masks ------------------------------------------
+    def col_match(col, want):  # [C] i32 vs [B] i32 (-1 = any, -2 = none) → [B, C]
+        return jnp.where(
+            want[:, None] == -1, 1.0, (col[None, :] == want[:, None]).astype(jnp.float32)
+        )
+
+    meta_ok = (
+        col_match(index.payer, q["payer"])
+        * col_match(index.state, q["state"])
+        * col_match(index.program, q["program"])
+    )  # [B, C]
+    has_j = (q["j_bits"].sum(axis=1) > 0)[:, None].astype(jnp.float32)  # [B,1]
+    has_dp = (q["d_bits"].sum(axis=1) + q["p_bits"].sum(axis=1) > 0)[:, None].astype(jnp.float32)
+    j_ok = _overlap(index.j_tags, q["j_bits"])  # [B, C]
+    dp_ok = jnp.maximum(_overlap(index.d_tags, q["d_bits"]), _overlap(index.p_tags, q["p_bits"]))
+
+    # strict: metadata AND (j-tags when the query has them).
+    strict = valid[None, :] * meta_ok * jnp.where(has_j > 0, j_ok, 1.0)
+    # relaxed: metadata AND (d/p-tag join when the query has them) —
+    # the auto-relax retry target (corpus_search.py:1545-1555).
+    relaxed = valid[None, :] * meta_ok * jnp.where(has_dp > 0, dp_ok, 1.0)
+    # none: validity only (strategy b's vector_broad tag_mode=none).
+    open_mask = valid[None, :] * jnp.ones_like(meta_ok)
+
+    strict_count = strict.sum(axis=1, keepdims=True)  # [B,1]
+    # tag_mode per query: 0=strict(+auto relax), 1=relaxed, 2=none
+    auto = jnp.where(strict_count >= k, strict, jnp.maximum(strict, relaxed))
+    tm = q["tag_mode"][:, None]
+    gate = jnp.where(tm == 0, auto, jnp.where(tm == 1, relaxed, open_mask))
+    penalty = (1.0 - gate) * NEG_INF  # [B, C]
+
+    # ---- vector arm -------------------------------------------------------
+    cos = jnp.dot(
+        q["vec"], index.vectors.astype(jnp.float32).T, preferred_element_type=jnp.float32
+    )  # [B, C]
+    vec_scores = cos + penalty + jnp.where(cos < q["min_sim"][:, None], NEG_INF, 0.0)
+    vec_vals, vec_idx = jax.lax.top_k(vec_scores, m)
+
+    # ---- lexical arm ------------------------------------------------------
+    lex_raw = jnp.dot(
+        q["lex"], index.lexical.astype(jnp.float32).T, preferred_element_type=jnp.float32
+    )  # [B, C]
+    lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
+    lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
+
+    # ---- d-tag arm ----------------------------------------------------------
+    dtag_member = _overlap(index.d_tags, q["d_bits"])  # [B, C]
+    dtag_scores = (
+        jnp.where(dtag_member > 0, index.authority[None, :] + 1.0, NEG_INF)
+        + (1.0 - valid[None, :]) * NEG_INF
+        + (1.0 - meta_ok) * NEG_INF
+    )
+    dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
+
+    # ---- RRF fusion ---------------------------------------------------------
+    rows = jnp.arange(b)[:, None]
+    ranks = jnp.arange(m)[None, :].astype(jnp.float32)
+    rrf = jnp.zeros((b, c), jnp.float32)
+    for arm_i, (vals, idx) in enumerate(
+        [(vec_vals, vec_idx), (lex_vals, lex_idx), (dtag_vals, dtag_idx)]
+    ):
+        live = (vals > NEG_INF / 2).astype(jnp.float32)
+        w = q["arm_weights"][:, arm_i : arm_i + 1]  # [B,1]
+        rrf = rrf.at[rows, idx].add(live * w / (rrf_k + ranks + 1.0))
+    # Only fused candidates that passed SOME arm are eligible.
+    fused = jnp.where(rrf > 0, rrf, NEG_INF)
+    cand_rrf, cand = jax.lax.top_k(fused, m)  # [B, M]
+
+    # ---- rerank signals over candidates -------------------------------------
+    def gather(col):  # [C] → [B, M]
+        return jnp.take(col, cand, axis=0)
+
+    cand_cos = jnp.take_along_axis(cos, cand, axis=1)
+    lex_max = jnp.max(jnp.where(lex_raw > 0, lex_raw, 0.0), axis=1, keepdims=True)
+    cand_lex = jnp.take_along_axis(lex_raw, cand, axis=1) / jnp.maximum(lex_max, 1e-6)
+    sim = jnp.clip(jnp.maximum(cand_cos, cand_lex), 0.0, 1.0)
+    auth = gather(index.authority)
+    lsig = gather(index.length_score)
+
+    # jpd ≈ fraction of the query's d-tags the chunk carries (device form
+    # of the reference's category-intent haystack check, :1956).
+    cand_dbits = jnp.take(index.d_tags, cand, axis=0)  # [B, M, W]
+    q_dbits = q["d_bits"][:, None, :]
+    inter = (cand_dbits & q_dbits).astype(jnp.uint32)
+
+    def popcount(x):
+        x = x - ((x >> 1) & jnp.uint32(0x55555555))
+        x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+        x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+        return (x * jnp.uint32(0x01010101)) >> 24
+
+    jpd_hits = popcount(inter).sum(axis=-1).astype(jnp.float32)
+    q_dcount = popcount(q["d_bits"]).sum(axis=-1).astype(jnp.float32)[:, None]
+    jpd = jnp.where(q_dcount > 0, jnp.minimum(jpd_hits / jnp.maximum(q_dcount, 1.0), 1.0), 0.0)
+    has_jpd = (q_dcount > 0).astype(jnp.float32)
+
+    # coverage: selectivity-weighted phrase presence with binary j-tag
+    # doc credit (v1.3 unified coverage).
+    cand_pbits = jnp.take(index.phrase_bits, cand, axis=0)  # [B, M, PW]
+    cand_jbits = jnp.take(index.j_tags, cand, axis=0)  # [B, M, TW]
+    s_word = q["slot_word"][:, None, :]  # [B, 1, S]
+    s_bit = q["slot_bit"][:, None, :]
+    s_jword = q["slot_jword"][:, None, :]
+    s_jbit = q["slot_jbit"][:, None, :]
+    s_isj = q["slot_isj"][:, None, :]  # {0,1}
+    s_w = q["slot_weight"][:, None, :]  # 0 for inactive slots
+
+    def test_bits(bits, word, bit):  # bits [B,M,W]; word/bit [B,1,S] → [B,M,S]
+        w = jnp.take_along_axis(bits, word.repeat(bits.shape[1], 1), axis=2)
+        return ((w >> bit.astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.float32)
+
+    phrase_present = test_bits(cand_pbits, s_word, s_bit)
+    jtag_present = test_bits(cand_jbits, s_jword, s_jbit)
+    present = jnp.where(s_isj > 0, jnp.maximum(jtag_present, phrase_present), phrase_present)
+    cov_num = (present * s_w).sum(axis=2)  # [B, M]
+    cov_den = q["slot_weight"].sum(axis=1)[:, None]
+    cov = jnp.where(cov_den > 0, cov_num / jnp.maximum(cov_den, 1e-6), 0.0)
+    has_cov = (cov_den > 0).astype(jnp.float32)
+
+    w_jpd = W_JPD * has_jpd
+    w_cov = W_COV * has_cov
+    max_w = W_SIM + W_AUTH + W_LEN + w_jpd + w_cov
+    rerank = (
+        W_SIM * sim + W_AUTH * auth + W_LEN * lsig + w_jpd * jpd + w_cov * cov
+    ) / jnp.maximum(max_w, 1e-6)
+    rerank = jnp.where(cand_rrf > NEG_INF / 2, rerank, NEG_INF)
+
+    top_vals, pos = jax.lax.top_k(rerank, k)
+    top_idx = jnp.take_along_axis(cand, pos, axis=1)
+
+    out = {
+        "idx": top_idx,
+        "rerank": top_vals,
+        "sim": jnp.take_along_axis(sim, pos, axis=1),
+        "cos": jnp.take_along_axis(cand_cos, pos, axis=1),
+        "auth": jnp.take_along_axis(auth, pos, axis=1),
+        "len": jnp.take_along_axis(lsig, pos, axis=1),
+        "jpd": jnp.take_along_axis(jpd, pos, axis=1),
+        "cov": jnp.take_along_axis(cov, pos, axis=1),
+        "rrf": jnp.take_along_axis(cand_rrf, pos, axis=1),
+        "vec_idx": vec_idx[:, : k * 2],
+        "vec_vals": vec_vals[:, : k * 2],
+        "lex_idx": lex_idx[:, : k * 2],
+        "lex_vals": lex_vals[:, : k * 2],
+        "dtag_idx": dtag_idx[:, : k * 2],
+        "dtag_vals": dtag_vals[:, : k * 2],
+        "strict_count": strict_count[:, 0],
+    }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+class SearchEngine:
+    """Host-side handle: prepares query arrays, invokes the compiled
+    pipeline, materializes results + telemetry."""
+
+    def __init__(self, store: ChunkStore, lexicon: Lexicon | None = None,
+                 cfg: Config | None = None, embed_fn=None):
+        self.store = store
+        self.lexicon = lexicon
+        self.cfg = cfg or get_config()
+        self.embed_fn = embed_fn  # (list[str]) -> np.ndarray [B, D]
+
+    # -- host-side query prep ---------------------------------------------
+
+    def prepare_query(self, req: QueryRequest) -> tuple[dict[str, np.ndarray], LexiconExpansion]:
+        cfg = self.cfg
+        if req.mode not in _MODES:
+            raise ValueError(f"mode {req.mode!r} must be one of {_MODES}")
+        if req.tag_mode not in ("strict", "relaxed", "none"):
+            raise ValueError(f"tag_mode {req.tag_mode!r} must be strict|relaxed|none")
+        exp = self.lexicon.expand(req.query) if self.lexicon else LexiconExpansion()
+
+        df, n_live = self.store.lexical_stats()
+        lex_w = query_lexical_weights(req.query, exp.expansion_phrases, df, n_live,
+                                      cfg.lexical_buckets)
+        lex = np.zeros(cfg.lexical_buckets, np.float32)
+        for bkt, w in lex_w.items():
+            lex[bkt] = w
+
+        slots = exp.phrase_slots[:MAX_PHRASE_SLOTS]
+        s_word = np.zeros(MAX_PHRASE_SLOTS, np.int32)
+        s_bit = np.zeros(MAX_PHRASE_SLOTS, np.int32)
+        s_jword = np.zeros(MAX_PHRASE_SLOTS, np.int32)
+        s_jbit = np.zeros(MAX_PHRASE_SLOTS, np.int32)
+        s_isj = np.zeros(MAX_PHRASE_SLOTS, np.float32)
+        s_weight = np.zeros(MAX_PHRASE_SLOTS, np.float32)
+        for i, (pid, weight, jtag) in enumerate(slots):
+            if pid >= cfg.phrase_words * 32:
+                continue  # phrase id beyond bitset capacity — skip slot
+            s_word[i] = pid // 32
+            s_bit[i] = pid % 32
+            s_weight[i] = weight
+            if jtag >= 0 and jtag < cfg.tag_words * 32:
+                s_isj[i] = 1.0
+                s_jword[i] = jtag // 32
+                s_jbit[i] = jtag % 32
+
+        tag_mode_code = {"strict": 0, "relaxed": 1, "none": 2}[req.tag_mode]
+
+        def meta_id(interner, value):
+            # "" → -1 = no filter; an unknown non-empty value → -2, which
+            # matches no row (a filter on a payer the corpus has never
+            # seen must return nothing, like the SQL WHERE it replaces).
+            if not value:
+                return -1
+            return interner.to_id.get(value, -2)
+
+        q = {
+            "payer": np.int32(meta_id(self.store.payers, req.payer)),
+            "state": np.int32(meta_id(self.store.states, req.state)),
+            "program": np.int32(meta_id(self.store.programs, req.program)),
+            "j_bits": pack_bits(exp.tag_ids["j"], cfg.tag_words),
+            "d_bits": pack_bits(exp.tag_ids["d"], cfg.tag_words),
+            "p_bits": pack_bits(exp.tag_ids["p"], cfg.tag_words),
+            "lex": lex,
+            "min_sim": np.float32(req.min_similarity),
+            "tag_mode": np.int32(tag_mode_code),
+            "arm_weights": np.asarray(_MODE_ARM_WEIGHTS[req.mode], np.float32),
+            "slot_word": s_word,
+            "slot_bit": s_bit,
+            "slot_jword": s_jword,
+            "slot_jbit": s_jbit,
+            "slot_isj": s_isj,
+            "slot_weight": s_weight,
+        }
+        return q, exp
+
+    def _embeddings(self, reqs: Sequence[QueryRequest]) -> np.ndarray:
+        need = [r.query for r in reqs if r.embedding is None]
+        if need and self.embed_fn is None:
+            raise ValueError("QueryRequest.embedding missing and no embed_fn attached")
+        encoded = iter(self.embed_fn(need)) if need else iter(())
+        out = []
+        for r in reqs:
+            v = np.asarray(r.embedding if r.embedding is not None else next(encoded), np.float32)
+            n = np.linalg.norm(v)
+            out.append(v / n if n > 0 else v)
+        return np.stack(out)
+
+    # -- public API ---------------------------------------------------------
+
+    def search(self, reqs: Sequence[QueryRequest] | QueryRequest, k: int | None = None
+               ) -> list[SearchResult]:
+        if isinstance(reqs, QueryRequest):
+            reqs = [reqs]
+        cfg = self.cfg
+        k = k or cfg.default_k
+        t0 = time.perf_counter()
+
+        vecs = self._embeddings(reqs)
+        prepared = [self.prepare_query(r) for r in reqs]
+        q = {"vec": jnp.asarray(vecs)}
+        for key in prepared[0][0]:
+            q[key] = jnp.asarray(np.stack([p[0][key] for p in prepared]))
+
+        t_prep = time.perf_counter()
+        out = _search_compiled(self.store.index, q, k, cfg.over_fetch, cfg.rrf_k)
+        out = jax.device_get(out)
+        t_dev = time.perf_counter()
+
+        results = []
+        for bi, req in enumerate(reqs):
+            hits = []
+            for j in range(k):
+                score = float(out["rerank"][bi, j])
+                if score <= NEG_INF / 2:
+                    continue
+                row = int(out["idx"][bi, j])
+                rec = self.store.record(row)
+                if rec is None:
+                    continue
+                hits.append(SearchHit(
+                    row=row,
+                    chunk_id=rec.chunk_id,
+                    doc_id=rec.doc_id,
+                    text=rec.text,
+                    score=score,
+                    similarity=float(out["sim"][bi, j]),
+                    signals={
+                        "sim": float(out["sim"][bi, j]),
+                        "cosine": float(out["cos"][bi, j]),
+                        "authority": float(out["auth"][bi, j]),
+                        "length": float(out["len"][bi, j]),
+                        "jpd": float(out["jpd"][bi, j]),
+                        "coverage": float(out["cov"][bi, j]),
+                        "rrf": float(out["rrf"][bi, j]),
+                    },
+                    metadata={
+                        "payer": rec.payer, "state": rec.state,
+                        "program": rec.program, "filename": rec.filename,
+                        "section_path": rec.section_path, "page": rec.page,
+                        "authority_level": rec.authority_level,
+                    },
+                ))
+            label = _confidence_label(hits[0].score, cfg) if hits else "abstain"
+            exp = prepared[bi][1]
+
+            def _arm_trace(name):
+                idxs = out[f"{name}_idx"][bi]
+                vals = out[f"{name}_vals"][bi]
+                return [
+                    {"row": int(i), "score": float(v)}
+                    for i, v in zip(idxs, vals) if v > NEG_INF / 2
+                ][: k]
+
+            results.append(SearchResult(
+                query=req.query,
+                hits=hits,
+                confidence_label=label,
+                expansion=exp,
+                telemetry={
+                    "timings_ms": {
+                        "prepare": (t_prep - t0) * 1e3 / len(reqs),
+                        "device": (t_dev - t_prep) * 1e3 / len(reqs),
+                    },
+                    "arms": {
+                        "vector": _arm_trace("vec"),
+                        "lexical": _arm_trace("lex"),
+                        "dtag": _arm_trace("dtag"),
+                    },
+                    "strict_count": int(out["strict_count"][bi]),
+                    "expansion_log": exp.log,
+                    "mode": req.mode,
+                },
+            ))
+        return results

@@ -1,0 +1,117 @@
+"""End-to-end compiled-pipeline tests over the toy corpus: hybrid arms,
+filters with auto-relax, RRF fusion, coverage-weighted rerank, and
+confidence labels (behavioral parity with corpus_search semantics)."""
+import numpy as np
+import pytest
+
+from mobius_rag_tpu.index.store import ChunkStore
+from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+
+@pytest.fixture(scope="module")
+def engine():
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=50))
+    return SearchEngine(store, lex, embed_fn=hash_embed)
+
+
+def test_timely_filing_query_hits_sunshine(engine):
+    res = engine.search(QueryRequest(
+        query="What is the timely filing deadline for Sunshine Health FL Medicaid claims?"
+    ), k=5)[0]
+    assert res.hits, "no hits"
+    top = res.hits[0]
+    assert top.doc_id == "sunshine_provider_manual"
+    assert "180 days" in top.text
+    assert res.confidence_label in ("high", "medium")
+    assert "j:payor.sunshine_health" in res.expansion.matched_codes
+
+
+def test_payer_filter_excludes_other_payers(engine):
+    res = engine.search(QueryRequest(
+        query="timely filing deadline for claims", payer="aetna"
+    ), k=5)[0]
+    assert res.hits
+    assert all(h.metadata["payer"] == "aetna" for h in res.hits)
+    assert res.hits[0].doc_id == "aetna_provider_manual"
+
+
+def test_h0019_prior_auth(engine):
+    res = engine.search(QueryRequest(
+        query="Does Sunshine Health require prior authorization for residential "
+              "substance use treatment under code H0019?"
+    ), k=3)[0]
+    assert res.hits[0].doc_id == "sunshine_provider_manual"
+    assert "H0019" in res.hits[0].text
+
+
+def test_rerank_prefers_tagged_doc_over_distractor(engine):
+    # The AHCA quarterly report mentions "claims" but carries no payer tag;
+    # a Sunshine-specific query must prefer the Sunshine manual (the
+    # selectivity-weighted coverage fix, corpus_search.py:1966-1977).
+    res = engine.search(QueryRequest(
+        query="sunshine health claim filing window"
+    ), k=5)[0]
+    docs = [h.doc_id for h in res.hits]
+    assert docs[0] == "sunshine_provider_manual"
+    if "ahca_quarterly_report" in docs:
+        assert docs.index("ahca_quarterly_report") > 0
+
+
+def test_batched_queries_match_single(engine):
+    reqs = [
+        QueryRequest(query="molina eligibility verification"),
+        QueryRequest(query="preferred drug list formulary updates"),
+    ]
+    batched = engine.search(reqs, k=3)
+    singles = [engine.search(r, k=3)[0] for r in reqs]
+    for b, s in zip(batched, singles):
+        assert [h.chunk_id for h in b.hits] == [h.chunk_id for h in s.hits]
+    assert batched[0].hits[0].doc_id == "molina_quick_reference"
+    assert batched[1].hits[0].doc_id == "aetna_provider_manual"
+
+
+def test_tag_mode_none_widens(engine):
+    strict = engine.search(QueryRequest(
+        query="telehealth utilization behavioral health", tag_mode="strict"
+    ), k=5)[0]
+    wide = engine.search(QueryRequest(
+        query="telehealth utilization behavioral health", tag_mode="none",
+        mode="recall",
+    ), k=5)[0]
+    assert len(wide.hits) >= len(strict.hits)
+
+
+def test_min_similarity_gates_vector_arm(engine):
+    # min_similarity is a VECTOR-arm post-filter (corpus_search.py:1427);
+    # lexical-arm hits may still surface — assert the arm trace is empty
+    # for an off-domain query with a high floor.
+    res = engine.search(QueryRequest(
+        query="completely unrelated quantum chromodynamics lattice",
+        min_similarity=0.9,
+    ), k=5)[0]
+    assert res.telemetry["arms"]["vector"] == []
+
+
+def test_telemetry_shape(engine):
+    res = engine.search(QueryRequest(query="dme prior auth"), k=3)[0]
+    t = res.telemetry
+    assert set(t["arms"]) == {"vector", "lexical", "dtag"}
+    assert t["timings_ms"]["device"] > 0
+    assert any("matched" in line for line in t["expansion_log"])
+
+
+def test_deleted_doc_never_surfaces(engine):
+    # fresh store so we don't poison the module fixture
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex))
+    eng = SearchEngine(store, lex, embed_fn=hash_embed)
+    q = QueryRequest(query="timely filing sunshine health")
+    before = eng.search(q, k=5)[0]
+    assert before.hits[0].doc_id == "sunshine_provider_manual"
+    store.delete_by_document("sunshine_provider_manual")
+    after = eng.search(q, k=5)[0]
+    assert all(h.doc_id != "sunshine_provider_manual" for h in after.hits)
