@@ -341,6 +341,89 @@ class ChunkStore:
         self._lexical_stats_cache = None
         return rows
 
+    def bulk_load(self, recs: Sequence[ChunkRecord], *, vectors=None, lexical=None) -> list[int]:
+        """Mass-ingest fast path: one device_put per field instead of
+        block-wise scatter writes. Only valid on an empty store.
+
+        `vectors` [N, D] and/or `lexical` [N, H] may be given directly
+        (host numpy or device arrays, already row-aligned with `recs`);
+        otherwise they're taken from the records. Vectors are assumed
+        L2-normalized when passed as an array."""
+        if self.records:
+            raise ValueError("bulk_load requires an empty store")
+        cfg = self.cfg
+        n = len(recs)
+        cap = round_up(max(n, cfg.initial_capacity), _WRITE_BLOCK)
+
+        doc_id = np.full(cap, -1, np.int32)
+        authority = np.zeros(cap, np.float32)
+        length_score = np.zeros(cap, np.float32)
+        payer = np.full(cap, -1, np.int32)
+        state = np.full(cap, -1, np.int32)
+        program = np.full(cap, -1, np.int32)
+        valid = np.zeros(cap, np.float32)
+        j_tags = np.zeros((cap, cfg.tag_words), np.uint32)
+        d_tags = np.zeros((cap, cfg.tag_words), np.uint32)
+        p_tags = np.zeros((cap, cfg.tag_words), np.uint32)
+        phrase_bits = np.zeros((cap, cfg.phrase_words), np.uint32)
+
+        for i, r in enumerate(recs):
+            self.records.append(r)
+            self._doc_rows.setdefault(r.doc_id, []).append(i)
+            if r.source_id:
+                self._source_ids.setdefault(r.doc_id, set()).add(r.source_id)
+            valid[i] = 1.0
+            doc_id[i] = self.docs.intern(r.doc_id)
+            authority[i] = min(max(r.authority_level, 0), _AUTH_MAX) / _AUTH_MAX
+            length_score[i] = _length_score(r.text)
+            payer[i] = self.payers.intern(r.payer) if r.payer else -1
+            state[i] = self.states.intern(r.state) if r.state else -1
+            program[i] = self.programs.intern(r.program) if r.program else -1
+            j_tags[i] = pack_bits(r.j_tags, cfg.tag_words)
+            d_tags[i] = pack_bits(r.d_tags, cfg.tag_words)
+            p_tags[i] = pack_bits(r.p_tags, cfg.tag_words)
+            phrase_bits[i] = pack_bits(r.phrase_ids, cfg.phrase_words)
+
+        vec_dtype = jnp.float32 if cfg.vector_dtype == "float32" else jnp.bfloat16
+        if vectors is None:
+            vectors = np.zeros((cap, cfg.embed_dim), np.float32)
+            for i, r in enumerate(recs):
+                v = np.asarray(r.embedding, np.float32)
+                nv = float(np.linalg.norm(v))
+                vectors[i] = v / nv if nv > 0 else v
+            vec_arr = jnp.asarray(vectors, vec_dtype)
+        else:
+            vec_arr = jnp.zeros((cap, cfg.embed_dim), vec_dtype)
+            vec_arr = vec_arr.at[:n].set(jnp.asarray(vectors, vec_dtype))
+        if lexical is None:
+            # Build only the nonzero prefix host-side (sparse-friendly).
+            last = 0
+            for i, r in enumerate(recs):
+                if r.lexical_weights:
+                    last = i + 1
+            lex_np = np.zeros((last, cfg.lexical_buckets), np.float32)
+            for i, r in enumerate(recs[:last]):
+                for bucket, w in r.lexical_weights.items():
+                    lex_np[i, bucket % cfg.lexical_buckets] += w
+            lexical = lex_np
+        lex_arr = jnp.zeros((cap, cfg.lexical_buckets), jnp.bfloat16)
+        if lexical.shape[0] > 0:
+            # rows beyond lexical.shape[0] stay zero (pure-vector chunks)
+            lex_arr = lex_arr.at[: lexical.shape[0]].set(
+                jnp.asarray(lexical, jnp.bfloat16)
+            )
+
+        self.index = DeviceIndex(
+            vectors=vec_arr, valid=jnp.asarray(valid), doc_id=jnp.asarray(doc_id),
+            authority=jnp.asarray(authority), length_score=jnp.asarray(length_score),
+            payer=jnp.asarray(payer), state=jnp.asarray(state),
+            program=jnp.asarray(program), j_tags=jnp.asarray(j_tags),
+            d_tags=jnp.asarray(d_tags), p_tags=jnp.asarray(p_tags),
+            phrase_bits=jnp.asarray(phrase_bits), lexical=lex_arr,
+        )
+        self._lexical_stats_cache = None
+        return list(range(n))
+
     def delete_by_document(self, doc_id: str) -> int:
         """Invalidate all live rows of a document (the reference's
         delete_by_document / republish-DELETE half)."""

@@ -1,0 +1,178 @@
+"""TPU-native transformer text encoder.
+
+Replaces the reference's external embedding providers (OpenAI batch-100 /
+Vertex gemini-embedding-001 batch-1; app/services/embedding_provider.py:
+24-149) with an on-device batched encoder that writes embeddings straight
+into the chunk index — removing the reference's dominant ingest
+bottleneck (1 request/input) and query-embed latency (~5-6 s cold,
+corpus_search.py:434-443).
+
+Pure-JAX pytree params (no framework dep) so sharding annotations are
+explicit: see PARAM_SPECS — embeddings/MLP/attention shard over the
+``tp`` mesh axis, everything else replicates; the batch shards over
+``dp``. Compute in bfloat16 (MXU-native), params and layernorm math in
+float32, mean-pool over valid tokens, linear projection to the index
+dimension, L2-normalize.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from mobius_rag_tpu.config import get_config
+from mobius_rag_tpu.models.tokenizer import PAD_ID
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 32768
+    num_layers: int = 12
+    num_heads: int = 12
+    model_dim: int = 768
+    mlp_dim: int = 3072
+    max_seq: int = 512
+    out_dim: int = 1536
+    dtype: str = "bfloat16"  # activation dtype
+
+    @classmethod
+    def from_env(cls) -> "EncoderConfig":
+        cfg = get_config()
+        return cls(
+            vocab_size=cfg.encoder_vocab_size,
+            num_layers=cfg.encoder_layers,
+            num_heads=cfg.encoder_heads,
+            model_dim=cfg.encoder_model_dim,
+            mlp_dim=cfg.encoder_mlp_dim,
+            max_seq=cfg.encoder_max_seq,
+            out_dim=cfg.embed_dim,
+        )
+
+    @classmethod
+    def tiny(cls) -> "EncoderConfig":
+        """Small config for tests / dryruns."""
+        return cls(vocab_size=1024, num_layers=2, num_heads=4,
+                   model_dim=128, mlp_dim=256, max_seq=64, out_dim=256)
+
+
+def init_params(cfg: EncoderConfig, key: jax.Array) -> dict:
+    ks = jax.random.split(key, 4 + cfg.num_layers)
+    dm, dh = cfg.model_dim, cfg.model_dim // cfg.num_heads
+    scale = 0.02
+
+    def dense(k, shape):
+        return scale * jax.random.normal(k, shape, jnp.float32)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(ks[4 + i], 4)
+        layers.append({
+            "ln1_scale": jnp.ones((dm,), jnp.float32),
+            "ln2_scale": jnp.ones((dm,), jnp.float32),
+            "qkv": dense(lk[0], (dm, 3, cfg.num_heads, dh)),
+            "attn_out": dense(lk[1], (cfg.num_heads, dh, dm)),
+            "mlp_in": dense(lk[2], (dm, cfg.mlp_dim)),
+            "mlp_out": dense(lk[3], (cfg.mlp_dim, dm)),
+        })
+    return {
+        "embed": dense(ks[0], (cfg.vocab_size, dm)),
+        "pos": dense(ks[1], (cfg.max_seq, dm)),
+        "ln_f_scale": jnp.ones((dm,), jnp.float32),
+        "proj": dense(ks[2], (dm, cfg.out_dim)),
+        "layers": layers,
+    }
+
+
+def param_specs(cfg: EncoderConfig) -> dict:
+    """PartitionSpecs per parameter for a ("dp", "tp") mesh — the
+    megatron-style TP layout: split heads / MLP hidden / vocab over tp;
+    XLA inserts the all-reduces at attn_out / mlp_out."""
+    layer = {
+        "ln1_scale": P(),
+        "ln2_scale": P(),
+        "qkv": P(None, None, "tp", None),
+        "attn_out": P("tp", None, None),
+        "mlp_in": P(None, "tp"),
+        "mlp_out": P("tp", None),
+    }
+    return {
+        "embed": P(None, "tp"),
+        "pos": P(None, "tp"),
+        "ln_f_scale": P(),
+        "proj": P(None, "tp"),
+        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+    }
+
+
+def _rms_norm(x, scale):
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + 1e-6) * scale).astype(x.dtype)
+
+
+def _block(x, mask, layer, cfg: EncoderConfig):
+    b, l, dm = x.shape
+    h, dh = cfg.num_heads, dm // cfg.num_heads
+    dt = x.dtype
+
+    y = _rms_norm(x, layer["ln1_scale"])
+    qkv = jnp.einsum("bld,dshe->bslhe", y, layer["qkv"].astype(dt))
+    q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [B, L, H, Dh]
+    logits = jnp.einsum("blhe,bmhe->bhlm", q, k) / np.sqrt(dh).astype(np.float32)
+    neg = jnp.asarray(-1e30, logits.dtype)
+    logits = jnp.where(mask[:, None, None, :], logits, neg)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dt)
+    ctx = jnp.einsum("bhlm,bmhe->blhe", probs, v)
+    attn = jnp.einsum("blhe,hed->bld", ctx, layer["attn_out"].astype(dt))
+    x = x + attn
+
+    y = _rms_norm(x, layer["ln2_scale"])
+    hmid = jax.nn.gelu(jnp.einsum("bld,df->blf", y, layer["mlp_in"].astype(dt)))
+    x = x + jnp.einsum("blf,fd->bld", hmid, layer["mlp_out"].astype(dt))
+    return x
+
+
+def encode(params: dict, tokens: jnp.ndarray, cfg: EncoderConfig) -> jnp.ndarray:
+    """tokens [B, L] int32 → L2-normalized embeddings [B, out_dim] f32."""
+    dt = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    b, l = tokens.shape
+    mask = tokens != PAD_ID  # [B, L]
+    x = params["embed"].astype(dt)[tokens] + params["pos"].astype(dt)[None, :l]
+    for layer in params["layers"]:
+        x = _block(x, mask, layer, cfg)
+    x = _rms_norm(x, params["ln_f_scale"])
+    denom = jnp.maximum(mask.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0)
+    pooled = (x.astype(jnp.float32) * mask[..., None]).sum(axis=1) / denom
+    out = pooled @ params["proj"]
+    norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+    return out / jnp.maximum(norm, 1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_jit(params, tokens, cfg: EncoderConfig):
+    return encode(params, tokens, cfg)
+
+
+class EncoderModel:
+    """Host handle bundling config, params, tokenizer — the embed_fn
+    plugged into SearchEngine / the ingest pipeline."""
+
+    def __init__(self, cfg: EncoderConfig | None = None, params: dict | None = None,
+                 seed: int = 0):
+        from mobius_rag_tpu.models.tokenizer import HashTokenizer
+
+        self.cfg = cfg or EncoderConfig.from_env()
+        self.params = params if params is not None else init_params(
+            self.cfg, jax.random.PRNGKey(seed)
+        )
+        self.tokenizer = HashTokenizer(self.cfg.vocab_size, self.cfg.max_seq)
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.cfg.out_dim), np.float32)
+        tokens = self.tokenizer.encode_batch(texts)
+        return np.asarray(encode_jit(self.params, jnp.asarray(tokens), self.cfg))

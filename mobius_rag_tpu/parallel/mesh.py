@@ -1,0 +1,27 @@
+"""Device-mesh construction helpers.
+
+The reference's only scale-out mechanism is N worker processes around a
+shared Postgres (SURVEY §2.10); here scale-out is a jax.sharding.Mesh —
+the corpus shards across the ``shard`` axis (ICI on a pod slice), and
+the encoder trains over ``dp``/``tp`` axes (models/train.py)."""
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(num_shards: int = 0, axis: str = "shard", devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = num_shards or len(devices)
+    if n > len(devices):
+        raise ValueError(f"requested {n} shards but only {len(devices)} devices")
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def make_train_mesh(dp: int, tp: int, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if dp * tp > len(devices):
+        raise ValueError(f"dp*tp={dp * tp} > {len(devices)} devices")
+    grid = np.array(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(grid, ("dp", "tp"))

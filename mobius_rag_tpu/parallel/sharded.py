@@ -1,0 +1,226 @@
+"""Corpus sharding across a device mesh with an all-gather top-k merge.
+
+The TPU-native replacement for the reference's missing scale-out story
+(SURVEY §2.9 row 'multi-node scale-out', §5.8): the chunk matrix and all
+its companion columns shard along rows over the ``shard`` mesh axis;
+each device scans only its shard (arm scores + local top-M + local
+rerank signals) under ``shard_map``; the tiny per-shard candidate
+payloads (M rows × ~6 floats, not [B, C] scores) are then all-gathered
+over ICI and fused/reranked identically on every device.
+
+Communication per query ≈ 3 arms × M candidates × (val + idx + 6
+signals) × S shards — a few KB — versus the chunk matrix never leaving
+its shard. This is the 'shard-local top-k, allgather merge' recipe
+(SURVEY §5.8, scaling-book style).
+
+RRF caveat handled here: reciprocal-rank fusion needs each arm's GLOBAL
+ranks. Because the global top-M of an arm is a subset of the union of
+shard-local top-Ms, gathering local top-Ms and re-sorting reproduces the
+exact single-chip ranks (tested against the dense engine in
+tests/test_sharded.py). The strict-count for filter auto-relax is a
+psum so every shard takes the same strict/relaxed branch.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from mobius_rag_tpu.config import Config, get_config
+from mobius_rag_tpu.index.store import ChunkStore, DeviceIndex
+from mobius_rag_tpu.ops.topk import NEG_INF
+from mobius_rag_tpu.query import engine as eng
+from mobius_rag_tpu.utils import round_up
+
+_N_SIG = 6  # cos, lex_raw, auth, len, jpd, cov
+
+
+def _local_candidates(index: DeviceIndex, q: dict, k: int, m: int, axis: str):
+    """Per-shard: arm scores over the local rows, local top-m per arm,
+    signals for each local candidate. Returns (vals [3,B,m], gidx
+    [3,B,m], sigs [3,B,m,_N_SIG])."""
+    c_local = index.valid.shape[0]
+    offset = jax.lax.axis_index(axis) * c_local
+
+    # Global strict count → identical auto-relax branch on all shards.
+    strict, relaxed, open_mask, meta_ok = eng.filter_masks(index, q)
+    strict_total = jax.lax.psum(strict.sum(axis=1), axis)[:, None]
+    penalty = eng.gate_penalty(strict, relaxed, open_mask, q, k, strict_total)
+    cos, lex_raw, dtag_scores, _, _ = eng.arm_scores(
+        index, q, k, penalty=penalty, meta_ok=meta_ok, strict_count=strict_total[:, 0]
+    )
+
+    vec_scores = cos + penalty + jnp.where(cos < q["min_sim"][:, None], NEG_INF, 0.0)
+    lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
+
+    out_vals, out_gidx, out_sigs = [], [], []
+    for scores in (vec_scores, lex_scores, dtag_scores):
+        vals, idx = jax.lax.top_k(scores, m)  # [B, m] local
+        auth, lsig, jpd, cov = eng.candidate_signals(index, q, idx)
+        sig = jnp.stack(
+            [
+                jnp.take_along_axis(cos, idx, axis=1),
+                jnp.take_along_axis(lex_raw, idx, axis=1),
+                auth, lsig, jpd, cov,
+            ],
+            axis=-1,
+        )  # [B, m, 6]
+        out_vals.append(vals)
+        out_gidx.append(idx + offset)
+        out_sigs.append(sig)
+    return (
+        jnp.stack(out_vals),  # [3, B, m]
+        jnp.stack(out_gidx).astype(jnp.int32),
+        jnp.stack(out_sigs),
+    )
+
+
+def _fuse_and_rerank(vals, gidx, sigs, q, k: int, rrf_k: int, m_global: int):
+    """Replicated merge: global per-arm ranks → RRF over the candidate
+    union (duplicate-sum via pairwise id matching — no dense [B, C]
+    buffer) → rerank. vals/gidx [3, S, B, m], sigs [3, S, B, m, 6].
+
+    m_global caps each arm's global candidate list to the same over-fetch
+    the dense single-chip engine uses, so RRF contributions (and thus
+    results) are bit-identical to the unsharded pipeline."""
+    n_arms, s, b, m = vals.shape
+    r = min(m_global, m * s)
+
+    # per-arm global re-sort
+    arm_vals = vals.transpose(0, 2, 1, 3).reshape(n_arms, b, s * m)
+    arm_gidx = gidx.transpose(0, 2, 1, 3).reshape(n_arms, b, s * m)
+    arm_sigs = sigs.transpose(0, 2, 1, 3, 4).reshape(n_arms, b, s * m, _N_SIG)
+
+    cand_parts, contrib_parts, sig_parts = [], [], []
+    for a in range(n_arms):
+        g_vals, pos = jax.lax.top_k(arm_vals[a], r)  # [B, r]
+        g_idx = jnp.take_along_axis(arm_gidx[a], pos, axis=1)
+        g_sig = jnp.take_along_axis(
+            arm_sigs[a], pos[..., None].repeat(_N_SIG, -1), axis=1
+        )
+        live = (g_vals > NEG_INF / 2).astype(jnp.float32)
+        ranks = jnp.arange(r, dtype=jnp.float32)[None, :]
+        w = q["arm_weights"][:, a : a + 1]
+        contrib = live * w / (rrf_k + ranks + 1.0)
+        # dead candidates must never match a real id
+        cand_parts.append(jnp.where(live > 0, g_idx, -1 - a * r - ranks.astype(jnp.int32)))
+        contrib_parts.append(contrib)
+        sig_parts.append(g_sig)
+
+    u_idx = jnp.concatenate(cand_parts, axis=1)  # [B, 3r]
+    u_contrib = jnp.concatenate(contrib_parts, axis=1)
+    u_sig = jnp.concatenate(sig_parts, axis=1)  # [B, 3r, 6]
+    u_live = (u_contrib > 0).astype(jnp.float32)
+
+    # pairwise duplicate handling
+    eq = (u_idx[:, :, None] == u_idx[:, None, :]).astype(jnp.float32)  # [B,3r,3r]
+    rrf_sum = jnp.einsum("bij,bj->bi", eq, u_contrib)
+    first = jnp.argmax(eq, axis=2)  # first occurrence index of each id
+    is_first = (first == jnp.arange(u_idx.shape[1])[None, :]).astype(jnp.float32)
+    fused = jnp.where((is_first * u_live) > 0, rrf_sum, NEG_INF)
+
+    # Keep the same fused-candidate count the dense engine reranks
+    # (top-m of fused RRF) so results match it exactly.
+    n_keep = min(m_global, fused.shape[1])
+    cand_rrf, pos = jax.lax.top_k(fused, n_keep)
+    cand_idx = jnp.take_along_axis(u_idx, pos, axis=1)
+    cand_sig = jnp.take_along_axis(u_sig, pos[..., None].repeat(_N_SIG, -1), axis=1)
+
+    cos_c, lex_c = cand_sig[..., 0], cand_sig[..., 1]
+    auth_c, len_c = cand_sig[..., 2], cand_sig[..., 3]
+    jpd_c, cov_c = cand_sig[..., 4], cand_sig[..., 5]
+    # global lexical normalizer = best live lexical score
+    lex_best = jnp.max(jnp.where(arm_vals[1] > NEG_INF / 2, arm_vals[1], 0.0), axis=1)
+    sim = jnp.clip(jnp.maximum(cos_c, lex_c / jnp.maximum(lex_best[:, None], 1e-6)), 0.0, 1.0)
+
+    has_jpd = (q["d_bits"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
+    has_cov = (q["slot_weight"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
+    rerank = eng.rerank_score(sim, auth_c, len_c, jpd_c, cov_c, has_jpd, has_cov)
+    rerank = jnp.where(cand_rrf > NEG_INF / 2, rerank, NEG_INF)
+
+    top_vals, tpos = jax.lax.top_k(rerank, k)
+    take = lambda x: jnp.take_along_axis(x, tpos, axis=1)
+    return {
+        "idx": take(cand_idx),
+        "rerank": top_vals,
+        "sim": take(sim),
+        "cos": take(cos_c),
+        "auth": take(auth_c),
+        "len": take(len_c),
+        "jpd": take(jpd_c),
+        "cov": take(cov_c),
+        "rrf": take(cand_rrf),
+    }
+
+
+class ShardedEngine:
+    """Search over a corpus sharded across a mesh.
+
+    Build from a ChunkStore: rows are block-partitioned over shards
+    (shard s owns global rows [s*Cs, (s+1)*Cs)), so ChunkStore row ids
+    remain valid global ids for record lookup."""
+
+    def __init__(self, store: ChunkStore, mesh: Mesh | None = None,
+                 cfg: Config | None = None, axis: str | None = None):
+        from mobius_rag_tpu.parallel.mesh import make_mesh
+
+        self.cfg = cfg or get_config()
+        self.store = store
+        self.mesh = mesh or make_mesh(self.cfg.num_shards, self.cfg.shard_axis)
+        self.axis = axis or self.cfg.shard_axis
+        self.index = self._shard_index(store.index)
+
+    def _shard_index(self, index: DeviceIndex) -> DeviceIndex:
+        s = self.mesh.shape[self.axis]
+        host = jax.device_get(index)
+        arrays = {}
+        for f in DeviceIndex.FIELDS:
+            a = np.asarray(getattr(host, f))
+            c = a.shape[0]
+            c_pad = round_up(c, s)
+            if c_pad != c:
+                pad = np.zeros((c_pad - c,) + a.shape[1:], a.dtype)
+                a = np.concatenate([a, pad], axis=0)
+            sharding = NamedSharding(self.mesh, P(self.axis, *([None] * (a.ndim - 1))))
+            arrays[f] = jax.device_put(a, sharding)
+        return DeviceIndex(**arrays)
+
+    @functools.partial(jax.jit, static_argnames=("self", "k"))
+    def _run(self, q: dict, k: int):
+        cfg = self.cfg
+        s = self.mesh.shape[self.axis]
+        c_total = self.index.valid.shape[0]
+        c_local = c_total // s
+        # Per-shard over-fetch: the global top-(k*over_fetch) of an arm can
+        # in the worst case live entirely on one shard.
+        m = min(k * cfg.over_fetch, c_local)
+        m_global = min(k * cfg.over_fetch, c_total)
+
+        local = shard_map(
+            functools.partial(_local_candidates, k=k, m=m, axis=self.axis),
+            mesh=self.mesh,
+            in_specs=(
+                jax.tree_util.tree_map(lambda _: P(self.axis), self.index,
+                                       is_leaf=lambda x: x is None),
+                P(),  # queries replicated
+            ),
+            out_specs=(P(None, self.axis), P(None, self.axis), P(None, self.axis)),
+        )(self.index, q)
+        # local returns: vals [3, S*B? ...]  — reshape below
+        vals, gidx, sigs = local
+        b = q["vec"].shape[0]
+        # out along axis 1 was locally [3, B, m] → gathered [3, S*B, m]
+        vals = vals.reshape(3, s, b, m)
+        gidx = gidx.reshape(3, s, b, m)
+        sigs = sigs.reshape(3, s, b, m, _N_SIG)
+        return _fuse_and_rerank(vals, gidx, sigs, q, k, cfg.rrf_k, m_global)
+
+    def search_arrays(self, q_host: dict[str, np.ndarray], k: int):
+        """Run the sharded pipeline on prepared query arrays (schema =
+        SearchEngine.prepare_query + 'vec'). Returns host dict."""
+        q = {key: jnp.asarray(v) for key, v in q_host.items()}
+        return jax.device_get(self._run(q, k))

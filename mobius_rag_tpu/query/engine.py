@@ -122,22 +122,14 @@ def _overlap(bits: jnp.ndarray, qbits: jnp.ndarray) -> jnp.ndarray:
     return (inter.astype(jnp.uint32).sum(axis=-1) > 0).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k"))
-def _search_compiled(
-    index: DeviceIndex,
-    q: dict,
-    k: int,
-    over_fetch: int,
-    rrf_k: int,
-):
-    """One XLA program: all arms, fusion, rerank. q holds per-query arrays
-    (see prepare_query for the schema)."""
+def filter_masks(index: DeviceIndex, q: dict):
+    """Eligibility masks [B, C] for the filter gate: (strict, relaxed,
+    open, meta_ok). strict = metadata AND j-tags (when present); relaxed
+    = metadata AND d/p-tag join (the auto-relax retry target,
+    corpus_search.py:1545-1555); open = validity only (strategy b's
+    vector_broad tag_mode=none)."""
     valid = index.valid  # [C] f32
-    c = valid.shape[0]
-    b = q["vec"].shape[0]
-    m = min(k * over_fetch, c)
 
-    # ---- metadata + tag masks ------------------------------------------
     def col_match(col, want):  # [C] i32 vs [B] i32 (-1 = any, -2 = none) → [B, C]
         return jnp.where(
             want[:, None] == -1, 1.0, (col[None, :] == want[:, None]).astype(jnp.float32)
@@ -153,66 +145,58 @@ def _search_compiled(
     j_ok = _overlap(index.j_tags, q["j_bits"])  # [B, C]
     dp_ok = jnp.maximum(_overlap(index.d_tags, q["d_bits"]), _overlap(index.p_tags, q["p_bits"]))
 
-    # strict: metadata AND (j-tags when the query has them).
     strict = valid[None, :] * meta_ok * jnp.where(has_j > 0, j_ok, 1.0)
-    # relaxed: metadata AND (d/p-tag join when the query has them) —
-    # the auto-relax retry target (corpus_search.py:1545-1555).
     relaxed = valid[None, :] * meta_ok * jnp.where(has_dp > 0, dp_ok, 1.0)
-    # none: validity only (strategy b's vector_broad tag_mode=none).
     open_mask = valid[None, :] * jnp.ones_like(meta_ok)
+    return strict, relaxed, open_mask, meta_ok
 
-    strict_count = strict.sum(axis=1, keepdims=True)  # [B,1]
-    # tag_mode per query: 0=strict(+auto relax), 1=relaxed, 2=none
-    auto = jnp.where(strict_count >= k, strict, jnp.maximum(strict, relaxed))
+
+def gate_penalty(strict, relaxed, open_mask, q: dict, k: int, strict_total=None):
+    """Per-query tag_mode gating with strict→relaxed auto-relax. Under
+    sharding, pass the GLOBAL strict count (psum) as strict_total so all
+    shards take the same branch."""
+    if strict_total is None:
+        strict_total = strict.sum(axis=1, keepdims=True)
+    auto = jnp.where(strict_total >= k, strict, jnp.maximum(strict, relaxed))
     tm = q["tag_mode"][:, None]
     gate = jnp.where(tm == 0, auto, jnp.where(tm == 1, relaxed, open_mask))
-    penalty = (1.0 - gate) * NEG_INF  # [B, C]
+    return (1.0 - gate) * NEG_INF  # [B, C]
 
-    # ---- vector arm -------------------------------------------------------
+
+def arm_scores(index: DeviceIndex, q: dict, k: int, *, penalty=None, meta_ok=None,
+               strict_count=None):
+    """Dense per-chunk scores for the three arms + the filter gate.
+    Works on any (sub)index — the sharded path calls this per shard with
+    a precomputed (global-count-aware) penalty. Returns (cos, lex_raw,
+    dtag_scores, penalty, strict_count)."""
+    valid = index.valid
+    if penalty is None:
+        strict, relaxed, open_mask, meta_ok = filter_masks(index, q)
+        strict_count = strict.sum(axis=1)
+        penalty = gate_penalty(strict, relaxed, open_mask, q, k)
+
     cos = jnp.dot(
         q["vec"], index.vectors.astype(jnp.float32).T, preferred_element_type=jnp.float32
     )  # [B, C]
-    vec_scores = cos + penalty + jnp.where(cos < q["min_sim"][:, None], NEG_INF, 0.0)
-    vec_vals, vec_idx = jax.lax.top_k(vec_scores, m)
-
-    # ---- lexical arm ------------------------------------------------------
     lex_raw = jnp.dot(
         q["lex"], index.lexical.astype(jnp.float32).T, preferred_element_type=jnp.float32
     )  # [B, C]
-    lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
-    lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
-
-    # ---- d-tag arm ----------------------------------------------------------
     dtag_member = _overlap(index.d_tags, q["d_bits"])  # [B, C]
     dtag_scores = (
         jnp.where(dtag_member > 0, index.authority[None, :] + 1.0, NEG_INF)
         + (1.0 - valid[None, :]) * NEG_INF
         + (1.0 - meta_ok) * NEG_INF
     )
-    dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
+    return cos, lex_raw, dtag_scores, penalty, strict_count
 
-    # ---- RRF fusion ---------------------------------------------------------
-    rows = jnp.arange(b)[:, None]
-    ranks = jnp.arange(m)[None, :].astype(jnp.float32)
-    rrf = jnp.zeros((b, c), jnp.float32)
-    for arm_i, (vals, idx) in enumerate(
-        [(vec_vals, vec_idx), (lex_vals, lex_idx), (dtag_vals, dtag_idx)]
-    ):
-        live = (vals > NEG_INF / 2).astype(jnp.float32)
-        w = q["arm_weights"][:, arm_i : arm_i + 1]  # [B,1]
-        rrf = rrf.at[rows, idx].add(live * w / (rrf_k + ranks + 1.0))
-    # Only fused candidates that passed SOME arm are eligible.
-    fused = jnp.where(rrf > 0, rrf, NEG_INF)
-    cand_rrf, cand = jax.lax.top_k(fused, m)  # [B, M]
 
-    # ---- rerank signals over candidates -------------------------------------
+def candidate_signals(index: DeviceIndex, q: dict, cand: jnp.ndarray):
+    """Per-candidate rerank signals (auth, len, jpd, cov) for candidate
+    rows `cand` [B, M] of (sub)index. Pure gathers + bit math."""
+
     def gather(col):  # [C] → [B, M]
         return jnp.take(col, cand, axis=0)
 
-    cand_cos = jnp.take_along_axis(cos, cand, axis=1)
-    lex_max = jnp.max(jnp.where(lex_raw > 0, lex_raw, 0.0), axis=1, keepdims=True)
-    cand_lex = jnp.take_along_axis(lex_raw, cand, axis=1) / jnp.maximum(lex_max, 1e-6)
-    sim = jnp.clip(jnp.maximum(cand_cos, cand_lex), 0.0, 1.0)
     auth = gather(index.authority)
     lsig = gather(index.length_score)
 
@@ -231,7 +215,6 @@ def _search_compiled(
     jpd_hits = popcount(inter).sum(axis=-1).astype(jnp.float32)
     q_dcount = popcount(q["d_bits"]).sum(axis=-1).astype(jnp.float32)[:, None]
     jpd = jnp.where(q_dcount > 0, jnp.minimum(jpd_hits / jnp.maximum(q_dcount, 1.0), 1.0), 0.0)
-    has_jpd = (q_dcount > 0).astype(jnp.float32)
 
     # coverage: selectivity-weighted phrase presence with binary j-tag
     # doc credit (v1.3 unified coverage).
@@ -254,14 +237,70 @@ def _search_compiled(
     cov_num = (present * s_w).sum(axis=2)  # [B, M]
     cov_den = q["slot_weight"].sum(axis=1)[:, None]
     cov = jnp.where(cov_den > 0, cov_num / jnp.maximum(cov_den, 1e-6), 0.0)
-    has_cov = (cov_den > 0).astype(jnp.float32)
+    return auth, lsig, jpd, cov
 
+
+def rerank_score(sim, auth, lsig, jpd, cov, has_jpd, has_cov):
+    """Reranker v1.3 weighted sum, normalized to [0, 1]."""
     w_jpd = W_JPD * has_jpd
     w_cov = W_COV * has_cov
     max_w = W_SIM + W_AUTH + W_LEN + w_jpd + w_cov
-    rerank = (
+    return (
         W_SIM * sim + W_AUTH * auth + W_LEN * lsig + w_jpd * jpd + w_cov * cov
     ) / jnp.maximum(max_w, 1e-6)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k"))
+def _search_compiled(
+    index: DeviceIndex,
+    q: dict,
+    k: int,
+    over_fetch: int,
+    rrf_k: int,
+):
+    """One XLA program: all arms, fusion, rerank. q holds per-query arrays
+    (see prepare_query for the schema)."""
+    c = index.valid.shape[0]
+    b = q["vec"].shape[0]
+    m = min(k * over_fetch, c)
+
+    cos, lex_raw, dtag_scores, penalty, strict_count = arm_scores(index, q, k)
+    strict_count = strict_count[:, None]
+
+    vec_scores = cos + penalty + jnp.where(cos < q["min_sim"][:, None], NEG_INF, 0.0)
+    vec_vals, vec_idx = jax.lax.top_k(vec_scores, m)
+
+    lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
+    lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
+
+    dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
+
+    # ---- RRF fusion ---------------------------------------------------------
+    rows = jnp.arange(b)[:, None]
+    ranks = jnp.arange(m)[None, :].astype(jnp.float32)
+    rrf = jnp.zeros((b, c), jnp.float32)
+    for arm_i, (vals, idx) in enumerate(
+        [(vec_vals, vec_idx), (lex_vals, lex_idx), (dtag_vals, dtag_idx)]
+    ):
+        live = (vals > NEG_INF / 2).astype(jnp.float32)
+        w = q["arm_weights"][:, arm_i : arm_i + 1]  # [B,1]
+        rrf = rrf.at[rows, idx].add(live * w / (rrf_k + ranks + 1.0))
+    # Only fused candidates that passed SOME arm are eligible.
+    fused = jnp.where(rrf > 0, rrf, NEG_INF)
+    cand_rrf, cand = jax.lax.top_k(fused, m)  # [B, M]
+
+    # ---- rerank signals over candidates -------------------------------------
+    cand_cos = jnp.take_along_axis(cos, cand, axis=1)
+    lex_max = jnp.max(jnp.where(lex_raw > 0, lex_raw, 0.0), axis=1, keepdims=True)
+    cand_lex = jnp.take_along_axis(lex_raw, cand, axis=1) / jnp.maximum(lex_max, 1e-6)
+    sim = jnp.clip(jnp.maximum(cand_cos, cand_lex), 0.0, 1.0)
+
+    auth, lsig, jpd, cov = candidate_signals(index, q, cand)
+    q_dcount = (q["d_bits"].sum(axis=1) > 0)
+    has_jpd = q_dcount.astype(jnp.float32)[:, None]
+    has_cov = (q["slot_weight"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
+
+    rerank = rerank_score(sim, auth, lsig, jpd, cov, has_jpd, has_cov)
     rerank = jnp.where(cand_rrf > NEG_INF / 2, rerank, NEG_INF)
 
     top_vals, pos = jax.lax.top_k(rerank, k)

@@ -3,7 +3,11 @@
 before jax initializes a backend."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment selects the TPU plugin
+# (JAX_PLATFORMS=axon) — tests need the 8-device virtual mesh. The axon
+# sitecustomize imports jax before pytest starts, so plain env vars are
+# too late for jax.config; set both env (for subprocesses) and config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("MRAG_EMBED_DIM", "256")
 os.environ.setdefault("MRAG_INITIAL_CAPACITY", "1024")
 os.environ.setdefault("MRAG_LEXICAL_BUCKETS", "2048")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_num_cpu_devices", 8
+)
 
 import numpy as np
 import pytest

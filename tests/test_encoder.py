@@ -1,0 +1,61 @@
+"""Encoder model + sharded contrastive training tests (tiny config)."""
+import jax
+import numpy as np
+
+from mobius_rag_tpu.models.encoder import EncoderConfig, EncoderModel, encode_jit, init_params
+from mobius_rag_tpu.models.tokenizer import CLS_ID, PAD_ID, HashTokenizer
+from mobius_rag_tpu.models.train import train_demo
+from mobius_rag_tpu.parallel.mesh import make_train_mesh
+
+
+def test_tokenizer_shapes_and_determinism():
+    tok = HashTokenizer(vocab_size=1024, max_len=16)
+    a = tok.encode("timely filing deadline for claims")
+    b = tok.encode("timely filing deadline for claims")
+    np.testing.assert_array_equal(a, b)
+    assert a[0] == CLS_ID
+    assert a.shape == (16,)
+    assert (a >= 0).all() and (a < 1024).all()
+    # same stems → same ids
+    c = tok.encode("timely filings deadlines for claim")
+    assert a[1] == c[1]
+
+
+def test_encoder_output_normalized():
+    cfg = EncoderConfig.tiny()
+    model = EncoderModel(cfg)
+    out = model(["prior authorization for DME", "timely filing deadline"])
+    assert out.shape == (2, cfg.out_dim)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-4)
+    # similar texts more similar than dissimilar ones
+    out2 = model(["prior authorization for dme equipment",
+                  "completely different astronomy topic stars galaxies"])
+    sim_close = out[0] @ out2[0]
+    sim_far = out[0] @ out2[1]
+    assert sim_close > sim_far
+
+
+def test_encoder_pad_invariance():
+    cfg = EncoderConfig.tiny()
+    model = EncoderModel(cfg)
+    import jax.numpy as jnp
+    short = model.tokenizer.encode_batch(["hello world"])
+    # same text with extra pad shouldn't change the embedding
+    e1 = np.asarray(encode_jit(model.params, jnp.asarray(short), cfg))
+    assert short[0, 3] == PAD_ID  # rest is pad
+    e2 = model(["hello world"])
+    np.testing.assert_allclose(e1, e2, atol=1e-4)
+
+
+def test_train_step_sharded_loss_decreases():
+    mesh = make_train_mesh(dp=4, tp=2)
+    history = train_demo(num_steps=8, mesh=mesh, batch=16)
+    losses = [h["loss"] for h in history]
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_train_wide_tp_mesh():
+    # tp must divide num_heads (4 in the tiny config)
+    mesh = make_train_mesh(dp=2, tp=4)
+    history = train_demo(num_steps=2, mesh=mesh, batch=8)
+    assert np.isfinite(history[-1]["loss"])

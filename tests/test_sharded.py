@@ -1,0 +1,85 @@
+"""Sharded-vs-single-chip parity on the 8-device virtual CPU mesh: the
+shard_map local-scan + allgather-merge pipeline must reproduce the dense
+single-device engine's results (same top-k ids and scores)."""
+import jax
+import numpy as np
+import pytest
+
+from mobius_rag_tpu.index.store import ChunkStore
+from mobius_rag_tpu.parallel.mesh import make_mesh
+from mobius_rag_tpu.parallel.sharded import ShardedEngine
+from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=300))
+    single = SearchEngine(store, lex, embed_fn=hash_embed)
+    mesh = make_mesh(8)
+    sharded = ShardedEngine(store, mesh=mesh)
+    return lex, store, single, sharded
+
+
+QUERIES = [
+    QueryRequest(query="What is the timely filing deadline for Sunshine Health "
+                       "FL Medicaid claims?"),
+    QueryRequest(query="prior authorization for durable medical equipment"),
+    QueryRequest(query="molina eligibility verification", payer="molina"),
+    QueryRequest(query="telehealth utilization trends", tag_mode="none", mode="recall"),
+]
+
+
+def _prepared_batch(single, reqs):
+    vecs = hash_embed([r.query for r in reqs])
+    prepared = [single.prepare_query(r) for r in reqs]
+    q = {"vec": vecs}
+    for key in prepared[0][0]:
+        q[key] = np.stack([p[0][key] for p in prepared])
+    return q
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single(setup):
+    lex, store, single, sharded = setup
+    k = 10
+    q = _prepared_batch(single, QUERIES)
+
+    import jax.numpy as jnp
+    from mobius_rag_tpu.query.engine import _search_compiled
+
+    dense = jax.device_get(_search_compiled(
+        store.index, {key: jnp.asarray(v) for key, v in q.items()},
+        k, single.cfg.over_fetch, single.cfg.rrf_k,
+    ))
+    shard = sharded.search_arrays(q, k)
+
+    from mobius_rag_tpu.ops.topk import NEG_INF
+    for bi in range(len(QUERIES)):
+        d_live = dense["rerank"][bi] > NEG_INF / 2
+        s_live = shard["rerank"][bi] > NEG_INF / 2
+        assert d_live.sum() == s_live.sum(), f"query {bi} live-count mismatch"
+        d_ids = dense["idx"][bi][d_live]
+        s_ids = shard["idx"][bi][s_live]
+        # top-k sets must match (order may differ on exact score ties)
+        assert set(map(int, d_ids)) == set(map(int, s_ids)), f"query {bi}"
+        np.testing.assert_allclose(
+            np.sort(shard["rerank"][bi][s_live]),
+            np.sort(dense["rerank"][bi][d_live]),
+            atol=1e-4,
+        )
+
+
+def test_sharded_filter_parity(setup):
+    # metadata filter must fail closed on every shard
+    lex, store, single, sharded = setup
+    req = QueryRequest(query="timely filing", payer="not_a_payer")
+    q = _prepared_batch(single, [req])
+    out = sharded.search_arrays(q, 5)
+    from mobius_rag_tpu.ops.topk import NEG_INF
+    assert (out["rerank"][0] <= NEG_INF / 2).all()
