@@ -1,0 +1,85 @@
+"""Pluggable external-service clients.
+
+The reference calls out to a chat-LLM proxy (app/services/
+llm_manager_client.py), Google/Vertex web search + page fetch
+(corpus_search_strategy_d.py:461-600), and a payor fact-store HTTP
+service (corpus_search_agent.py:3808-3960). This framework keeps those
+as injection points (strategies c/d/s and synthesis take a client) with
+deterministic offline stubs as defaults — the same role the reference's
+mocked providers play in its tests (SURVEY §4 tier 2) — so the whole
+agent runs hermetically on a zero-egress TPU pod and picks up real
+backends in deployment by swapping the client object.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Protocol, Sequence
+
+
+class LLMClient(Protocol):
+    def generate(self, prompt: str, *, system: str = "", max_tokens: int = 1024,
+                 temperature: float = 0.0, stage: str = "") -> str: ...
+
+
+class WebSearchClient(Protocol):
+    def search(self, query: str, *, max_results: int = 5) -> list[dict[str, str]]: ...
+    def fetch(self, url: str, *, timeout_s: float = 8.0) -> str: ...
+
+
+class FactStoreClient(Protocol):
+    def lookup(self, query: str, *, payer: str = "", state: str = "") -> dict[str, Any] | None: ...
+
+
+@dataclasses.dataclass
+class OfflineLLMStub:
+    """Deterministic extractive stand-in: 'synthesis' returns the top
+    passages verbatim; 'answer with citations' quotes the first context
+    sentence. Keeps agent control flow real without a network."""
+
+    transcript: list[dict[str, str]] = dataclasses.field(default_factory=list)
+
+    def generate(self, prompt: str, *, system: str = "", max_tokens: int = 1024,
+                 temperature: float = 0.0, stage: str = "") -> str:
+        self.transcript.append({"stage": stage, "prompt": prompt[:2000]})
+        # extract any CONTEXT passages embedded in the prompt and echo the
+        # most relevant sentences — deterministic, citation-shaped output
+        passages = re.findall(r"\[passage (\d+)\]\n(.*?)(?=\n\[passage |\Z)", prompt, re.S)
+        if passages:
+            picked = []
+            for pid, text in passages[:3]:
+                first = text.strip().split(". ")[0][:300]
+                picked.append(f'{first}. [citation: passage {pid}]')
+            return "\n".join(picked)
+        return "UNKNOWN — offline stub has no model; supply an LLMClient."
+
+
+class OfflineWebStub:
+    """Zero-egress web client: returns no results (strategy d degrades to
+    'external unavailable', exactly like the reference's DDG fallback
+    failing closed)."""
+
+    def search(self, query: str, *, max_results: int = 5) -> list[dict[str, str]]:
+        return []
+
+    def fetch(self, url: str, *, timeout_s: float = 8.0) -> str:
+        return ""
+
+
+class StaticFactStore:
+    """In-memory fact store for tests / air-gapped deployments: exact-ish
+    lookup over seeded (pattern → fact) rows (the reference's payor fact
+    service pre-route, strategy s)."""
+
+    def __init__(self, rows: Sequence[dict[str, Any]] = ()):
+        self.rows = list(rows)
+
+    def lookup(self, query: str, *, payer: str = "", state: str = "") -> dict[str, Any] | None:
+        q = query.lower()
+        for row in self.rows:
+            if payer and row.get("payer") and row["payer"] != payer:
+                continue
+            pats = row.get("patterns", [])
+            if any(p.lower() in q for p in pats):
+                return row
+        return None

@@ -1,0 +1,289 @@
+"""The retrieval agent — RAG-as-agent orchestrator.
+
+Rebuilds app/services/corpus_search_agent.py (5.6k LoC) as a thin host
+control loop over the compiled engine:
+
+  classify → fact-store pre-route (s) → fail-fast gate (e) →
+  corpus probe + contour gate → route (v1/v2) → adaptive strategy loop
+  with per-strategy success criteria → synthesis → confidence + hint
+
+Control flow is host Python (strings and decisions); all O(corpus) work
+stays in the compiled pipelines the strategies call. Reference anchors:
+outer ≤4-attempt cascade (:3066), forced-mode override (:3082), gate e
+(:398), strategy order by profile (:2240), adaptive success checks
+(:2352), synthesis (:2673), confidence aggregation (:2534), improvement
+hint (:2556), v2 multi-invoke union (:2986, :3031).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+import uuid
+from typing import Any
+
+from mobius_rag_tpu.clients import (FactStoreClient, LLMClient, OfflineLLMStub,
+                                    OfflineWebStub, WebSearchClient)
+from mobius_rag_tpu.query.classify import QueryProfile, classify_query
+from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine, SearchHit
+from mobius_rag_tpu.query.gate import (Contour, GateResult, corpus_probe,
+                                       doc_tag_index, run_gate)
+from mobius_rag_tpu.query.router import RoutePreferences, Router
+from mobius_rag_tpu.query.strategies import (StrategyOutcome, run_strategy_a,
+                                             run_strategy_b, run_strategy_c,
+                                             run_strategy_d, run_strategy_s)
+
+MAX_ATTEMPTS = 4
+
+
+@dataclasses.dataclass
+class AgentRequest:
+    query: str
+    mode: str | None = None  # forced strategy a|b|c|d|s or None = router
+    payer: str = ""
+    state: str = ""
+    program: str = ""
+    k: int = 10
+    accuracy_need: float = 0.5
+    recall_demand: float = 0.5
+    speed_budget: str = "real_time"
+    answer_shape: str | None = None
+    embedding: Any = None
+
+
+@dataclasses.dataclass
+class AgentResult:
+    agent_id: str
+    query: str
+    answer: str
+    chunks: list[SearchHit]
+    confidence_label: str
+    strategy_chain: list[str]
+    decision: dict[str, Any]
+    gate: dict[str, Any]
+    profile: dict[str, Any]
+    improvement_hint: str
+    refused: bool
+    telemetry: dict[str, Any]
+
+
+class CorpusSearchAgent:
+    def __init__(
+        self,
+        engine: SearchEngine,
+        *,
+        router: Router | None = None,
+        llm: LLMClient | None = None,
+        web: WebSearchClient | None = None,
+        fact_store: FactStoreClient | None = None,
+        router_version: str | None = None,
+    ):
+        self.engine = engine
+        version = router_version or os.getenv("ROUTER_VERSION", "v1")
+        self.router = router or Router(version=version)
+        self.llm = llm or OfflineLLMStub()
+        self.web = web or OfflineWebStub()
+        self.fact_store = fact_store
+        self._tag_docs_cache: tuple[int, dict] | None = None
+        self.observers: list = []  # callbacks(AgentResult) — decision persistence
+
+    # -- corpus probe cache -------------------------------------------------
+
+    def _tag_docs(self) -> dict:
+        key = len(self.engine.store.records)
+        if self._tag_docs_cache is None or self._tag_docs_cache[0] != key:
+            self._tag_docs_cache = (
+                key, doc_tag_index(self.engine.store, self.engine.lexicon)
+            )
+        return self._tag_docs_cache[1]
+
+    # -- strategies ----------------------------------------------------------
+
+    def _run_strategy(self, sid: str, req: QueryRequest, k: int) -> StrategyOutcome:
+        if sid == "a":
+            return run_strategy_a(self.engine, req, k)
+        if sid == "b":
+            return run_strategy_b(self.engine, req, k)
+        if sid == "c":
+            return run_strategy_c(self.engine, req, k, self.llm)
+        if sid == "d":
+            return run_strategy_d(self.engine, req, k, self.llm, self.web)
+        raise ValueError(f"unknown strategy {sid!r}")
+
+    # -- synthesis -------------------------------------------------------------
+
+    def _synthesize(self, query: str, hits: list[SearchHit]) -> str:
+        if not hits:
+            return ""
+        context = "\n".join(
+            f"[passage {i}]\n{h.text}" for i, h in enumerate(hits[:8])
+        )
+        return self.llm.generate(
+            f"Synthesize a grounded answer from the passages; cite as "
+            f"[passage N]; say UNKNOWN if they don't answer it.\n\n"
+            f"QUESTION: {query}\n\n{context}",
+            stage="synthesis", max_tokens=900,
+        )
+
+    @staticmethod
+    def _improvement_hint(gate: GateResult, profile: QueryProfile,
+                          outcomes: list[StrategyOutcome]) -> str:
+        if gate.contour == Contour.UNDERSPECIFIED:
+            missing = "payer" if not profile.has_j_tag else "topic facet"
+            return f"specify the {missing} to narrow the search"
+        if gate.contour == Contour.CORPUS_GAP:
+            return "the corpus has no documents for these tags — ingest the payer's manual"
+        if gate.contour == Contour.VICINITY:
+            return "related documents exist but not this exact combination"
+        if outcomes and all(not o.success for o in outcomes):
+            return "try adding a payer name or policy/HCPCS code"
+        return ""
+
+    # -- main --------------------------------------------------------------
+
+    def run(self, req: AgentRequest) -> AgentResult:
+        if req.mode not in (None, "a", "b", "c", "d", "s"):
+            raise ValueError(f"mode {req.mode!r} must be one of a|b|c|d|s or None")
+        t0 = time.perf_counter()
+        agent_id = uuid.uuid4().hex[:12]
+        chain: list[str] = []
+        outcomes: list[StrategyOutcome] = []
+
+        # classify with a corpus probe behind the matched tags
+        pre = classify_query(req.query, self.engine.lexicon)
+        probe = corpus_probe(pre.expansion.matched_codes, self._tag_docs())
+        profile = classify_query(
+            req.query, self.engine.lexicon,
+            {"union_docs": probe.union_docs, "intersection_docs": probe.intersection_docs},
+        )
+        gate = run_gate(req.query, profile, probe)
+
+        base_req = QueryRequest(
+            query=req.query, embedding=req.embedding, payer=req.payer,
+            state=req.state, program=req.program,
+        )
+
+        def _result(answer, hits, label, decision, refused=False):
+            hint = self._improvement_hint(gate, profile, outcomes)
+            res = AgentResult(
+                agent_id=agent_id, query=req.query, answer=answer, chunks=hits,
+                confidence_label=label, strategy_chain=chain,
+                decision=decision,
+                gate={"contour": gate.contour.value, "reasons": gate.reasons,
+                      "fail_fast": gate.fail_fast,
+                      "union_docs": probe.union_docs,
+                      "intersection_docs": probe.intersection_docs},
+                profile={"query_class": profile.query_class,
+                         "literals": profile.literals,
+                         "canonicality": profile.canonicality,
+                         **profile.features},
+                improvement_hint=hint, refused=refused,
+                telemetry={
+                    "elapsed_ms": (time.perf_counter() - t0) * 1e3,
+                    "attempts": [
+                        {"strategy": o.strategy, "success": o.success,
+                         "hits": len(o.hits), "label": o.confidence_label,
+                         "ms": o.elapsed_ms, "detail": o.detail}
+                        for o in outcomes
+                    ],
+                },
+            )
+            for obs in self.observers:
+                try:
+                    obs(res)
+                except Exception:  # observers are fire-and-forget
+                    pass
+            return res
+
+        # fail-fast gate e (strategy chain entry "e", ~0.25 s in the
+        # reference; here it's pure regex)
+        if gate.fail_fast:
+            chain.append("e")
+            return _result(
+                f"Request refused ({gate.fail_fast}).", [], "abstain",
+                {"strategy": "e", "reason": f"fail_fast:{gate.fail_fast}"},
+                refused=True,
+            )
+        if gate.contour in (Contour.OUT_OF_SCOPE, Contour.UNCLEAR):
+            chain.append("e")
+            return _result(
+                "This question is outside the corpus domain."
+                if gate.contour == Contour.OUT_OF_SCOPE
+                else "Could not parse the question — please rephrase.",
+                [], "abstain",
+                {"strategy": "e", "reason": f"gate:{gate.contour.value}"},
+                refused=True,
+            )
+
+        # strategy s pre-route (payor fact store)
+        if req.mode in (None, "s"):
+            s_out = run_strategy_s(base_req, self.fact_store)
+            if s_out is not None:
+                chain.append("s")
+                outcomes.append(s_out)
+                return _result(s_out.answer or "", s_out.hits, "high",
+                               {"strategy": "s", "reason": "fact-store hit"})
+            if req.mode == "s":
+                chain.append("s")
+                return _result("", [], "abstain",
+                               {"strategy": "s", "reason": "forced s; no fact-store hit"})
+
+        # route
+        prefs = RoutePreferences(
+            accuracy_need=req.accuracy_need, recall_demand=req.recall_demand,
+            speed_budget=req.speed_budget, answer_shape=req.answer_shape,
+        )
+        features = {**profile.features, "query_class": profile.query_class,
+                    "canonicality": profile.canonicality}
+        if req.mode:
+            decision = self.router.decide_override(req.mode, features, prefs)
+        else:
+            decision = self.router.decide(features, prefs)
+
+        decision_dict = {
+            "strategy": decision.strategy, "order": decision.order,
+            "scores": decision.scores, "withdrawn": decision.withdrawn,
+            "multi_invoke": decision.multi_invoke,
+            "priors_version": decision.priors_version, "reason": decision.reason,
+        }
+
+        # v2 multi-invoke: run the near-tied strategies, union, synthesize once
+        if len(decision.multi_invoke) > 1 and not req.mode:
+            merged: dict[str, SearchHit] = {}
+            for sid in decision.multi_invoke:
+                chain.append(sid)
+                out = self._run_strategy(sid, base_req, req.k)
+                outcomes.append(out)
+                for h in out.hits:
+                    key = h.chunk_id
+                    if key not in merged or h.score > merged[key].score:
+                        merged[key] = h
+            hits = sorted(merged.values(), key=lambda h: h.score, reverse=True)[: req.k]
+            label = max((o.confidence_label for o in outcomes if o.hits),
+                        key=["abstain", "low", "medium", "high"].index, default="abstain")
+            answer = next((o.answer for o in outcomes if o.answer), None) \
+                or self._synthesize(req.query, hits)
+            return _result(answer, hits, label, decision_dict)
+
+        # adaptive loop: walk the fallback order until a strategy succeeds
+        tried = 0
+        best: StrategyOutcome | None = None
+        for sid in decision.order[:MAX_ATTEMPTS]:
+            chain.append(sid)
+            out = self._run_strategy(sid, base_req, req.k)
+            outcomes.append(out)
+            tried += 1
+            if best is None or (out.hits and not best.hits) or (
+                out.success and not best.success
+            ):
+                best = out
+            if out.success:
+                break
+            if req.mode:  # forced mode: one attempt only
+                break
+
+        best = best or StrategyOutcome(decision.strategy, [], None, "abstain",
+                                       False, {}, 0.0)
+        answer = best.answer or self._synthesize(req.query, best.hits)
+        label = best.confidence_label if best.hits else "abstain"
+        return _result(answer, best.hits, label, decision_dict)

@@ -1,0 +1,165 @@
+"""Gate: "can / should we answer?" — contour classification + fail-fast.
+
+Rebuilds two reference mechanisms:
+- the next-gen Shape gate (app/services/retriever/shape/gate.py):
+  lexicon expand → doc-grain corpus probe (union/intersection of
+  tag-bearing docs) → contour EXACT / VICINITY / UNDERSPECIFIED /
+  CORPUS_GAP / OUT_OF_SCOPE / UNCLEAR;
+- the agent's fail-fast gate "e" (corpus_search_agent.py:398): PHI /
+  prompt-injection / no-domain-match refusal before any expensive arm.
+
+The corpus probe here is a host-side dict lookup over the ChunkStore's
+doc→tag map (O(matched tags), never touches the chunk matrix) — same
+cost profile as the reference's doc-grain SQL probe.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import re
+
+from mobius_rag_tpu.index.store import ChunkStore
+from mobius_rag_tpu.query.classify import QueryProfile
+from mobius_rag_tpu.query.lexicon import Lexicon
+
+
+class Contour(str, enum.Enum):
+    EXACT = "EXACT"
+    VICINITY = "VICINITY"
+    UNDERSPECIFIED = "UNDERSPECIFIED"
+    CORPUS_GAP = "CORPUS_GAP"
+    OUT_OF_SCOPE = "OUT_OF_SCOPE"
+    UNCLEAR = "UNCLEAR"
+
+
+# Below this many union docs the corpus itself narrows the answer — a
+# missing slot doesn't make the query underspecified (gate.py:_BROAD_MIN_DOCS).
+BROAD_MIN_DOCS = 25
+
+# Structural process-intent phrasing (explicit how-to framing only).
+_PROCESS_INTENT_RE = re.compile(
+    r"\b(how do i|how can i|how does one|how to|"
+    r"what('?s| is) the process (for|to)|"
+    r"what are the steps (for|to)|steps to|procedure for)\b", re.IGNORECASE)
+
+# Malformed = not parseable as a question/ask at all (gibberish, empty,
+# no plausible English words). A plausible word has ≥2 chars and a vowel —
+# the malformed-vs-off-domain split (reference gate.py:65).
+_WORD_RE = re.compile(r"\b[a-zA-Z]*[aeiouyAEIOUY][a-zA-Z]+\b|\b[a-zA-Z]+[aeiouyAEIOUY][a-zA-Z]*\b")
+
+# Fail-fast gate e patterns: PHI and prompt-injection/jailbreak shapes.
+_PHI_RE = re.compile(
+    r"\b(\d{3}-\d{2}-\d{4}|(?:patient|member)\s+(?:ssn|dob|date of birth)|"
+    r"medical record number|mrn\s*[:#]\s*\d+)\b", re.IGNORECASE)
+_JAILBREAK_RE = re.compile(
+    r"\b(ignore\s+(?:(?:all|any|the|previous|prior)\s+)*(?:instructions|rules)|"
+    r"system prompt|you are now|pretend (?:you are|to be)|developer mode)\b",
+    re.IGNORECASE)
+
+
+@dataclasses.dataclass
+class CorpusProbe:
+    union_docs: int
+    intersection_docs: int
+    per_code_docs: dict[str, int]
+
+
+@dataclasses.dataclass
+class GateResult:
+    contour: Contour
+    probe: CorpusProbe
+    reasons: list[str]
+    fail_fast: str | None = None  # "phi" | "jailbreak" | None
+    narration: str = ""
+
+    @property
+    def should_answer(self) -> bool:
+        return self.fail_fast is None and self.contour in (
+            Contour.EXACT, Contour.VICINITY, Contour.UNDERSPECIFIED,
+        )
+
+
+def doc_tag_index(store: ChunkStore, lexicon: Lexicon) -> dict[str, set[str]]:
+    """full tag code → set of doc_ids carrying it (built from the host
+    record map; cached by the agent). The device mirror of the
+    reference's document_tags doc-grain probe."""
+    by_tag_id = {}
+    for e in lexicon.entries:
+        by_tag_id[(e.kind, e.tag_id)] = e.full_code
+    out: dict[str, set[str]] = {}
+    for rec in store.records:
+        if rec is None:
+            continue
+        for kind, ids in (("j", rec.j_tags), ("d", rec.d_tags), ("p", rec.p_tags)):
+            for t in ids:
+                code = by_tag_id.get((kind, t))
+                if code:
+                    out.setdefault(code, set()).add(rec.doc_id)
+    return out
+
+
+def corpus_probe(profile_codes: list[str], tag_docs: dict[str, set[str]]) -> CorpusProbe:
+    per_code = {c: len(tag_docs.get(c, ())) for c in profile_codes}
+    sets = [tag_docs.get(c, set()) for c in profile_codes if c in tag_docs]
+    union = set().union(*sets) if sets else set()
+    inter = set.intersection(*sets) if sets else set()
+    return CorpusProbe(len(union), len(inter), per_code)
+
+
+def fail_fast_check(query: str) -> str | None:
+    if _PHI_RE.search(query):
+        return "phi"
+    if _JAILBREAK_RE.search(query):
+        return "jailbreak"
+    return None
+
+
+def run_gate(query: str, profile: QueryProfile, probe: CorpusProbe) -> GateResult:
+    """Contour rules (gate.py:9-24 semantics):
+      no codes, malformed            → UNCLEAR
+      no codes, well-formed          → OUT_OF_SCOPE
+      union == 0                     → CORPUS_GAP
+      D+J, D general-only, no P      → UNDERSPECIFIED
+      D+J matched                    → EXACT
+      D+J matched, intersection == 0 → VICINITY
+      D or J missing, corpus small   → EXACT
+      D or J missing, corpus broad   → UNDERSPECIFIED
+    """
+    reasons: list[str] = []
+    ff = fail_fast_check(query)
+    if ff:
+        return GateResult(Contour.OUT_OF_SCOPE, probe, [f"fail_fast:{ff}"],
+                          fail_fast=ff, narration=f"refused ({ff})")
+
+    exp = profile.expansion
+    any_codes = bool(exp.matched_codes) or profile.has_literal
+    well_formed = len(_WORD_RE.findall(query)) >= 2
+
+    if not any_codes:
+        if not well_formed:
+            return GateResult(Contour.UNCLEAR, probe, ["no codes; malformed"])
+        return GateResult(Contour.OUT_OF_SCOPE, probe, ["no codes; well-formed"])
+
+    if exp.matched_codes and probe.union_docs == 0:
+        return GateResult(Contour.CORPUS_GAP, probe,
+                          ["tags matched but no docs carry them"])
+
+    has_d, has_j = profile.has_d_tag, profile.has_j_tag
+    if has_d and has_j:
+        d_general_only = all(
+            c.endswith(".general") for c in exp.domain_tags
+        ) and bool(exp.domain_tags)
+        if d_general_only and not profile.has_p_tag and not _PROCESS_INTENT_RE.search(query):
+            return GateResult(Contour.UNDERSPECIFIED, probe,
+                              ["D umbrella-only, no P disambiguator"])
+        if probe.intersection_docs == 0 and len(exp.matched_codes) > 1:
+            return GateResult(Contour.VICINITY, probe,
+                              ["tags covered separately, combination not"])
+        return GateResult(Contour.EXACT, probe, ["D+J matched with coverage"])
+
+    # D or J missing
+    if profile.has_literal or probe.union_docs and probe.union_docs <= BROAD_MIN_DOCS:
+        return GateResult(Contour.EXACT, probe,
+                          ["missing slot but corpus/literal narrows it"])
+    return GateResult(Contour.UNDERSPECIFIED, probe,
+                      ["missing D or J over a broad corpus"])

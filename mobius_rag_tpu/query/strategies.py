@@ -1,0 +1,228 @@
+"""Retrieval strategies a / b / c / d / s.
+
+Reference parity map:
+- a: the hybrid compiled pipeline (corpus_search.py:3280) — engine.search.
+- b: wide → themes → narrow (corpus_search_agent.py:552): a broad
+  tag_mode=none vector pass, theme clustering of the hits, then one
+  narrow strict pass per theme; union. Clustering here is greedy cosine
+  over the hit embeddings (host, ≤50 vectors — tiny).
+- c: LLM answers from top chunks with quoted citations; every citation
+  is verified VERBATIM against the source chunk (strategy_c.py:977,
+  outcome matrix in its docstring). No web locator in the air-gapped
+  build — citations verify against the corpus.
+- d: external-first (strategy_d.py:831): web search → fetch top URLs →
+  extract passages → LLM synthesis with passage citations; results are
+  marked source_type="external". Degrades to 'no results' offline.
+- s: payor fact-store pre-route (corpus_search_agent.py:3808-3960) with
+  the conceptual-marker guard.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Any
+
+import numpy as np
+
+from mobius_rag_tpu.clients import FactStoreClient, LLMClient, WebSearchClient
+from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine, SearchHit, SearchResult
+
+WIDE_MIN_SIM = 0.78  # strategy b vector_broad floor (agent :552)
+WIDE_K = 50
+MAX_THEMES = 3
+THEME_SIM = 0.80  # same-theme cosine threshold
+
+
+@dataclasses.dataclass
+class StrategyOutcome:
+    strategy: str
+    hits: list[SearchHit]
+    answer: str | None
+    confidence_label: str
+    success: bool
+    detail: dict[str, Any]
+    elapsed_ms: float
+    search_results: list[SearchResult] = dataclasses.field(default_factory=list)
+
+
+def _rewrite_for_strategy(query: str, strategy: str) -> str:
+    """Per-strategy query rewrite (agent :884): strip persona/meta lead-ins;
+    strategies that go to the web get payer-context appended upstream."""
+    q = re.sub(r"^\s*(as a (billing|um|front.?end)\s+\w*\s*,?)", "", query, flags=re.I)
+    return q.strip() or query
+
+
+def run_strategy_a(engine: SearchEngine, req: QueryRequest, k: int) -> StrategyOutcome:
+    t0 = time.perf_counter()
+    res = engine.search(dataclasses.replace(
+        req, query=_rewrite_for_strategy(req.query, "a")), k=k)[0]
+    ok = bool(res.hits) and res.confidence_label in ("high", "medium")
+    return StrategyOutcome(
+        "a", res.hits, None, res.confidence_label, ok,
+        {"expansion": res.expansion.matched_codes,
+         "strict_count": res.telemetry["strict_count"]},
+        (time.perf_counter() - t0) * 1e3, [res],
+    )
+
+
+def _greedy_themes(vectors: np.ndarray, max_themes: int = MAX_THEMES,
+                   sim_threshold: float = THEME_SIM) -> list[list[int]]:
+    """Greedy cosine clustering: each vector joins the first theme whose
+    centroid is ≥ threshold-similar, else seeds a new theme (capped)."""
+    themes: list[list[int]] = []
+    centroids: list[np.ndarray] = []
+    for i, v in enumerate(vectors):
+        placed = False
+        for t, c in enumerate(centroids):
+            if float(v @ c) >= sim_threshold:
+                themes[t].append(i)
+                n = len(themes[t])
+                centroids[t] = c * ((n - 1) / n) + v / n
+                centroids[t] /= max(np.linalg.norm(centroids[t]), 1e-6)
+                placed = True
+                break
+        if not placed and len(themes) < max_themes:
+            themes.append([i])
+            centroids.append(v / max(np.linalg.norm(v), 1e-6))
+    return themes
+
+
+def run_strategy_b(engine: SearchEngine, req: QueryRequest, k: int,
+                   wide_min_sim: float = WIDE_MIN_SIM) -> StrategyOutcome:
+    t0 = time.perf_counter()
+    results: list[SearchResult] = []
+    # 1. wide: no tag gating, recall mode, similarity floor
+    wide = engine.search(dataclasses.replace(
+        req, tag_mode="none", mode="recall", min_similarity=wide_min_sim,
+    ), k=WIDE_K)[0]
+    results.append(wide)
+    if not wide.hits:
+        # floor too high for this corpus/encoder — retry unfloored
+        wide = engine.search(dataclasses.replace(
+            req, tag_mode="none", mode="recall", min_similarity=0.0), k=WIDE_K)[0]
+        results.append(wide)
+    if not wide.hits:
+        return StrategyOutcome("b", [], None, "abstain", False,
+                               {"themes": 0}, (time.perf_counter() - t0) * 1e3, results)
+
+    # 2. themes over hit embeddings
+    rows = [h.row for h in wide.hits]
+    vecs = np.asarray(engine.store.index.vectors)[rows].astype(np.float32)
+    themes = _greedy_themes(vecs)
+
+    # 3. one narrow strict pass per theme, seeded by the theme centroid
+    merged: dict[int, SearchHit] = {}
+    for theme in themes:
+        centroid = vecs[theme].mean(axis=0)
+        centroid /= max(np.linalg.norm(centroid), 1e-6)
+        narrow = engine.search(dataclasses.replace(
+            req, embedding=centroid, tag_mode="strict", mode="corpus"), k=k)[0]
+        results.append(narrow)
+        for h in narrow.hits:
+            if h.row not in merged or h.score > merged[h.row].score:
+                merged[h.row] = h
+    hits = sorted(merged.values(), key=lambda h: h.score, reverse=True)[:k]
+    label = results[-1].confidence_label if hits else "abstain"
+    ok = bool(hits)
+    return StrategyOutcome(
+        "b", hits, None, label, ok,
+        {"themes": len(themes), "wide_hits": len(wide.hits)},
+        (time.perf_counter() - t0) * 1e3, results,
+    )
+
+
+_QUOTE_RE = re.compile(r'"([^"]{12,400})"')
+
+
+def run_strategy_c(engine: SearchEngine, req: QueryRequest, k: int,
+                   llm: LLMClient) -> StrategyOutcome:
+    """LLM → validate: answer with quoted citations, verify each quote
+    verbatim against the retrieved chunks. Outcomes per citation:
+    validated_correct | validated_hallucinated | located_unverified."""
+    t0 = time.perf_counter()
+    res = engine.search(dataclasses.replace(req, mode="recall"), k=max(k, 8))[0]
+    context = "\n".join(
+        f"[passage {i}]\n{h.text}" for i, h in enumerate(res.hits)
+    )
+    prompt = (
+        f"Answer the question using ONLY the passages. Quote supporting "
+        f"text in double quotes.\n\nQUESTION: {req.query}\n\n{context}"
+    )
+    answer = llm.generate(prompt, stage="strategy_c", max_tokens=800)
+    outcomes = []
+    texts = [h.text for h in res.hits]
+    for quote in _QUOTE_RE.findall(answer or ""):
+        verbatim = any(quote.strip() in t for t in texts)
+        outcomes.append({
+            "quote": quote[:120],
+            "outcome": "validated_correct" if verbatim else "validated_hallucinated",
+        })
+    n_ok = sum(1 for o in outcomes if o["outcome"] == "validated_correct")
+    success = bool(answer) and bool(outcomes) and n_ok == len(outcomes)
+    label = "high" if success and n_ok >= 2 else ("medium" if success else "abstain")
+    return StrategyOutcome(
+        "c", res.hits[:k], answer if success else None, label, success,
+        {"citations": outcomes}, (time.perf_counter() - t0) * 1e3, [res],
+    )
+
+
+def run_strategy_d(engine: SearchEngine, req: QueryRequest, k: int,
+                   llm: LLMClient, web: WebSearchClient) -> StrategyOutcome:
+    """External-first: authoritative web query from payer context, fetch
+    top URLs, synthesize with passage citations."""
+    t0 = time.perf_counter()
+    qualifiers = " ".join(x for x in (req.payer, req.state, "provider manual") if x)
+    serp = web.search(f"{_rewrite_for_strategy(req.query, 'd')} {qualifiers}".strip(),
+                      max_results=5)
+    passages = []
+    for r in serp[:5]:
+        body = web.fetch(r.get("url", ""), timeout_s=8.0)
+        if body:
+            passages.append({"url": r["url"], "text": body[:2000]})
+    if not passages:
+        return StrategyOutcome("d", [], None, "abstain", False,
+                               {"serp": len(serp), "fetched": 0},
+                               (time.perf_counter() - t0) * 1e3)
+    context = "\n".join(f"[passage {i}]\n{p['text']}" for i, p in enumerate(passages))
+    answer = llm.generate(
+        f"Answer from the passages, citing them as [passage N].\n\n"
+        f"QUESTION: {req.query}\n\n{context}",
+        stage="strategy_d", max_tokens=800,
+    )
+    hits = [
+        SearchHit(row=-1, chunk_id=f"external-{i}", doc_id=p["url"], text=p["text"],
+                  score=0.5, similarity=0.0, signals={},
+                  metadata={"source_type": "external", "url": p["url"]})
+        for i, p in enumerate(passages)
+    ]
+    success = bool(answer and "[passage" in answer)
+    return StrategyOutcome(
+        "d", hits[:k], answer if success else None,
+        "medium" if success else "abstain", success,
+        {"serp": len(serp), "fetched": len(passages)},
+        (time.perf_counter() - t0) * 1e3,
+    )
+
+
+_CONCEPTUAL_MARKERS = re.compile(r"\b(why|how does|explain|compare|difference)\b", re.I)
+
+
+def run_strategy_s(req: QueryRequest, fact_store: FactStoreClient | None) -> StrategyOutcome | None:
+    """Fact-store pre-route; None = no hit / guarded off (conceptual
+    queries skip the fact store — its rows are point facts)."""
+    if fact_store is None or _CONCEPTUAL_MARKERS.search(req.query):
+        return None
+    t0 = time.perf_counter()
+    row = fact_store.lookup(req.query, payer=req.payer, state=req.state)
+    if not row:
+        return None
+    hit = SearchHit(
+        row=-1, chunk_id=f"fact-{row.get('id', '0')}", doc_id=row.get("source", "fact_store"),
+        text=row.get("fact", ""), score=1.0, similarity=1.0, signals={},
+        metadata={"source_type": "fact_store", "payer": row.get("payer", "")},
+    )
+    return StrategyOutcome(
+        "s", [hit], row.get("fact", ""), "high", True,
+        {"fact_id": row.get("id")}, (time.perf_counter() - t0) * 1e3,
+    )
