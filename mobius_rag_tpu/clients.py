@@ -48,8 +48,8 @@ class OfflineLLMStub:
         if passages:
             picked = []
             for pid, text in passages[:3]:
-                first = text.strip().split(". ")[0][:300]
-                picked.append(f'{first}. [citation: passage {pid}]')
+                excerpt = text.strip()[:400].rstrip()
+                picked.append(f'{excerpt} [citation: passage {pid}]')
             return "\n".join(picked)
         return "UNKNOWN — offline stub has no model; supply an LLMClient."
 

@@ -1,0 +1,105 @@
+"""Eval persistence: sqlite instead of the reference's Postgres pool
+(eval/db.py) — durable runs/results with idempotent client-generated-id
+inserts (the reference's ON CONFLICT DO NOTHING discipline,
+eval/run.py:206-215)."""
+from __future__ import annotations
+
+import json
+import os
+import sqlite3
+import time
+import uuid
+from typing import Any
+
+from mobius_rag_tpu.config import get_config
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS eval_runs (
+  run_id TEXT PRIMARY KEY,
+  bank_name TEXT, bank_version TEXT, bank_sha TEXT,
+  started_at REAL, finished_at REAL,
+  fingerprint TEXT, aggregates TEXT
+);
+CREATE TABLE IF NOT EXISTS eval_results (
+  result_id TEXT PRIMARY KEY,
+  run_id TEXT, query_id TEXT, payload TEXT,
+  UNIQUE(run_id, query_id) ON CONFLICT IGNORE
+);
+CREATE TABLE IF NOT EXISTS calibration_runs (
+  calib_id TEXT PRIMARY KEY,
+  created_at REAL, fingerprint TEXT, matrix TEXT
+);
+"""
+
+
+class EvalDB:
+    def __init__(self, path: str | None = None):
+        base = path or os.path.join(get_config().data_dir, "eval.sqlite")
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        self.conn = sqlite3.connect(base)
+        self.conn.executescript(_SCHEMA)
+
+    def insert_run(self, bank, fingerprint: dict[str, Any]) -> str:
+        run_id = uuid.uuid4().hex
+        self.conn.execute(
+            "INSERT INTO eval_runs (run_id, bank_name, bank_version, bank_sha, "
+            "started_at, fingerprint) VALUES (?,?,?,?,?,?)",
+            (run_id, bank.name, bank.version, bank.sha, time.time(),
+             json.dumps(fingerprint)),
+        )
+        self.conn.commit()
+        return run_id
+
+    def insert_result(self, run_id: str, query_id: str, payload: dict[str, Any]) -> None:
+        self.conn.execute(
+            "INSERT OR IGNORE INTO eval_results (result_id, run_id, query_id, payload) "
+            "VALUES (?,?,?,?)",
+            (uuid.uuid4().hex, run_id, query_id, json.dumps(payload)),
+        )
+        self.conn.commit()
+
+    def finalize_run(self, run_id: str, aggregates: dict[str, Any]) -> None:
+        self.conn.execute(
+            "UPDATE eval_runs SET finished_at=?, aggregates=? WHERE run_id=?",
+            (time.time(), json.dumps(aggregates), run_id),
+        )
+        self.conn.commit()
+
+    def insert_calibration(self, fingerprint: dict[str, Any], matrix: dict[str, Any]) -> str:
+        cid = uuid.uuid4().hex
+        self.conn.execute(
+            "INSERT INTO calibration_runs (calib_id, created_at, fingerprint, matrix) "
+            "VALUES (?,?,?,?)",
+            (cid, time.time(), json.dumps(fingerprint), json.dumps(matrix)),
+        )
+        self.conn.commit()
+        return cid
+
+    def run(self, run_id: str) -> dict[str, Any] | None:
+        row = self.conn.execute(
+            "SELECT bank_name, bank_version, bank_sha, fingerprint, aggregates "
+            "FROM eval_runs WHERE run_id=?", (run_id,)).fetchone()
+        if not row:
+            return None
+        return {
+            "bank_name": row[0], "bank_version": row[1], "bank_sha": row[2],
+            "fingerprint": json.loads(row[3] or "{}"),
+            "aggregates": json.loads(row[4] or "{}"),
+        }
+
+    def results(self, run_id: str) -> list[dict[str, Any]]:
+        rows = self.conn.execute(
+            "SELECT query_id, payload FROM eval_results WHERE run_id=?", (run_id,)
+        ).fetchall()
+        return [{"query_id": q, **json.loads(p)} for q, p in rows]
+
+    def list_runs(self, limit: int = 50) -> list[dict[str, Any]]:
+        rows = self.conn.execute(
+            "SELECT run_id, bank_name, bank_version, started_at, finished_at, aggregates "
+            "FROM eval_runs ORDER BY started_at DESC LIMIT ?", (limit,)).fetchall()
+        return [
+            {"run_id": r[0], "bank_name": r[1], "bank_version": r[2],
+             "started_at": r[3], "finished_at": r[4],
+             "aggregates": json.loads(r[5] or "{}")}
+            for r in rows
+        ]

@@ -1,0 +1,186 @@
+"""Eval runner: drive a bank through the agent, judge, persist, aggregate.
+
+Reference parity (eval/run.py:332): per query — call the agent,
+deterministic checks (routing / citation / fail-fast / contour,
+:90-143), rubric judge, chunk-only fact recall; aggregates — accuracy,
+citation rate, median/p95 latency (:277-325). Fingerprint captures
+priors_version, lexicon revision, bank sha (calibrate.py:274-333).
+
+CLI: python -m mobius_rag_tpu.eval_harness.run --bank toy
+(resolves reference banks by name too: --bank cmhc_smoke).
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import statistics
+import time
+from typing import Any, Callable
+
+from mobius_rag_tpu.eval_harness.bank import Bank, BankQuery, load_bank
+from mobius_rag_tpu.eval_harness.db import EvalDB
+from mobius_rag_tpu.eval_harness.fact_checker import check_facts
+from mobius_rag_tpu.eval_harness.judge import judge_answer
+from mobius_rag_tpu.query.agent import AgentRequest, AgentResult, CorpusSearchAgent
+
+
+def deterministic_checks(q: BankQuery, res: AgentResult) -> dict[str, Any]:
+    """Non-LLM pass/fail checks (run.py:90-143)."""
+    checks: dict[str, Any] = {}
+    exp = q.expected
+    if exp.get("strategy"):
+        checks["routing"] = {
+            "expected": exp["strategy"],
+            "actual": res.decision.get("strategy"),
+            "chain": res.strategy_chain,
+            "ok": exp["strategy"] in res.strategy_chain,
+        }
+    if exp.get("query_class"):
+        checks["query_class"] = {
+            "expected": exp["query_class"],
+            "actual": res.profile.get("query_class"),
+            "ok": exp["query_class"] == res.profile.get("query_class"),
+        }
+    if exp.get("expected_contour"):
+        checks["contour"] = {
+            "expected": exp["expected_contour"],
+            "actual": res.gate.get("contour"),
+            "ok": exp["expected_contour"] == res.gate.get("contour"),
+        }
+    gc = exp.get("golden_citation") or {}
+    if gc.get("document"):
+        docs = {c.metadata.get("filename", "") for c in res.chunks} | {
+            c.doc_id for c in res.chunks
+        }
+        checks["citation"] = {
+            "expected": gc["document"],
+            "ok": any(gc["document"] in d or d in gc["document"] for d in docs if d),
+        }
+    checks["answered"] = {"ok": bool(res.answer) and not res.refused}
+    return checks
+
+
+def lexicon_revision(agent: CorpusSearchAgent) -> str:
+    lex = agent.engine.lexicon
+    if lex is None:
+        return "none"
+    blob = ",".join(sorted(e.full_code for e in lex.entries))
+    return hashlib.sha256(blob.encode()).hexdigest()[:12]
+
+
+@dataclasses.dataclass
+class EvalRunResult:
+    run_id: str
+    aggregates: dict[str, Any]
+    results: list[dict[str, Any]]
+
+
+def run_eval(
+    agent: CorpusSearchAgent,
+    bank: Bank | str,
+    *,
+    forced_mode: str | None = None,
+    k: int = 10,
+    db: EvalDB | None = None,
+    judge_llm=None,
+    request_fn: Callable[[BankQuery], AgentRequest] | None = None,
+) -> EvalRunResult:
+    if isinstance(bank, str):
+        bank = load_bank(bank)
+    db = db or EvalDB()
+    fingerprint = {
+        "priors_version": agent.router.priors_version,
+        "router_version": agent.router.version,
+        "lexicon_revision": lexicon_revision(agent),
+        "bank_sha": bank.sha,
+        "forced_mode": forced_mode,
+        "fact_checker_version": "tpu-v1",
+    }
+    run_id = db.insert_run(bank, fingerprint)
+
+    results = []
+    for q in bank.queries:
+        t0 = time.perf_counter()
+        req = request_fn(q) if request_fn else AgentRequest(query=q.query, k=k)
+        if forced_mode:
+            req = dataclasses.replace(req, mode=forced_mode)
+        res = agent.run(req)
+        latency_ms = (time.perf_counter() - t0) * 1e3
+
+        checks = deterministic_checks(q, res)
+        jr = judge_answer(res.answer, q.must_facts, q.bonus_facts,
+                          q.forbidden_facts, llm=judge_llm)
+        fc = check_facts(q.must_facts, [c.text for c in res.chunks],
+                         answer=res.answer, mode="grounding", llm=judge_llm)
+        payload = {
+            "query": q.query,
+            "strategy_chain": res.strategy_chain,
+            "confidence": res.confidence_label,
+            "refused": res.refused,
+            "judge_score": jr.score,
+            "judge_verdict": jr.verdict,
+            "chunk_recall": fc.recall,
+            "grounding": fc.grounding,
+            "hallucinated": fc.hallucinated,
+            "checks": checks,
+            "latency_ms": round(latency_ms, 2),
+            "query_class": res.profile.get("query_class"),
+            "contour": res.gate.get("contour"),
+        }
+        db.insert_result(run_id, q.id, payload)
+        results.append({"query_id": q.id, **payload})
+
+    lat = [r["latency_ms"] for r in results]
+    n = len(results)
+    agg = {
+        "n": n,
+        "accuracy": round(sum(1 for r in results if r["judge_verdict"] == "correct") / n, 4) if n else 0,
+        "partial_rate": round(sum(1 for r in results if r["judge_verdict"] == "partial") / n, 4) if n else 0,
+        "answer_rate": round(sum(1 for r in results if r["checks"]["answered"]["ok"]) / n, 4) if n else 0,
+        "mean_chunk_recall": round(sum(r["chunk_recall"] for r in results) / n, 4) if n else 0,
+        "mean_grounding": round(sum(r["grounding"] for r in results) / n, 4) if n else 0,
+        "citation_rate": round(
+            sum(1 for r in results if r["checks"].get("citation", {}).get("ok")) /
+            max(1, sum(1 for r in results if "citation" in r["checks"])), 4),
+        "routing_match_rate": round(
+            sum(1 for r in results if r["checks"].get("routing", {}).get("ok")) /
+            max(1, sum(1 for r in results if "routing" in r["checks"])), 4),
+        "contour_match_rate": round(
+            sum(1 for r in results if r["checks"].get("contour", {}).get("ok")) /
+            max(1, sum(1 for r in results if "contour" in r["checks"])), 4),
+        "latency_ms_median": round(statistics.median(lat), 2) if lat else 0,
+        "latency_ms_p95": round(sorted(lat)[max(0, int(0.95 * len(lat)) - 1)], 2) if lat else 0,
+    }
+    db.finalize_run(run_id, agg)
+    return EvalRunResult(run_id=run_id, aggregates=agg, results=results)
+
+
+def _main() -> None:
+    import argparse
+    import json
+
+    from mobius_rag_tpu.index.store import ChunkStore
+    from mobius_rag_tpu.query.engine import SearchEngine
+    from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bank", default="toy")
+    ap.add_argument("--mode", default=None, help="forced strategy a|b|c|d|s")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--snapshot", default=None,
+                    help="ChunkStore snapshot dir (default: built-in toy corpus)")
+    args = ap.parse_args()
+
+    lex = sample_lexicon()
+    if args.snapshot:
+        store = ChunkStore.restore(args.snapshot)
+    else:
+        store = ChunkStore()
+        store.add_chunks(toy_corpus(lex))
+    agent = CorpusSearchAgent(SearchEngine(store, lex, embed_fn=hash_embed))
+    out = run_eval(agent, args.bank, forced_mode=args.mode, k=args.k)
+    print(json.dumps({"run_id": out.run_id, **out.aggregates}))
+
+
+if __name__ == "__main__":
+    _main()
