@@ -70,15 +70,15 @@ def build_lexical_weights(
 
 def match_phrases(haystack: str, lexicon: Lexicon) -> dict[str, list[int]]:
     """Match every lexicon phrase against a haystack (case-insensitive,
-    word-boundary). Returns {"phrase_ids": [...], "j": [...], "d": [...],
-    "p": [...]} — tag ids are the union of tags whose entries matched."""
-    hay = " " + haystack.lower() + " "
-    phrase_ids: set[int] = set()
+    word-boundary) via the native Aho-Corasick automaton. Returns
+    {"phrase_ids": [...], "j": [...], "d": [...], "p": [...]} — tag ids
+    are the union of tags whose entries matched."""
+    phrase_ids = lexicon.matcher.match_set(haystack)
+    _, owners = lexicon.phrase_table()
     tags: dict[str, set[int]] = {"j": set(), "d": set(), "p": set()}
-    for pat, entry, phrase in lexicon._phrase_index:
-        if pat.search(hay):
-            phrase_ids.add(lexicon.phrase_ids[phrase])
-            tags[entry.kind].add(entry.tag_id)
+    for pid in phrase_ids:
+        for kind, tag_id in owners.get(pid, ()):
+            tags[kind].add(tag_id)
     return {
         "phrase_ids": sorted(phrase_ids),
         "j": sorted(tags["j"]),

@@ -1,0 +1,199 @@
+"""Durable host-side job queue: sqlite with lease-based claims.
+
+The TPU-native stand-in for the reference's Postgres job tables +
+``FOR UPDATE SKIP LOCKED`` claims (chunking_jobs / embedding_jobs;
+embedding_worker.py:393-399), keeping the same safety patterns
+(SURVEY §5.2/§5.3):
+
+- claims are leases: a claimed job carries a lease_expires timestamp;
+  an expired lease makes the job claimable again (zombie recovery —
+  worker/db.py:46, worker/main.py:128);
+- inserts are idempotent on a client-generated dedupe key
+  (ON CONFLICT DO NOTHING discipline);
+- every state change appends an event row (ChunkingEvent parity) that
+  observers can tail.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sqlite3
+import time
+import uuid
+from typing import Any
+
+from mobius_rag_tpu.config import get_config
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS jobs (
+  job_id TEXT PRIMARY KEY,
+  kind TEXT NOT NULL,
+  dedupe_key TEXT,
+  payload TEXT NOT NULL,
+  status TEXT NOT NULL DEFAULT 'queued',
+  priority INTEGER NOT NULL DEFAULT 0,
+  attempts INTEGER NOT NULL DEFAULT 0,
+  max_attempts INTEGER NOT NULL DEFAULT 3,
+  claimed_by TEXT,
+  lease_expires REAL,
+  error TEXT,
+  created_at REAL, updated_at REAL,
+  UNIQUE(kind, dedupe_key)
+);
+CREATE INDEX IF NOT EXISTS idx_jobs_claim ON jobs (kind, status, priority);
+CREATE TABLE IF NOT EXISTS job_events (
+  event_id INTEGER PRIMARY KEY AUTOINCREMENT,
+  job_id TEXT, stage TEXT, payload TEXT, ts REAL
+);
+"""
+
+
+@dataclasses.dataclass
+class Job:
+    job_id: str
+    kind: str
+    payload: dict[str, Any]
+    status: str
+    attempts: int
+    priority: int = 0
+    error: str | None = None
+
+
+class JobQueue:
+    def __init__(self, path: str | None = None, *, lease_seconds: float = 300.0):
+        base = path or os.path.join(get_config().data_dir, "jobs.sqlite")
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        self.conn = sqlite3.connect(base, timeout=30.0)
+        self.conn.execute("PRAGMA journal_mode=WAL")
+        self.conn.executescript(_SCHEMA)
+        self.lease_seconds = lease_seconds
+
+    # -- producer -------------------------------------------------------------
+
+    def enqueue(self, kind: str, payload: dict[str, Any], *,
+                dedupe_key: str | None = None, priority: int = 0,
+                max_attempts: int = 3) -> str | None:
+        """Returns job_id, or None when an ACTIVE (queued/running) job with
+        the same dedupe key exists. A finished (done/failed) job with the
+        same key does not block re-enqueue — reprocessing a document after
+        completion is a supported operation (the reference's restart
+        endpoints, main.py:11343)."""
+        job_id = uuid.uuid4().hex
+        now = time.time()
+        key = dedupe_key or job_id
+        with self.conn:
+            row = self.conn.execute(
+                "SELECT job_id, status FROM jobs WHERE kind=? AND dedupe_key=?",
+                (kind, key)).fetchone()
+            if row is not None:
+                if row[1] in ("queued", "running"):
+                    return None
+                # finished — retire the old row's key so the new one can claim it
+                self.conn.execute(
+                    "UPDATE jobs SET dedupe_key=job_id WHERE job_id=?", (row[0],))
+            self.conn.execute(
+                "INSERT INTO jobs (job_id, kind, dedupe_key, payload, "
+                "priority, max_attempts, created_at, updated_at) "
+                "VALUES (?,?,?,?,?,?,?,?)",
+                (job_id, kind, key, json.dumps(payload), priority,
+                 max_attempts, now, now),
+            )
+        self.emit(job_id, "enqueued", {"kind": kind})
+        return job_id
+
+    # -- consumer ---------------------------------------------------------------
+
+    def claim(self, kind: str, worker_id: str) -> Job | None:
+        """Atomic claim of the best runnable job: queued, or running with
+        an expired lease (zombie)."""
+        now = time.time()
+        with self.conn:  # BEGIN..COMMIT — sqlite serializes writers
+            row = self.conn.execute(
+                "SELECT job_id, payload, attempts, priority FROM jobs "
+                "WHERE kind=? AND (status='queued' OR "
+                "      (status='running' AND lease_expires < ?)) "
+                "AND attempts < max_attempts "
+                "ORDER BY priority DESC, created_at ASC LIMIT 1",
+                (kind, now),
+            ).fetchone()
+            if row is None:
+                return None
+            job_id, payload, attempts, priority = row
+            self.conn.execute(
+                "UPDATE jobs SET status='running', claimed_by=?, attempts=?, "
+                "lease_expires=?, updated_at=? WHERE job_id=?",
+                (worker_id, attempts + 1, now + self.lease_seconds, now, job_id),
+            )
+        self.emit(job_id, "claimed", {"worker": worker_id, "attempt": attempts + 1})
+        return Job(job_id, kind, json.loads(payload), "running", attempts + 1, priority)
+
+    def heartbeat(self, job_id: str) -> None:
+        self.conn.execute(
+            "UPDATE jobs SET lease_expires=?, updated_at=? WHERE job_id=?",
+            (time.time() + self.lease_seconds, time.time(), job_id))
+        self.conn.commit()
+
+    def complete(self, job_id: str, result: dict[str, Any] | None = None) -> None:
+        self.conn.execute(
+            "UPDATE jobs SET status='done', updated_at=? WHERE job_id=?",
+            (time.time(), job_id))
+        self.conn.commit()
+        self.emit(job_id, "done", result or {})
+
+    def fail(self, job_id: str, error: str, *, retry: bool = True) -> None:
+        """Failed attempt: requeue (until max_attempts) or park as failed."""
+        row = self.conn.execute(
+            "SELECT attempts, max_attempts FROM jobs WHERE job_id=?", (job_id,)
+        ).fetchone()
+        status = "queued" if (retry and row and row[0] < row[1]) else "failed"
+        self.conn.execute(
+            "UPDATE jobs SET status=?, error=?, updated_at=? WHERE job_id=?",
+            (status, error[:2000], time.time(), job_id))
+        self.conn.commit()
+        self.emit(job_id, "failed" if status == "failed" else "requeued",
+                  {"error": error[:500]})
+
+    # -- observability --------------------------------------------------------------
+
+    def emit(self, job_id: str, stage: str, payload: dict[str, Any]) -> None:
+        self.conn.execute(
+            "INSERT INTO job_events (job_id, stage, payload, ts) VALUES (?,?,?,?)",
+            (job_id, stage, json.dumps(payload), time.time()))
+        self.conn.commit()
+
+    def events(self, job_id: str) -> list[dict[str, Any]]:
+        rows = self.conn.execute(
+            "SELECT stage, payload, ts FROM job_events WHERE job_id=? "
+            "ORDER BY event_id", (job_id,)).fetchall()
+        return [{"stage": s, "ts": t, **json.loads(p)} for s, p, t in rows]
+
+    def job(self, job_id: str) -> dict[str, Any] | None:
+        row = self.conn.execute(
+            "SELECT kind, status, attempts, error, payload FROM jobs WHERE job_id=?",
+            (job_id,)).fetchone()
+        if row is None:
+            return None
+        return {"job_id": job_id, "kind": row[0], "status": row[1],
+                "attempts": row[2], "error": row[3], "payload": json.loads(row[4])}
+
+    def depths(self) -> dict[str, dict[str, int]]:
+        """Queue depths by kind × status (the pipeline_health feed)."""
+        rows = self.conn.execute(
+            "SELECT kind, status, COUNT(*) FROM jobs GROUP BY kind, status"
+        ).fetchall()
+        out: dict[str, dict[str, int]] = {}
+        for kind, status, n in rows:
+            out.setdefault(kind, {})[status] = n
+        return out
+
+    def cleanup_stale(self, older_than_s: float = 3600.0) -> int:
+        """Park running jobs whose lease expired long ago and are out of
+        attempts (fail_stale_jobs_for_cleanup parity)."""
+        cutoff = time.time() - older_than_s
+        cur = self.conn.execute(
+            "UPDATE jobs SET status='failed', error='stale lease cleanup' "
+            "WHERE status='running' AND lease_expires < ? AND attempts >= max_attempts",
+            (cutoff,))
+        self.conn.commit()
+        return cur.rowcount

@@ -157,6 +157,12 @@ def encode_jit(params, tokens, cfg: EncoderConfig):
     return encode(params, tokens, cfg)
 
 
+# Batch-size buckets: every distinct batch shape is a separate XLA
+# compilation (~30s+ each on a cold chip), so callers' ragged batch sizes
+# are padded up to the nearest bucket and results sliced back.
+_BATCH_BUCKETS = (1, 8, 32, 128)
+
+
 class EncoderModel:
     """Host handle bundling config, params, tokenizer — the embed_fn
     plugged into SearchEngine / the ingest pipeline."""
@@ -171,8 +177,23 @@ class EncoderModel:
         )
         self.tokenizer = HashTokenizer(self.cfg.vocab_size, self.cfg.max_seq)
 
+    def _bucket(self, n: int) -> int:
+        for b in _BATCH_BUCKETS:
+            if n <= b:
+                return b
+        return ((n + _BATCH_BUCKETS[-1] - 1) // _BATCH_BUCKETS[-1]) * _BATCH_BUCKETS[-1]
+
     def __call__(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.cfg.out_dim), np.float32)
-        tokens = self.tokenizer.encode_batch(texts)
-        return np.asarray(encode_jit(self.params, jnp.asarray(tokens), self.cfg))
+        out = np.zeros((len(texts), self.cfg.out_dim), np.float32)
+        max_b = _BATCH_BUCKETS[-1]
+        for off in range(0, len(texts), max_b):
+            chunk = texts[off:off + max_b]
+            tokens = self.tokenizer.encode_batch(chunk)
+            b = self._bucket(len(chunk))
+            if b != len(chunk):
+                tokens = np.pad(tokens, ((0, b - len(chunk)), (0, 0)))
+            emb = encode_jit(self.params, jnp.asarray(tokens), self.cfg)
+            out[off:off + len(chunk)] = np.asarray(emb)[: len(chunk)]
+        return out

@@ -130,6 +130,32 @@ class Lexicon:
             )
         return cls(entries, **kw)
 
+    # -- bulk matching (native Aho-Corasick) ---------------------------------
+
+    def phrase_table(self) -> tuple[list[str], dict[int, list[tuple[str, int]]]]:
+        """(phrases ordered by phrase_id, phrase_id → [(kind, tag_id)])."""
+        ordered = [""] * len(self.phrase_ids)
+        for p, pid in self.phrase_ids.items():
+            ordered[pid] = p
+        owners: dict[int, list[tuple[str, int]]] = {}
+        for e in self.entries:
+            for p in e.phrases:
+                owners.setdefault(self.phrase_ids[p], []).append((e.kind, e.tag_id))
+        return ordered, owners
+
+    @property
+    def matcher(self):
+        """Cached native Aho-Corasick over all phrases (pattern id ==
+        phrase id) — the bulk-ingest fast path for Path-B tagging."""
+        cached = getattr(self, "_matcher", None)
+        if cached is None or cached[0] != len(self.phrase_ids):
+            from mobius_rag_tpu.ingest.aho import AhoCorasick
+
+            ordered, _ = self.phrase_table()
+            cached = (len(self.phrase_ids), AhoCorasick(ordered))
+            self._matcher = cached
+        return cached[1]
+
     # -- lookups ------------------------------------------------------------
 
     def phrase_id(self, phrase: str) -> int:
