@@ -1,0 +1,445 @@
+"""HTTP API — the thin host shell over the TPU query engine.
+
+Covers the reference's operative surface (app/main.py ~150 endpoints +
+app/routers/{skills,eval}.py), collapsed to the endpoints that carry the
+platform's behavior. FastAPI isn't available in this image, so the
+server is aiohttp.web; handlers are thin — every operation delegates to
+the framework modules.
+
+Endpoint map (reference anchor → here):
+  POST /upload                      (main.py:5126)  → upload + instant path
+  GET  /documents[, /{id}]          (main.py:4182)  → registry + status
+  DELETE /documents/{id}            (delete + index invalidation)
+  POST /api/query                   (main.py:11935) → engine.search
+  POST /api/skills/v1/corpus_search (routers/skills.py:36)
+  POST /api/skills/v1/corpus_search_agent (routers/skills.py:92)
+  GET  /pipeline_health             (main.py:1977)  → queue depths + index stats
+  GET  /api/search_events           (main.py:13561)
+  GET  /api/decisions[, /{id}/trace]
+  GET  /api/errors
+  GET  /api/progress/{cid}          (progress poll; SSE at /stream)
+  POST /api/eval/run, /api/eval/calibrate; GET /api/eval/runs[/{id}]
+  GET/POST /api/lexicon[, /entries]
+  GET/POST /config/llm, /config/prompts
+  POST /admin/retag                 (main.py:3419 in-process retag)
+  POST /admin/snapshot, /admin/restore
+  POST /admin/cleanup-stale-jobs    (main.py:2323)
+  GET  /health
+Admin auth: X-Admin-Key required on /admin/* + /config/* when
+MRAG_ADMIN_KEY is set (main.py:548 middleware parity).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+from aiohttp import web
+
+from mobius_rag_tpu.config import get_config
+from mobius_rag_tpu.eval_harness.db import EvalDB
+from mobius_rag_tpu.index.store import ChunkStore
+from mobius_rag_tpu.ingest.pipeline import IngestPipeline
+from mobius_rag_tpu.observability import PROGRESS, TelemetryStore
+from mobius_rag_tpu.providers import LLMConfig, LLMConfigRegistry, PromptRegistry
+from mobius_rag_tpu.query.agent import AgentRequest, CorpusSearchAgent
+from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+
+
+@dataclasses.dataclass
+class AppContext:
+    store: ChunkStore
+    engine: SearchEngine
+    agent: CorpusSearchAgent
+    pipeline: IngestPipeline
+    telemetry: TelemetryStore
+    eval_db: EvalDB
+    llm_configs: LLMConfigRegistry
+    prompts: PromptRegistry
+
+    @classmethod
+    def build(cls, *, embed_fn=None, lexicon=None, llm=None) -> "AppContext":
+        from mobius_rag_tpu.providers import get_embedding_provider
+        from mobius_rag_tpu.testing import sample_lexicon
+
+        lexicon = lexicon or sample_lexicon()
+        embed_fn = embed_fn or get_embedding_provider().embed
+        store = ChunkStore()
+        telemetry = TelemetryStore()
+        engine = SearchEngine(store, lexicon, embed_fn=embed_fn,
+                              telemetry=telemetry)
+        agent = CorpusSearchAgent(engine, llm=llm)
+        agent.observers.append(telemetry.record_decision)
+        pipeline = IngestPipeline(store, lexicon, embed_fn, llm=llm)
+        return cls(store=store, engine=engine, agent=agent, pipeline=pipeline,
+                   telemetry=telemetry, eval_db=EvalDB(),
+                   llm_configs=LLMConfigRegistry(), prompts=PromptRegistry())
+
+
+def _json(data: Any, status: int = 200) -> web.Response:
+    return web.json_response(data, status=status, dumps=lambda d: json.dumps(d, default=str))
+
+
+def _err(msg: str, status: int = 400) -> web.Response:
+    return _json({"error": msg}, status)
+
+
+@web.middleware
+async def admin_auth_middleware(request: web.Request, handler):
+    key = os.getenv("MRAG_ADMIN_KEY", "")
+    path = request.path
+    if key and (path.startswith("/admin") or path.startswith("/config")):
+        if request.headers.get("X-Admin-Key") != key:
+            return _err("admin key required", 401)
+    try:
+        return await handler(request)
+    except json.JSONDecodeError:
+        return _err("request body must be valid JSON", 400)
+
+
+def build_app(ctx: AppContext) -> web.Application:
+    app = web.Application(middlewares=[admin_auth_middleware],
+                          client_max_size=110 * 1024 * 1024)
+    r = app.router
+
+    # ---- health / ops ---------------------------------------------------
+
+    async def health(request):
+        return _json({"status": "ok", "chunks": ctx.store.size,
+                      "capacity": ctx.store.capacity})
+
+    async def pipeline_health(request):
+        return _json({
+            "queue_depths": ctx.pipeline.queue.depths(),
+            "index": {"chunks": ctx.store.size, "capacity": ctx.store.capacity,
+                      "documents": len(ctx.pipeline.docs.docs)},
+            "recent_errors": ctx.telemetry.recent_errors(5),
+        })
+
+    # ---- ingest ---------------------------------------------------------
+
+    async def upload(request):
+        data = await request.read()
+        q = request.query
+        if not data:
+            return _err("empty body")
+        instant_q = q.get("instant", "")
+        try:
+            res = ctx.pipeline.upload(
+                data, q.get("filename", "upload.txt"),
+                payer=q.get("payer", ""), state=q.get("state", ""),
+                program=q.get("program", ""),
+                authority_level=int(q.get("authority_level", 0)),
+                summary=q.get("summary", ""),
+                instant=None if not instant_q
+                else instant_q.lower() in ("1", "true", "yes"),
+            )
+        except ValueError as e:
+            return _err(str(e), 413 if "exceeds" in str(e) else 400)
+        return _json(dataclasses.asdict(res))
+
+    async def documents(request):
+        docs = [
+            {"doc_id": d.doc_id, "filename": d.filename, "payer": d.payer,
+             "state": d.state, "program": d.program,
+             "chunks": len([r for r in ctx.store._doc_rows.get(d.doc_id, [])
+                            if ctx.store.records[r] is not None])}
+            for d in ctx.pipeline.docs.docs.values()
+        ]
+        return _json({"documents": docs})
+
+    async def document_detail(request):
+        doc_id = request.match_info["doc_id"]
+        d = ctx.pipeline.docs.get(doc_id)
+        if d is None:
+            return _err("not found", 404)
+        rows = ctx.store._doc_rows.get(doc_id, [])
+        chunks = [
+            {"chunk_id": rec.chunk_id, "section_path": rec.section_path,
+             "page": rec.page, "text": rec.text[:300]}
+            for r in rows if (rec := ctx.store.record(r)) is not None
+        ]
+        return _json({"doc_id": doc_id, "filename": d.filename,
+                      "payer": d.payer, "chunks": chunks})
+
+    async def document_delete(request):
+        doc_id = request.match_info["doc_id"]
+        n = ctx.store.delete_by_document(doc_id)
+        ctx.pipeline.docs.docs.pop(doc_id, None)
+        return _json({"deleted_chunks": n})
+
+    # ---- query ------------------------------------------------------------
+
+    async def query(request):
+        body = await request.json()
+        if not body.get("query"):
+            return _err("missing 'query'")
+        try:
+            res = ctx.engine.search(QueryRequest(
+                query=body["query"], mode=body.get("mode", "corpus"),
+                payer=body.get("payer", ""), state=body.get("state", ""),
+                program=body.get("program", ""),
+                min_similarity=float(body.get("min_similarity", 0.0)),
+                tag_mode=body.get("tag_mode", "strict"),
+            ), k=int(body.get("k", 10)))[0]
+        except ValueError as e:
+            return _err(str(e))
+        return _json({
+            "query": res.query, "confidence_label": res.confidence_label,
+            "results": [
+                {"chunk_id": h.chunk_id, "doc_id": h.doc_id, "text": h.text,
+                 "score": h.score, "similarity": h.similarity,
+                 "signals": h.signals, "metadata": h.metadata}
+                for h in res.hits
+            ],
+            "expansion": res.expansion.matched_codes,
+            "telemetry": res.telemetry,
+        })
+
+    async def skill_corpus_search(request):
+        return await query(request)
+
+    async def skill_agent(request):
+        body = await request.json()
+        if not body.get("query"):
+            return _err("missing 'query'")
+        try:
+            res = ctx.agent.run(AgentRequest(
+                query=body["query"], mode=body.get("mode"),
+                payer=body.get("payer", ""), state=body.get("state", ""),
+                program=body.get("program", ""), k=int(body.get("k", 10)),
+                accuracy_need=float(body.get("accuracy_need", 0.5)),
+                recall_demand=float(body.get("recall_demand", 0.5)),
+                answer_shape=body.get("answer_shape"),
+            ))
+        except ValueError as e:
+            return _err(str(e))
+        return _json({
+            "agent_id": res.agent_id, "answer": res.answer,
+            "confidence_label": res.confidence_label, "refused": res.refused,
+            "strategy_chain": res.strategy_chain, "decision": res.decision,
+            "gate": res.gate, "profile": res.profile,
+            "improvement_hint": res.improvement_hint,
+            "chunks": [
+                {"chunk_id": h.chunk_id, "doc_id": h.doc_id, "text": h.text,
+                 "score": h.score, "metadata": h.metadata}
+                for h in res.chunks
+            ],
+            "telemetry": res.telemetry,
+        })
+
+    # ---- observability -------------------------------------------------------
+
+    async def search_events(request):
+        return _json({"events": ctx.telemetry.recent_search_events(
+            int(request.query.get("limit", 50)))})
+
+    async def decisions(request):
+        return _json({"decisions": ctx.telemetry.recent_decisions(
+            int(request.query.get("limit", 50)))})
+
+    async def decision_trace(request):
+        ctx.telemetry.flush()
+        trace = ctx.telemetry.trace(request.match_info["agent_id"])
+        return _json(trace) if trace else _err("not found", 404)
+
+    async def errors(request):
+        return _json({"errors": ctx.telemetry.recent_errors(
+            int(request.query.get("limit", 50)),
+            request.query.get("severity"))})
+
+    async def progress(request):
+        cid = request.match_info["cid"]
+        since = int(request.query.get("since", -1))
+        return _json({"events": PROGRESS.events(cid, since)})
+
+    async def progress_stream(request):
+        cid = request.match_info["cid"]
+        resp = web.StreamResponse(headers={"Content-Type": "text/event-stream",
+                                           "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+        import asyncio
+
+        seen = -1
+        for _ in range(600):  # bounded stream (~60 s at 0.1 s polls)
+            events = PROGRESS.events(cid, seen)
+            for e in events:
+                seen = e["seq"]
+                await resp.write(f"data: {json.dumps(e)}\n\n".encode())
+            if events and events[-1]["stage"] in ("done", "failed"):
+                break
+            await asyncio.sleep(0.1)
+        await resp.write_eof()
+        return resp
+
+    # ---- eval --------------------------------------------------------------
+
+    async def eval_run(request):
+        body = await request.json()
+        from mobius_rag_tpu.eval_harness.run import run_eval
+
+        out = run_eval(ctx.agent, body.get("bank", "toy"),
+                       forced_mode=body.get("mode"), k=int(body.get("k", 10)),
+                       db=ctx.eval_db)
+        return _json({"run_id": out.run_id, "aggregates": out.aggregates})
+
+    async def eval_calibrate(request):
+        body = await request.json()
+        from mobius_rag_tpu.eval_harness.calibrate import calibrate
+
+        out = calibrate(ctx.agent, body.get("bank", "toy"),
+                        k=int(body.get("k", 10)), db=ctx.eval_db)
+        return _json(out)
+
+    async def eval_runs(request):
+        return _json({"runs": ctx.eval_db.list_runs(
+            int(request.query.get("limit", 50)))})
+
+    async def eval_run_detail(request):
+        run_id = request.match_info["run_id"]
+        run = ctx.eval_db.run(run_id)
+        if run is None:
+            return _err("not found", 404)
+        return _json({**run, "results": ctx.eval_db.results(run_id)})
+
+    # ---- lexicon ----------------------------------------------------------------
+
+    async def lexicon_list(request):
+        lex = ctx.engine.lexicon
+        return _json({"entries": [
+            {"kind": e.kind, "code": e.code, "tag_id": e.tag_id,
+             "selectivity": e.selectivity, "phrases": e.phrases}
+            for e in lex.entries
+        ]})
+
+    async def lexicon_add(request):
+        body = await request.json()
+        from mobius_rag_tpu.query.lexicon import LexiconEntry
+
+        try:
+            entry = ctx.engine.lexicon.add_entry(LexiconEntry(
+                kind=body["kind"], code=body["code"],
+                phrases=body.get("phrases", []),
+                selectivity=float(body.get("selectivity", 0.8)),
+            ))
+        except (KeyError, ValueError) as e:
+            return _err(f"bad entry: {e}")
+        return _json({"added": entry.full_code, "tag_id": entry.tag_id})
+
+    # ---- config ----------------------------------------------------------------
+
+    async def llm_configs_list(request):
+        return _json({"configs": ctx.llm_configs.list_redacted()})
+
+    async def llm_configs_put(request):
+        body = await request.json()
+        if not body.get("name"):
+            return _err("missing 'name'")
+        ctx.llm_configs.upsert(LLMConfig(
+            name=body["name"], provider=body.get("provider", "offline"),
+            model=body.get("model", ""), params=body.get("params", {}),
+            secrets=body.get("secrets", {})))
+        return _json({"ok": True})
+
+    async def prompts_list(request):
+        return _json({"prompts": ctx.prompts.list_all()})
+
+    async def prompts_put(request):
+        body = await request.json()
+        for key in ("stage", "version", "text"):
+            if not body.get(key):
+                return _err(f"missing '{key}'")
+        pv = ctx.prompts.put(body["stage"], body["version"], body["text"])
+        return _json({"sha": pv.sha})
+
+    # ---- admin ------------------------------------------------------------------
+
+    async def retag(request):
+        """In-process retag sweep: re-run Path-B/featurization over every
+        live chunk with the CURRENT lexicon (main.py:3419 parity)."""
+        from mobius_rag_tpu.ingest.featurize import featurize_chunk
+
+        lex = ctx.engine.lexicon
+        by_doc: dict[str, list] = {}
+        for rec in ctx.store.records:
+            if rec is not None:
+                by_doc.setdefault(rec.doc_id, []).append(rec)
+        n = 0
+        for doc_id, recs in by_doc.items():
+            for rec in recs:
+                featurize_chunk(rec, lex)
+                n += 1
+            ctx.store.publish_document(doc_id, recs)
+        return _json({"retagged_chunks": n, "documents": len(by_doc)})
+
+    async def snapshot(request):
+        body = await request.json()
+        path = body.get("path") or os.path.join(get_config().data_dir, "snapshot")
+        ctx.store.snapshot(path)
+        return _json({"path": path, "chunks": ctx.store.size})
+
+    async def cleanup_stale(request):
+        return _json({"cleaned": ctx.pipeline.queue.cleanup_stale()})
+
+    # ---- routes -----------------------------------------------------------------
+
+    r.add_get("/health", health)
+    r.add_get("/pipeline_health", pipeline_health)
+    r.add_post("/upload", upload)
+    r.add_get("/documents", documents)
+    r.add_get("/documents/{doc_id}", document_detail)
+    r.add_delete("/documents/{doc_id}", document_delete)
+    r.add_post("/api/query", query)
+    r.add_post("/api/skills/v1/corpus_search", skill_corpus_search)
+    r.add_post("/api/skills/v1/corpus_search_agent", skill_agent)
+    r.add_get("/api/search_events", search_events)
+    r.add_get("/api/decisions", decisions)
+    r.add_get("/api/decisions/{agent_id}/trace", decision_trace)
+    r.add_get("/api/errors", errors)
+    r.add_get("/api/progress/{cid}", progress)
+    r.add_get("/api/progress/{cid}/stream", progress_stream)
+    r.add_post("/api/eval/run", eval_run)
+    r.add_post("/api/eval/calibrate", eval_calibrate)
+    r.add_get("/api/eval/runs", eval_runs)
+    r.add_get("/api/eval/runs/{run_id}", eval_run_detail)
+    r.add_get("/api/lexicon", lexicon_list)
+    r.add_post("/api/lexicon/entries", lexicon_add)
+    r.add_get("/config/llm", llm_configs_list)
+    r.add_post("/config/llm", llm_configs_put)
+    r.add_get("/config/prompts", prompts_list)
+    r.add_post("/config/prompts", prompts_put)
+    r.add_post("/admin/retag", retag)
+    r.add_post("/admin/snapshot", snapshot)
+    r.add_post("/admin/cleanup-stale-jobs", cleanup_stale)
+    return app
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--provider", default=None, help="embedding provider name")
+    args = ap.parse_args()
+
+    from mobius_rag_tpu.observability import setup_logging
+    from mobius_rag_tpu.providers import get_embedding_provider
+
+    log = setup_logging("mrag-api")
+    embed = get_embedding_provider(args.provider)
+    ctx = AppContext.build(embed_fn=embed.embed)
+    # Warm the compiled search pipeline so the first real request doesn't
+    # absorb the XLA compile (~30s+ cold on the TPU tunnel).
+    try:
+        ctx.engine.search(QueryRequest(query="warmup"),
+                          k=get_config().default_k)
+        log.info("search pipeline warmed")
+    except Exception as e:  # warmup is best-effort
+        log.warning("warmup skipped: %s", e)
+    web.run_app(build_app(ctx), host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,299 @@
+"""Observability: structured logging, persisted telemetry, progress
+events, error tracking.
+
+Reference parity (SURVEY §5.1/§5.5):
+- JSON structured logging with service names (app/logging_setup.py:47-130);
+- search_events — per-search timings/arm-hits/scoring-trace rows
+  (corpus_search.py:3187-3240; feed at main.py:13561);
+- rag_query_decisions + rag_query_traces — one decision row + one
+  full-trace row per agent run, keep-all retention ("anything shown to
+  the user must be persisted", migration add_rag_query_traces.py:1-41);
+- processing_errors + severity classification (app/services/
+  error_tracker.py:12,95);
+- progress_emit — fire-and-forget ordered stage events consumed by a
+  chat/UI frontend (app/services/progress_emit.py:68), here an
+  in-process pub/sub with bounded queues.
+
+Backing store is sqlite (host side; the hot path never blocks on it —
+writes go through a fire-and-forget buffer like the reference's
+fire-and-forget decision persistence, corpus_search_agent.py:3402).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import queue
+import sqlite3
+import threading
+import time
+import uuid
+from typing import Any, Callable
+
+from mobius_rag_tpu.config import get_config
+
+# ---------------------------------------------------------------------------
+# JSON logging
+# ---------------------------------------------------------------------------
+
+
+class JsonFormatter(logging.Formatter):
+    def __init__(self, service: str):
+        super().__init__()
+        self.service = service
+
+    def format(self, record: logging.LogRecord) -> str:
+        out = {
+            "ts": round(record.created, 3),
+            "level": record.levelname,
+            "service": self.service,
+            "logger": record.name,
+            "msg": record.getMessage(),
+        }
+        for key in ("search_id", "agent_id", "job_id", "doc_id", "stage"):
+            if hasattr(record, key):
+                out[key] = getattr(record, key)
+        if record.exc_info:
+            out["exc"] = self.formatException(record.exc_info)
+        return json.dumps(out)
+
+
+def setup_logging(service: str, level: int = logging.INFO) -> logging.Logger:
+    root = logging.getLogger()
+    root.setLevel(level)
+    for h in list(root.handlers):
+        root.removeHandler(h)
+    handler = logging.StreamHandler()
+    handler.setFormatter(JsonFormatter(service))
+    root.addHandler(handler)
+    return logging.getLogger(service)
+
+
+# ---------------------------------------------------------------------------
+# Error tracker
+# ---------------------------------------------------------------------------
+
+SEVERITIES = ("info", "warning", "error", "critical")
+
+_TRANSIENT_MARKERS = ("timeout", "temporarily", "connection", "unavailable",
+                      "rate limit", "429", "503")
+
+
+def classify_severity(exc: BaseException | str) -> str:
+    """Transient infra blips are warnings (retried); data problems are
+    errors; invariant breaks are critical (error_tracker.py:95 intent)."""
+    text = str(exc).lower()
+    if any(m in text for m in _TRANSIENT_MARKERS):
+        return "warning"
+    if isinstance(exc, (AssertionError,)) or "integrity" in text:
+        return "critical"
+    return "error"
+
+
+# ---------------------------------------------------------------------------
+# Telemetry store
+# ---------------------------------------------------------------------------
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS search_events (
+  search_id TEXT PRIMARY KEY, ts REAL, query TEXT, mode TEXT,
+  timings TEXT, arms TEXT, expansion TEXT, results TEXT, extra TEXT
+);
+CREATE TABLE IF NOT EXISTS query_decisions (
+  agent_id TEXT PRIMARY KEY, ts REAL, query TEXT, strategy TEXT,
+  chain TEXT, query_class TEXT, contour TEXT, confidence TEXT,
+  refused INTEGER, priors_version TEXT, scores TEXT, latency_ms REAL
+);
+CREATE TABLE IF NOT EXISTS query_traces (
+  agent_id TEXT PRIMARY KEY, ts REAL, trace TEXT
+);
+CREATE TABLE IF NOT EXISTS processing_errors (
+  error_id TEXT PRIMARY KEY, ts REAL, service TEXT, severity TEXT,
+  message TEXT, context TEXT
+);
+"""
+
+
+class TelemetryStore:
+    """Durable telemetry with a background writer thread (hot path
+    enqueues; flush() drains for tests/shutdown)."""
+
+    def __init__(self, path: str | None = None):
+        base = path or os.path.join(get_config().data_dir, "telemetry.sqlite")
+        os.makedirs(os.path.dirname(base), exist_ok=True)
+        self._path = base
+        self._q: queue.Queue[tuple[str, tuple]] = queue.Queue(maxsize=10000)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._writer, daemon=True)
+        self._thread.start()
+        # reader connection for queries (writer has its own)
+        self._read_conn = sqlite3.connect(base, check_same_thread=False)
+        self._read_lock = threading.Lock()
+        with self._read_lock:
+            self._read_conn.executescript(_SCHEMA)
+            self._read_conn.commit()
+
+    # -- writer thread --------------------------------------------------------
+
+    def _writer(self) -> None:
+        conn = sqlite3.connect(self._path)
+        conn.execute("PRAGMA journal_mode=WAL")
+        conn.executescript(_SCHEMA)
+        while not (self._stop.is_set() and self._q.empty()):
+            try:
+                sql, args = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                conn.execute(sql, args)
+                conn.commit()
+            except sqlite3.Error:
+                logging.getLogger("telemetry").exception("telemetry write failed")
+
+    def _submit(self, sql: str, args: tuple) -> None:
+        try:
+            self._q.put_nowait((sql, args))
+        except queue.Full:
+            pass  # fire-and-forget: drop telemetry before blocking the query path
+
+    def flush(self, timeout_s: float = 5.0) -> None:
+        deadline = time.time() + timeout_s
+        while not self._q.empty() and time.time() < deadline:
+            time.sleep(0.01)
+
+    def close(self) -> None:
+        self.flush()
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+    # -- writes ---------------------------------------------------------------
+
+    def record_search_event(self, *, search_id: str | None = None, query: str,
+                            mode: str, timings: dict, arms: dict,
+                            expansion: list, results: list,
+                            extra: dict | None = None) -> str:
+        sid = search_id or uuid.uuid4().hex[:16]
+        self._submit(
+            "INSERT OR REPLACE INTO search_events VALUES (?,?,?,?,?,?,?,?,?)",
+            (sid, time.time(), query[:500], mode, json.dumps(timings),
+             json.dumps(arms), json.dumps(expansion), json.dumps(results),
+             json.dumps(extra or {})),
+        )
+        return sid
+
+    def record_decision(self, agent_result) -> None:
+        """Persist decision + full trace for an AgentResult (the
+        observer hooked onto CorpusSearchAgent.observers)."""
+        r = agent_result
+        self._submit(
+            "INSERT OR REPLACE INTO query_decisions VALUES (?,?,?,?,?,?,?,?,?,?,?,?)",
+            (r.agent_id, time.time(), r.query[:500],
+             r.decision.get("strategy", ""), json.dumps(r.strategy_chain),
+             r.profile.get("query_class", ""), r.gate.get("contour", ""),
+             r.confidence_label, int(r.refused),
+             r.decision.get("priors_version", ""),
+             json.dumps(r.decision.get("scores", {})),
+             r.telemetry.get("elapsed_ms", 0.0)),
+        )
+        trace = {
+            "query": r.query, "answer": r.answer,
+            "chunks": [{"chunk_id": c.chunk_id, "doc_id": c.doc_id,
+                        "score": c.score, "signals": c.signals} for c in r.chunks],
+            "decision": r.decision, "gate": r.gate, "profile": r.profile,
+            "telemetry": r.telemetry, "hint": r.improvement_hint,
+        }
+        self._submit(
+            "INSERT OR REPLACE INTO query_traces VALUES (?,?,?)",
+            (r.agent_id, time.time(), json.dumps(trace)),
+        )
+
+    def record_error(self, service: str, exc: BaseException | str,
+                     context: dict | None = None) -> None:
+        self._submit(
+            "INSERT INTO processing_errors VALUES (?,?,?,?,?,?)",
+            (uuid.uuid4().hex, time.time(), service, classify_severity(exc),
+             str(exc)[:2000], json.dumps(context or {})),
+        )
+
+    # -- reads ------------------------------------------------------------------
+
+    def _query(self, sql: str, args: tuple = ()) -> list[tuple]:
+        with self._read_lock:
+            return self._read_conn.execute(sql, args).fetchall()
+
+    def recent_search_events(self, limit: int = 50) -> list[dict[str, Any]]:
+        rows = self._query(
+            "SELECT search_id, ts, query, mode, timings, arms, results "
+            "FROM search_events ORDER BY ts DESC LIMIT ?", (limit,))
+        return [{"search_id": r[0], "ts": r[1], "query": r[2], "mode": r[3],
+                 "timings": json.loads(r[4]), "arms": json.loads(r[5]),
+                 "results": json.loads(r[6])} for r in rows]
+
+    def recent_decisions(self, limit: int = 50) -> list[dict[str, Any]]:
+        rows = self._query(
+            "SELECT agent_id, ts, query, strategy, chain, query_class, contour, "
+            "confidence, refused, latency_ms FROM query_decisions "
+            "ORDER BY ts DESC LIMIT ?", (limit,))
+        return [{"agent_id": r[0], "ts": r[1], "query": r[2], "strategy": r[3],
+                 "chain": json.loads(r[4]), "query_class": r[5], "contour": r[6],
+                 "confidence": r[7], "refused": bool(r[8]), "latency_ms": r[9]}
+                for r in rows]
+
+    def trace(self, agent_id: str) -> dict[str, Any] | None:
+        rows = self._query("SELECT trace FROM query_traces WHERE agent_id=?",
+                           (agent_id,))
+        return json.loads(rows[0][0]) if rows else None
+
+    def recent_errors(self, limit: int = 50, severity: str | None = None) -> list[dict]:
+        sql = "SELECT ts, service, severity, message, context FROM processing_errors"
+        args: tuple = ()
+        if severity:
+            sql += " WHERE severity=?"
+            args = (severity,)
+        sql += " ORDER BY ts DESC LIMIT ?"
+        rows = self._query(sql, args + (limit,))
+        return [{"ts": r[0], "service": r[1], "severity": r[2], "message": r[3],
+                 "context": json.loads(r[4])} for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Progress emitter (in-process pub/sub; the SSE feed's source)
+# ---------------------------------------------------------------------------
+
+
+class ProgressEmitter:
+    """Ordered, bounded, fire-and-forget stage-progress events keyed by a
+    correlation id (progress_emit.py semantics: PHI-safe fields only —
+    callers pass stage names and counters, never raw text)."""
+
+    def __init__(self, max_events_per_cid: int = 500):
+        self._events: dict[str, list[dict]] = {}
+        self._subs: dict[str, list[Callable[[dict], None]]] = {}
+        self._lock = threading.Lock()
+        self._max = max_events_per_cid
+
+    def emit(self, cid: str, stage: str, **fields: Any) -> None:
+        event = {"cid": cid, "stage": stage, "ts": time.time(),
+                 "seq": None, **fields}
+        with self._lock:
+            lst = self._events.setdefault(cid, [])
+            event["seq"] = len(lst)
+            if len(lst) < self._max:
+                lst.append(event)
+            subs = list(self._subs.get(cid, ())) + list(self._subs.get("*", ()))
+        for cb in subs:
+            try:
+                cb(event)
+            except Exception:
+                pass
+
+    def subscribe(self, cid: str, cb: Callable[[dict], None]) -> None:
+        with self._lock:
+            self._subs.setdefault(cid, []).append(cb)
+
+    def events(self, cid: str, since_seq: int = -1) -> list[dict]:
+        with self._lock:
+            return [e for e in self._events.get(cid, []) if e["seq"] > since_seq]
+
+
+PROGRESS = ProgressEmitter()

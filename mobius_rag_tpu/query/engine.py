@@ -336,11 +336,12 @@ class SearchEngine:
     pipeline, materializes results + telemetry."""
 
     def __init__(self, store: ChunkStore, lexicon: Lexicon | None = None,
-                 cfg: Config | None = None, embed_fn=None):
+                 cfg: Config | None = None, embed_fn=None, telemetry=None):
         self.store = store
         self.lexicon = lexicon
         self.cfg = cfg or get_config()
         self.embed_fn = embed_fn  # (list[str]) -> np.ndarray [B, D]
+        self.telemetry = telemetry  # observability.TelemetryStore | None
 
     # -- host-side query prep ---------------------------------------------
 
@@ -485,7 +486,7 @@ class SearchEngine:
                     for i, v in zip(idxs, vals) if v > NEG_INF / 2
                 ][: k]
 
-            results.append(SearchResult(
+            result = SearchResult(
                 query=req.query,
                 hits=hits,
                 confidence_label=label,
@@ -504,5 +505,18 @@ class SearchEngine:
                     "expansion_log": exp.log,
                     "mode": req.mode,
                 },
-            ))
+            )
+            results.append(result)
+            if self.telemetry is not None:
+                # fire-and-forget search_events row (corpus_search.py:3187)
+                self.telemetry.record_search_event(
+                    query=req.query, mode=req.mode,
+                    timings=result.telemetry["timings_ms"],
+                    arms={a: len(v) for a, v in result.telemetry["arms"].items()},
+                    expansion=exp.matched_codes,
+                    results=[{"chunk_id": h.chunk_id, "score": h.score,
+                              "signals": h.signals} for h in hits],
+                    extra={"strict_count": result.telemetry["strict_count"],
+                           "confidence": label},
+                )
         return results
