@@ -1,0 +1,130 @@
+"""Scale benchmark: 1M-chunk corpus on one chip — exact bf16 scan vs
+int8 quantized scan vs IVF probed scan (BASELINE.json configs 4-5).
+
+Corpus is generated ON DEVICE (no host transfer): 4096 cluster centers,
+per-chunk noise — realistic locality for IVF. Ground truth = f32-accum
+exact scan over the same bf16 matrix.
+
+Usage: python bench_scale.py [--n 1000000] [--nprobe 32]
+Prints one JSON line per method on stdout; progress on stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=1536)
+    ap.add_argument("--nlist", type=int, default=1024)
+    ap.add_argument("--nprobe", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mobius_rag_tpu.index.ivf import IVFIndex, ivf_search
+    from mobius_rag_tpu.ops.quant import cosine_topk_int8, quantize_rows
+    from mobius_rag_tpu.ops.topk import cosine_topk_xla
+
+    n, d, k, b = args.n, args.d, args.k, args.batch
+    log(f"backend={jax.default_backend()}; generating {n}x{d} clustered corpus on device")
+
+    key = jax.random.PRNGKey(0)
+    kc, ka, kn, kq = jax.random.split(key, 4)
+    n_centers = 4096
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+    @jax.jit
+    def gen_block(key, center_rows):
+        noise = jax.random.normal(key, (center_rows.shape[0], d), jnp.float32)
+        v = centers[center_rows] + 0.05 * noise
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        return v.astype(jnp.bfloat16)
+
+    block = 100_000
+    blocks = []
+    assign = jax.random.randint(ka, (n,), 0, n_centers)
+    for off in range(0, n, block):
+        kb = jax.random.fold_in(kn, off)
+        blocks.append(gen_block(kb, assign[off:off + block]))
+    v_bf16 = jnp.concatenate(blocks, axis=0)
+    jax.block_until_ready(v_bf16)
+    del blocks  # free the 3 GB of generation blocks before quantizing
+    log(f"corpus ready: {v_bf16.shape} bf16 ({v_bf16.size * 2 / 1e9:.1f} GB)")
+
+    # queries: noisy copies of random rows
+    q_rows = jax.random.randint(kq, (b,), 0, n)
+    qv = v_bf16[q_rows].astype(jnp.float32) + 0.02 * jax.random.normal(
+        jax.random.fold_in(kq, 1), (b, d), jnp.float32)
+    qv = qv / jnp.linalg.norm(qv, axis=1, keepdims=True)
+    penalty = jnp.zeros((n,), jnp.float32)
+
+    def timed(fn, iters=10):
+        out = fn()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+            jax.block_until_ready(out)
+        return out, (time.perf_counter() - t0) / iters
+
+    results = {}
+
+    # exact bf16 (ground truth + baseline timing)
+    (ex_vals, ex_idx), t_exact = timed(lambda: cosine_topk_xla(v_bf16, qv, penalty, k))
+    exact_set = [set(map(int, row)) for row in np.asarray(ex_idx)]
+    log(f"exact bf16 scan: {t_exact * 1e3:.1f} ms/batch → {b / t_exact:.0f} qps")
+    results["exact_bf16"] = {"qps": b / t_exact, "recall": 1.0}
+
+    # int8 quantized scan
+    log("quantizing to int8...")
+    v_int8, scales = quantize_rows(v_bf16)
+    jax.block_until_ready(v_int8)
+    (i_vals, i_idx), t_int8 = timed(lambda: cosine_topk_int8(v_int8, scales, qv, penalty, k))
+    recall8 = float(np.mean([
+        len(exact_set[i] & set(map(int, row))) / k
+        for i, row in enumerate(np.asarray(i_idx))]))
+    log(f"int8 scan: {t_int8 * 1e3:.1f} ms/batch → {b / t_int8:.0f} qps, recall {recall8:.4f}")
+    results["int8"] = {"qps": b / t_int8, "recall": recall8}
+
+    # IVF
+    log(f"building IVF nlist={args.nlist}...")
+    t0 = time.perf_counter()
+    ivf = IVFIndex.build(v_bf16, nlist=args.nlist, iters=8, pad_factor=2.0)
+    jax.block_until_ready(ivf.centroids)
+    log(f"IVF built in {time.perf_counter() - t0:.1f}s (pad {ivf.pad}, spill {ivf.spill_count})")
+    (v_vals, v_idx), t_ivf = timed(
+        lambda: ivf_search(ivf, v_bf16, qv, penalty, k, nprobe=args.nprobe))
+    recall_ivf = float(np.mean([
+        len(exact_set[i] & set(map(int, row))) / k
+        for i, row in enumerate(np.asarray(v_idx))]))
+    log(f"IVF nprobe={args.nprobe}: {t_ivf * 1e3:.1f} ms/batch → {b / t_ivf:.0f} qps, "
+        f"recall {recall_ivf:.4f}")
+    results["ivf"] = {"qps": b / t_ivf, "recall": recall_ivf, "nprobe": args.nprobe}
+
+    print(json.dumps({
+        "metric": f"scale_scan_{n // 1000}k_1chip",
+        "value": round(results["int8"]["qps"], 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(results["int8"]["qps"] / (1.0 / 1.1), 1),
+        "detail": {m: {kk: round(vv, 4) if isinstance(vv, float) else vv
+                       for kk, vv in r.items()} for m, r in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import os
 import sqlite3
+import threading
 import time
 import uuid
 from typing import Any
@@ -36,49 +37,59 @@ class EvalDB:
     def __init__(self, path: str | None = None):
         base = path or os.path.join(get_config().data_dir, "eval.sqlite")
         os.makedirs(os.path.dirname(base), exist_ok=True)
-        self.conn = sqlite3.connect(base)
+        # cross-thread use (API handlers + nightly daemon thread) is
+        # coarse-grained — serialize through one lock
+        self.conn = sqlite3.connect(base, check_same_thread=False)
+        self._lock = threading.Lock()
         self.conn.executescript(_SCHEMA)
+
+    def _execute(self, sql: str, args: tuple = ()):
+        with self._lock:
+            cur = self.conn.execute(sql, args)
+            self.conn.commit()
+            return cur
+
+    def _fetchall(self, sql: str, args: tuple = ()):
+        with self._lock:
+            return self.conn.execute(sql, args).fetchall()
 
     def insert_run(self, bank, fingerprint: dict[str, Any]) -> str:
         run_id = uuid.uuid4().hex
-        self.conn.execute(
+        self._execute(
             "INSERT INTO eval_runs (run_id, bank_name, bank_version, bank_sha, "
             "started_at, fingerprint) VALUES (?,?,?,?,?,?)",
             (run_id, bank.name, bank.version, bank.sha, time.time(),
              json.dumps(fingerprint)),
         )
-        self.conn.commit()
         return run_id
 
     def insert_result(self, run_id: str, query_id: str, payload: dict[str, Any]) -> None:
-        self.conn.execute(
+        self._execute(
             "INSERT OR IGNORE INTO eval_results (result_id, run_id, query_id, payload) "
             "VALUES (?,?,?,?)",
             (uuid.uuid4().hex, run_id, query_id, json.dumps(payload)),
         )
-        self.conn.commit()
 
     def finalize_run(self, run_id: str, aggregates: dict[str, Any]) -> None:
-        self.conn.execute(
+        self._execute(
             "UPDATE eval_runs SET finished_at=?, aggregates=? WHERE run_id=?",
             (time.time(), json.dumps(aggregates), run_id),
         )
-        self.conn.commit()
 
     def insert_calibration(self, fingerprint: dict[str, Any], matrix: dict[str, Any]) -> str:
         cid = uuid.uuid4().hex
-        self.conn.execute(
+        self._execute(
             "INSERT INTO calibration_runs (calib_id, created_at, fingerprint, matrix) "
             "VALUES (?,?,?,?)",
             (cid, time.time(), json.dumps(fingerprint), json.dumps(matrix)),
         )
-        self.conn.commit()
         return cid
 
     def run(self, run_id: str) -> dict[str, Any] | None:
-        row = self.conn.execute(
+        rows = self._fetchall(
             "SELECT bank_name, bank_version, bank_sha, fingerprint, aggregates "
-            "FROM eval_runs WHERE run_id=?", (run_id,)).fetchone()
+            "FROM eval_runs WHERE run_id=?", (run_id,))
+        row = rows[0] if rows else None
         if not row:
             return None
         return {
@@ -88,15 +99,14 @@ class EvalDB:
         }
 
     def results(self, run_id: str) -> list[dict[str, Any]]:
-        rows = self.conn.execute(
-            "SELECT query_id, payload FROM eval_results WHERE run_id=?", (run_id,)
-        ).fetchall()
+        rows = self._fetchall(
+            "SELECT query_id, payload FROM eval_results WHERE run_id=?", (run_id,))
         return [{"query_id": q, **json.loads(p)} for q, p in rows]
 
     def list_runs(self, limit: int = 50) -> list[dict[str, Any]]:
-        rows = self.conn.execute(
+        rows = self._fetchall(
             "SELECT run_id, bank_name, bank_version, started_at, finished_at, aggregates "
-            "FROM eval_runs ORDER BY started_at DESC LIMIT ?", (limit,)).fetchall()
+            "FROM eval_runs ORDER BY started_at DESC LIMIT ?", (limit,))
         return [
             {"run_id": r[0], "bank_name": r[1], "bank_version": r[2],
              "started_at": r[3], "finished_at": r[4],

@@ -19,6 +19,7 @@ import dataclasses
 import json
 import os
 import sqlite3
+import threading
 import time
 import uuid
 from typing import Any
@@ -64,7 +65,11 @@ class JobQueue:
     def __init__(self, path: str | None = None, *, lease_seconds: float = 300.0):
         base = path or os.path.join(get_config().data_dir, "jobs.sqlite")
         os.makedirs(os.path.dirname(base), exist_ok=True)
-        self.conn = sqlite3.connect(base, timeout=30.0)
+        # shared across worker threads (nightly sweeps, API handlers) —
+        # sqlite serializes writers; the RLock protects claim's
+        # read-then-update transaction
+        self.conn = sqlite3.connect(base, timeout=30.0, check_same_thread=False)
+        self._lock = threading.RLock()
         self.conn.execute("PRAGMA journal_mode=WAL")
         self.conn.executescript(_SCHEMA)
         self.lease_seconds = lease_seconds
@@ -82,7 +87,7 @@ class JobQueue:
         job_id = uuid.uuid4().hex
         now = time.time()
         key = dedupe_key or job_id
-        with self.conn:
+        with self._lock, self.conn:
             row = self.conn.execute(
                 "SELECT job_id, status FROM jobs WHERE kind=? AND dedupe_key=?",
                 (kind, key)).fetchone()
@@ -108,7 +113,7 @@ class JobQueue:
         """Atomic claim of the best runnable job: queued, or running with
         an expired lease (zombie)."""
         now = time.time()
-        with self.conn:  # BEGIN..COMMIT — sqlite serializes writers
+        with self._lock, self.conn:  # read-then-update must be atomic across threads
             row = self.conn.execute(
                 "SELECT job_id, payload, attempts, priority FROM jobs "
                 "WHERE kind=? AND (status='queued' OR "
@@ -129,49 +134,55 @@ class JobQueue:
         return Job(job_id, kind, json.loads(payload), "running", attempts + 1, priority)
 
     def heartbeat(self, job_id: str) -> None:
-        self.conn.execute(
-            "UPDATE jobs SET lease_expires=?, updated_at=? WHERE job_id=?",
-            (time.time() + self.lease_seconds, time.time(), job_id))
-        self.conn.commit()
+        with self._lock:
+            self.conn.execute(
+                "UPDATE jobs SET lease_expires=?, updated_at=? WHERE job_id=?",
+                (time.time() + self.lease_seconds, time.time(), job_id))
+            self.conn.commit()
 
     def complete(self, job_id: str, result: dict[str, Any] | None = None) -> None:
-        self.conn.execute(
-            "UPDATE jobs SET status='done', updated_at=? WHERE job_id=?",
-            (time.time(), job_id))
-        self.conn.commit()
+        with self._lock:
+            self.conn.execute(
+                "UPDATE jobs SET status='done', updated_at=? WHERE job_id=?",
+                (time.time(), job_id))
+            self.conn.commit()
         self.emit(job_id, "done", result or {})
 
     def fail(self, job_id: str, error: str, *, retry: bool = True) -> None:
         """Failed attempt: requeue (until max_attempts) or park as failed."""
-        row = self.conn.execute(
-            "SELECT attempts, max_attempts FROM jobs WHERE job_id=?", (job_id,)
-        ).fetchone()
-        status = "queued" if (retry and row and row[0] < row[1]) else "failed"
-        self.conn.execute(
-            "UPDATE jobs SET status=?, error=?, updated_at=? WHERE job_id=?",
-            (status, error[:2000], time.time(), job_id))
-        self.conn.commit()
+        with self._lock:
+            row = self.conn.execute(
+                "SELECT attempts, max_attempts FROM jobs WHERE job_id=?", (job_id,)
+            ).fetchone()
+            status = "queued" if (retry and row and row[0] < row[1]) else "failed"
+            self.conn.execute(
+                "UPDATE jobs SET status=?, error=?, updated_at=? WHERE job_id=?",
+                (status, error[:2000], time.time(), job_id))
+            self.conn.commit()
         self.emit(job_id, "failed" if status == "failed" else "requeued",
                   {"error": error[:500]})
 
     # -- observability --------------------------------------------------------------
 
     def emit(self, job_id: str, stage: str, payload: dict[str, Any]) -> None:
-        self.conn.execute(
-            "INSERT INTO job_events (job_id, stage, payload, ts) VALUES (?,?,?,?)",
-            (job_id, stage, json.dumps(payload), time.time()))
-        self.conn.commit()
+        with self._lock:
+            self.conn.execute(
+                "INSERT INTO job_events (job_id, stage, payload, ts) VALUES (?,?,?,?)",
+                (job_id, stage, json.dumps(payload), time.time()))
+            self.conn.commit()
 
     def events(self, job_id: str) -> list[dict[str, Any]]:
-        rows = self.conn.execute(
-            "SELECT stage, payload, ts FROM job_events WHERE job_id=? "
-            "ORDER BY event_id", (job_id,)).fetchall()
+        with self._lock:
+            rows = self.conn.execute(
+                "SELECT stage, payload, ts FROM job_events WHERE job_id=? "
+                "ORDER BY event_id", (job_id,)).fetchall()
         return [{"stage": s, "ts": t, **json.loads(p)} for s, p, t in rows]
 
     def job(self, job_id: str) -> dict[str, Any] | None:
-        row = self.conn.execute(
-            "SELECT kind, status, attempts, error, payload FROM jobs WHERE job_id=?",
-            (job_id,)).fetchone()
+        with self._lock:
+            row = self.conn.execute(
+                "SELECT kind, status, attempts, error, payload FROM jobs WHERE job_id=?",
+                (job_id,)).fetchone()
         if row is None:
             return None
         return {"job_id": job_id, "kind": row[0], "status": row[1],
@@ -179,9 +190,10 @@ class JobQueue:
 
     def depths(self) -> dict[str, dict[str, int]]:
         """Queue depths by kind × status (the pipeline_health feed)."""
-        rows = self.conn.execute(
-            "SELECT kind, status, COUNT(*) FROM jobs GROUP BY kind, status"
-        ).fetchall()
+        with self._lock:
+            rows = self.conn.execute(
+                "SELECT kind, status, COUNT(*) FROM jobs GROUP BY kind, status"
+            ).fetchall()
         out: dict[str, dict[str, int]] = {}
         for kind, status, n in rows:
             out.setdefault(kind, {})[status] = n
@@ -191,9 +203,10 @@ class JobQueue:
         """Park running jobs whose lease expired long ago and are out of
         attempts (fail_stale_jobs_for_cleanup parity)."""
         cutoff = time.time() - older_than_s
-        cur = self.conn.execute(
-            "UPDATE jobs SET status='failed', error='stale lease cleanup' "
-            "WHERE status='running' AND lease_expires < ? AND attempts >= max_attempts",
-            (cutoff,))
-        self.conn.commit()
-        return cur.rowcount
+        with self._lock:
+            cur = self.conn.execute(
+                "UPDATE jobs SET status='failed', error='stale lease cleanup' "
+                "WHERE status='running' AND lease_expires < ? AND attempts >= max_attempts",
+                (cutoff,))
+            self.conn.commit()
+            return cur.rowcount

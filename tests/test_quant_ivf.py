@@ -1,0 +1,103 @@
+"""Quantized scan + IVF recall/parity tests (small-scale, CPU)."""
+import numpy as np
+import pytest
+
+from mobius_rag_tpu.index.ivf import IVFIndex, ivf_search
+from mobius_rag_tpu.ops.quant import cosine_topk_int8, quantize_rows
+from mobius_rag_tpu.ops.topk import NEG_INF, cosine_topk_xla
+
+
+def _corpus(rng, n=4000, d=256, n_clusters=32, noise=0.02):
+    # Clustered corpus. Note the per-dim noise scale: a unit-norm center
+    # plus noise*N(0, I_d) has noise NORM noise*sqrt(d), so noise must be
+    # << 1/sqrt(d)-ish for cluster structure to survive in high dim —
+    # with noise=0.3 the data is effectively uniform and IVF (or any ANN)
+    # legitimately needs near-exhaustive probing.
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, n)
+    v = centers[assign] + noise * rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v
+
+
+def _recall(idx_a, idx_b, k):
+    return np.mean([
+        len(set(map(int, a[:k])) & set(map(int, b[:k]))) / k
+        for a, b in zip(np.asarray(idx_a), np.asarray(idx_b))
+    ])
+
+
+def test_int8_quantization_roundtrip(rng):
+    v = rng.standard_normal((100, 256)).astype(np.float32)
+    q, scale = quantize_rows(v)
+    deq = np.asarray(q, np.float32) * np.asarray(scale)[:, None]
+    rel = np.abs(deq - v).max() / np.abs(v).max()
+    assert rel < 0.01
+    assert np.asarray(q).dtype == np.int8
+
+
+def test_int8_topk_recall(rng):
+    # moderate structure: int8's ~0.8% relative error must not reorder
+    # top-10 when neighbor margins are realistic (not the degenerate
+    # all-neighbors-at-sim-0.999 regime)
+    v = _corpus(rng, noise=0.1)
+    q = v[rng.choice(len(v), 16)] + 0.1 * rng.standard_normal((16, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    pen = np.zeros(len(v), np.float32)
+    _, exact = cosine_topk_xla(v, q, pen, 10)
+    qv, scale = quantize_rows(v)
+    _, idx8 = cosine_topk_int8(qv, scale, q, pen, 10)
+    assert _recall(exact, idx8, 10) >= 0.97
+
+
+def test_int8_respects_penalty(rng):
+    v = _corpus(rng, n=500)
+    qv, scale = quantize_rows(v)
+    q = v[:2]
+    pen = np.zeros(len(v), np.float32)
+    pen[100:] = NEG_INF
+    vals, idx = cosine_topk_int8(qv, scale, q, pen, 5)
+    assert (np.asarray(idx) < 100).all()
+
+
+def test_ivf_build_covers_all_live_rows(rng):
+    v = _corpus(rng, n=2000)
+    valid = np.ones(len(v), np.float32)
+    valid[::7] = 0.0
+    ivf = IVFIndex.build(v, valid, nlist=32, iters=5)
+    covered = set()
+    m = np.asarray(ivf.members)
+    mv = np.asarray(ivf.member_valid)
+    for c in range(ivf.nlist):
+        covered.update(m[c][mv[c] > 0].tolist())
+    covered.update(np.asarray(ivf.spill)[np.asarray(ivf.spill_valid) > 0].tolist())
+    live = set(np.flatnonzero(valid > 0).tolist())
+    assert covered == live  # padding + spill never drop a live row
+
+
+def test_ivf_recall_vs_exact(rng):
+    v = _corpus(rng, n=4000)
+    ivf = IVFIndex.build(v, nlist=64, iters=8)
+    q = v[rng.choice(len(v), 16)] + 0.01 * rng.standard_normal((16, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    pen = np.zeros(len(v), np.float32)
+    _, exact = cosine_topk_xla(v, q, pen, 10)
+    _, probed = ivf_search(ivf, v, q, pen, 10, nprobe=8)
+    r = _recall(exact, probed, 10)
+    assert r >= 0.9, f"IVF recall {r}"
+    # more probes → monotonically better (or equal) recall
+    _, probed16 = ivf_search(ivf, v, q, pen, 10, nprobe=16)
+    assert _recall(exact, probed16, 10) >= r - 0.02
+
+
+def test_ivf_respects_filter_penalty(rng):
+    v = _corpus(rng, n=1000)
+    ivf = IVFIndex.build(v, nlist=16, iters=5)
+    q = v[:3]
+    pen = np.full(len(v), NEG_INF, np.float32)
+    allowed = np.arange(0, 1000, 3)
+    pen[allowed] = 0.0
+    vals, idx = ivf_search(ivf, v, q, pen, 10, nprobe=8)
+    live = np.asarray(vals) > NEG_INF / 2
+    assert np.isin(np.asarray(idx)[live], allowed).all()
