@@ -57,10 +57,15 @@ class AppContext:
     eval_db: EvalDB
     llm_configs: LLMConfigRegistry
     prompts: PromptRegistry
+    namespaces: Any = None  # tenancy.NamespaceRegistry
+    curator: Any = None  # curator.Curator
+    nightly: Any = None  # nightly.NightlyOrchestrator
 
     @classmethod
     def build(cls, *, embed_fn=None, lexicon=None, llm=None) -> "AppContext":
+        from mobius_rag_tpu.curator import Curator
         from mobius_rag_tpu.providers import get_embedding_provider
+        from mobius_rag_tpu.tenancy import NamespaceRegistry
         from mobius_rag_tpu.testing import sample_lexicon
 
         lexicon = lexicon or sample_lexicon()
@@ -72,9 +77,16 @@ class AppContext:
         agent = CorpusSearchAgent(engine, llm=llm)
         agent.observers.append(telemetry.record_decision)
         pipeline = IngestPipeline(store, lexicon, embed_fn, llm=llm)
-        return cls(store=store, engine=engine, agent=agent, pipeline=pipeline,
-                   telemetry=telemetry, eval_db=EvalDB(),
-                   llm_configs=LLMConfigRegistry(), prompts=PromptRegistry())
+        ctx = cls(store=store, engine=engine, agent=agent, pipeline=pipeline,
+                  telemetry=telemetry, eval_db=EvalDB(),
+                  llm_configs=LLMConfigRegistry(), prompts=PromptRegistry(),
+                  namespaces=NamespaceRegistry(lexicon, embed_fn,
+                                               telemetry=telemetry),
+                  curator=Curator())
+        from mobius_rag_tpu.nightly import NightlyOrchestrator
+
+        ctx.nightly = NightlyOrchestrator(ctx)
+        return ctx
 
 
 def _json(data: Any, status: int = 200) -> web.Response:
@@ -355,6 +367,138 @@ def build_app(ctx: AppContext) -> web.Application:
 
     # ---- admin ------------------------------------------------------------------
 
+    async def query_batch(request):
+        """Batched multi-query endpoint — the throughput shape the device
+        pipeline is built for (the reference is strictly one query per
+        request; SURVEY §7 phase 4)."""
+        body = await request.json()
+        queries = body.get("queries") or []
+        if not queries or not isinstance(queries, list):
+            return _err("missing 'queries' (non-empty list)")
+        if len(queries) > 256:
+            return _err("at most 256 queries per batch", 413)
+        try:
+            reqs = [QueryRequest(
+                query=q["query"], mode=q.get("mode", "corpus"),
+                payer=q.get("payer", ""), state=q.get("state", ""),
+                program=q.get("program", ""), tag_mode=q.get("tag_mode", "strict"),
+            ) for q in queries]
+        except (KeyError, TypeError):
+            return _err("each query needs at least {'query': ...}")
+        try:
+            results = ctx.engine.search(reqs, k=int(body.get("k", 10)))
+        except ValueError as e:
+            return _err(str(e))
+        return _json({"results": [
+            {"query": r.query, "confidence_label": r.confidence_label,
+             "hits": [{"chunk_id": h.chunk_id, "doc_id": h.doc_id,
+                       "score": h.score, "text": h.text[:500]} for h in r.hits]}
+            for r in results
+        ]})
+
+    # ---- namespaces (org-docs parity) ---------------------------------------
+
+    async def ns_list(request):
+        return _json({"namespaces": ctx.namespaces.list()})
+
+    async def ns_create(request):
+        body = await request.json()
+        try:
+            ns = ctx.namespaces.create(body.get("name", ""))
+        except ValueError as e:
+            return _err(str(e), 409 if "exists" in str(e) else 400)
+        return _json({"name": ns.name})
+
+    async def ns_delete(request):
+        ok = ctx.namespaces.delete(request.match_info["name"])
+        return _json({"deleted": ok}) if ok else _err("not found", 404)
+
+    async def ns_add_chunks(request):
+        ns = ctx.namespaces.get(request.match_info["name"])
+        if ns is None:
+            return _err("not found", 404)
+        body = await request.json()
+        from mobius_rag_tpu.index.store import ChunkRecord
+        from mobius_rag_tpu.ingest.featurize import featurize_chunk
+
+        items = body.get("chunks") or []
+        if not items:
+            return _err("missing 'chunks'")
+        texts = [c.get("text", "") for c in items]
+        vecs = ctx.engine.embed_fn(texts)
+        recs = []
+        for c, v in zip(items, vecs):
+            rec = ChunkRecord(
+                chunk_id=c.get("chunk_id") or f"{c.get('doc_id', 'doc')}-{len(recs)}",
+                doc_id=c.get("doc_id", "doc"), text=c.get("text", ""),
+                embedding=v, payer=c.get("payer", ""), state=c.get("state", ""),
+            )
+            recs.append(featurize_chunk(rec, ctx.engine.lexicon))
+        rows = ns.store.add_chunks(recs)
+        return _json({"added": len(rows)})
+
+    async def ns_query(request):
+        ns = ctx.namespaces.get(request.match_info["name"])
+        if ns is None:
+            return _err("not found", 404)
+        body = await request.json()
+        if not body.get("query"):
+            return _err("missing 'query'")
+        res = ns.engine.search(QueryRequest(query=body["query"]),
+                               k=int(body.get("k", 10)))[0]
+        return _json({"results": [
+            {"chunk_id": h.chunk_id, "doc_id": h.doc_id, "text": h.text,
+             "score": h.score} for h in res.hits]})
+
+    # ---- curator --------------------------------------------------------------
+
+    async def curator_sources(request):
+        srcs = ctx.curator.search(payer=request.query.get("payer", ""),
+                                  status=request.query.get("status", ""),
+                                  q=request.query.get("q", ""))
+        return _json({"sources": [dataclasses.asdict(s) for s in srcs]})
+
+    async def curator_upsert(request):
+        body = await request.json()
+        if not body.get("url"):
+            return _err("missing 'url'")
+        src = ctx.curator.upsert(body["url"], title=body.get("title"),
+                                 notes=body.get("notes"))
+        return _json(dataclasses.asdict(src))
+
+    async def curator_curate(request):
+        body = await request.json()
+        if not body.get("url"):
+            return _err("missing 'url'")
+        src = ctx.curator.curate(body["url"], approve=bool(body.get("approve", True)),
+                                 notes=body.get("notes", ""))
+        return _json(dataclasses.asdict(src))
+
+    async def curator_stats(request):
+        return _json(ctx.curator.stats())
+
+    # ---- integrity / nightly -----------------------------------------------------
+
+    async def integrity(request):
+        from mobius_rag_tpu.integrity import integrity_report
+
+        return _json(integrity_report(ctx))
+
+    async def integrity_fix(request):
+        from mobius_rag_tpu.integrity import integrity_remediate
+
+        return _json(integrity_remediate(ctx))
+
+    async def nightly_run(request):
+        try:
+            run_id = ctx.nightly.start()
+        except RuntimeError as e:
+            return _err(str(e), 409)
+        return _json({"run_id": run_id})
+
+    async def nightly_status(request):
+        return _json(ctx.nightly.status())
+
     async def retag(request):
         """In-process retag sweep: re-run Path-B/featurization over every
         live chunk with the CURRENT lexicon (main.py:3419 parity)."""
@@ -409,6 +553,20 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_post("/config/llm", llm_configs_put)
     r.add_get("/config/prompts", prompts_list)
     r.add_post("/config/prompts", prompts_put)
+    r.add_post("/api/query_batch", query_batch)
+    r.add_get("/admin/org-docs", ns_list)
+    r.add_post("/admin/org-docs", ns_create)
+    r.add_delete("/admin/org-docs/{name}", ns_delete)
+    r.add_post("/admin/org-docs/{name}/chunks", ns_add_chunks)
+    r.add_post("/admin/org-docs/{name}/query", ns_query)
+    r.add_get("/api/curator/sources", curator_sources)
+    r.add_post("/api/curator/sources", curator_upsert)
+    r.add_post("/api/curator/curate", curator_curate)
+    r.add_get("/api/curator/stats", curator_stats)
+    r.add_get("/admin/integrity", integrity)
+    r.add_post("/admin/integrity/remediate", integrity_fix)
+    r.add_post("/admin/nightly/run", nightly_run)
+    r.add_get("/admin/nightly/status", nightly_status)
     r.add_post("/admin/retag", retag)
     r.add_post("/admin/snapshot", snapshot)
     r.add_post("/admin/cleanup-stale-jobs", cleanup_stale)

@@ -443,6 +443,27 @@ class ChunkStore:
         self._lexical_stats_cache = None
         return len(rows)
 
+    def invalidate_rows(self, rows: Sequence[int]) -> int:
+        """Force-clear device rows regardless of host-record state — the
+        integrity remediation path for device-only ghosts."""
+        rows = [r for r in rows if 0 <= r < self.capacity]
+        if not rows:
+            return 0
+        for r in rows:
+            if r < len(self.records) and self.records[r] is not None:
+                rec = self.records[r]
+                self.records[r] = None
+                self._free_rows.append(r)
+                if rec.doc_id in self._doc_rows and r in self._doc_rows[rec.doc_id]:
+                    self._doc_rows[rec.doc_id].remove(r)
+        n_pad = round_up(len(rows), _WRITE_BLOCK)
+        padded = np.full((n_pad,), -1, np.int32)
+        padded[: len(rows)] = rows
+        for off in range(0, n_pad, _WRITE_BLOCK):
+            self.index = _clear_rows(self.index, jnp.asarray(padded[off:off + _WRITE_BLOCK]))
+        self._lexical_stats_cache = None
+        return len(rows)
+
     def publish_document(self, doc_id: str, recs: Sequence[ChunkRecord]) -> list[int]:
         """Idempotent republish: DELETE+INSERT (publish.py:1-7 contract)."""
         self.delete_by_document(doc_id)

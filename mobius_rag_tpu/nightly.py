@@ -57,7 +57,9 @@ class NightlyOrchestrator:
         with self._lock:
             if self._thread is not None and self._thread.is_alive():
                 raise RuntimeError("nightly run already in progress")
-            self.run_id = f"nightly-{int(time.time())}"
+            import uuid
+
+            self.run_id = f"nightly-{int(time.time())}-{uuid.uuid4().hex[:6]}"
             self.state = {s: StepState(s) for s in STEPS}
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()

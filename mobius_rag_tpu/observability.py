@@ -123,6 +123,8 @@ class TelemetryStore:
         os.makedirs(os.path.dirname(base), exist_ok=True)
         self._path = base
         self._q: queue.Queue[tuple[str, tuple]] = queue.Queue(maxsize=10000)
+        self._pending = 0
+        self._pending_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._writer, daemon=True)
         self._thread.start()
@@ -149,16 +151,28 @@ class TelemetryStore:
                 conn.commit()
             except sqlite3.Error:
                 logging.getLogger("telemetry").exception("telemetry write failed")
+            finally:
+                with self._pending_lock:
+                    self._pending -= 1
 
     def _submit(self, sql: str, args: tuple) -> None:
         try:
+            with self._pending_lock:
+                self._pending += 1
             self._q.put_nowait((sql, args))
         except queue.Full:
-            pass  # fire-and-forget: drop telemetry before blocking the query path
+            with self._pending_lock:
+                self._pending -= 1
+            # fire-and-forget: drop telemetry before blocking the query path
 
     def flush(self, timeout_s: float = 5.0) -> None:
+        """Wait for every submitted write to COMMIT (queue emptiness alone
+        races with the in-flight item)."""
         deadline = time.time() + timeout_s
-        while not self._q.empty() and time.time() < deadline:
+        while time.time() < deadline:
+            with self._pending_lock:
+                if self._pending == 0:
+                    return
             time.sleep(0.01)
 
     def close(self) -> None:

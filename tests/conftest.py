@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("MRAG_EMBED_DIM", "256")
 os.environ.setdefault("MRAG_INITIAL_CAPACITY", "1024")
 os.environ.setdefault("MRAG_LEXICAL_BUCKETS", "2048")
+# Hermetic data dir: default-path sqlite stores (queue/eval/telemetry/
+# curator) must not leak across test runs or into ~/.mobius_rag_tpu.
+import tempfile
+
+os.environ["MRAG_DATA_DIR"] = tempfile.mkdtemp(prefix="mrag-tests-")
 
 import jax
 
