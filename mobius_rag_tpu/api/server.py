@@ -117,6 +117,10 @@ def build_app(ctx: AppContext) -> web.Application:
 
     # ---- health / ops ---------------------------------------------------
 
+    async def console(request):
+        path = os.path.join(os.path.dirname(__file__), "console.html")
+        return web.FileResponse(path)
+
     async def health(request):
         return _json({"status": "ok", "chunks": ctx.store.size,
                       "capacity": ctx.store.capacity})
@@ -528,6 +532,7 @@ def build_app(ctx: AppContext) -> web.Application:
 
     # ---- routes -----------------------------------------------------------------
 
+    r.add_get("/", console)
     r.add_get("/health", health)
     r.add_get("/pipeline_health", pipeline_health)
     r.add_post("/upload", upload)

@@ -87,6 +87,60 @@ def make_train_step(cfg: EncoderConfig, tc: TrainConfig, mesh: Mesh):
     return train_step, shard_params, shard_batch, init_opt_state
 
 
+def train_encoder_on_corpus(
+    store,
+    *,
+    cfg: EncoderConfig | None = None,
+    params: dict | None = None,
+    steps: int = 100,
+    batch: int = 32,
+    mesh: Mesh | None = None,
+    tc: TrainConfig | None = None,
+    seed: int = 0,
+    log_every: int = 10,
+):
+    """Fine-tune the encoder on ICT pairs mined from a ChunkStore.
+    Returns (params, history). The end-to-end 'improve retrieval on MY
+    corpus' loop: mine → train (dp×tp) → re-embed via the workers."""
+    from mobius_rag_tpu.models.data import batches, mine_ict_pairs
+    from mobius_rag_tpu.models.encoder import init_params
+    from mobius_rag_tpu.models.tokenizer import HashTokenizer
+    from mobius_rag_tpu.parallel.mesh import make_train_mesh
+
+    cfg = cfg or EncoderConfig.from_env()
+    if mesh is None:
+        n = len(jax.devices())
+        tp = 2 if n % 2 == 0 and n > 1 else 1
+        mesh = make_train_mesh(dp=n // tp, tp=tp)
+    tc = tc or TrainConfig()
+    tokenizer = HashTokenizer(cfg.vocab_size, cfg.max_seq)
+    pairs = mine_ict_pairs(store, max_pairs=steps * batch * 2, seed=seed)
+    if len(pairs) < batch:
+        raise ValueError(f"corpus too small to mine {batch}-pair batches "
+                         f"({len(pairs)} pairs)")
+
+    step_fn, shard_params, shard_batch, init_opt = make_train_step(cfg, tc, mesh)
+    params = shard_params(params if params is not None
+                          else init_params(cfg, jax.random.PRNGKey(seed)))
+    opt_state = init_opt(params)
+    history = []
+    done = 0
+    epoch = 0
+    while done < steps:
+        for qs, ds in batches(pairs, tokenizer, batch, seed=seed + epoch):
+            params, opt_state, metrics = step_fn(
+                params, opt_state, shard_batch(jnp.asarray(qs)),
+                shard_batch(jnp.asarray(ds)))
+            done += 1
+            if done % log_every == 0 or done == steps:
+                m = jax.device_get(metrics)
+                history.append({"step": done, **{k: float(v) for k, v in m.items()}})
+            if done >= steps:
+                break
+        epoch += 1
+    return params, history
+
+
 def train_demo(num_steps: int = 3, mesh: Mesh | None = None,
                cfg: EncoderConfig | None = None, batch: int = 16, seed: int = 0):
     """Tiny smoke-train used by tests and the multichip dryrun: random
