@@ -132,6 +132,19 @@ def main() -> None:
     qps = BATCH * N_BATCHES / dt
     log(f"throughput: {qps:.1f} qps (batch={BATCH}, {dt / N_BATCHES * 1e3:.1f} ms/batch)")
 
+    # pipelined throughput: dispatch all batches before the single sync —
+    # the serving-throughput shape (amortizes per-dispatch RTT, which
+    # dominates through the remote-TPU tunnel; on-pod the gap shrinks)
+    all_batches = [bench_reqs for _ in range(N_BATCHES)]
+    engine.search_pipelined(all_batches[:1], k=K)
+    t0 = time.perf_counter()
+    results = engine.search_pipelined(all_batches, k=K)
+    dt = time.perf_counter() - t0
+    assert all(r.hits for batch in results for r in batch)
+    qps_pipe = BATCH * N_BATCHES / dt
+    log(f"pipelined throughput: {qps_pipe:.1f} qps ({dt * 1e3:.1f} ms for "
+        f"{N_BATCHES} batches)")
+
     # single-query latency (sync each)
     one = [bench_reqs[0]]
     engine.search(one, k=K)
@@ -143,10 +156,11 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "strategy_a_hybrid_qps_70k_1chip",
-        "value": round(qps, 2),
+        "value": round(qps_pipe, 2),
         "unit": "queries/sec",
-        "vs_baseline": round(qps / BASELINE_QPS, 1),
+        "vs_baseline": round(qps_pipe / BASELINE_QPS, 1),
         "recall_at_10_vs_exact": round(recall, 4),
+        "qps_sync_per_batch": round(qps, 2),
         "single_query_ms": round(p50_ms, 2),
     }))
 

@@ -19,10 +19,15 @@ static shapes + masking, never by reshaping under jit):
                                   Aho-Corasick so the reranker's coverage
                                   signal (corpus_search.py:1909 semantics)
                                   is a pure bit-AND-popcount on device
-  lexical      [C, H]   bf16      hashed-term BM25 weights (field-weighted
+  lexical      [H, C]   bf16      hashed-term BM25 weights (field-weighted
                                   A/B/C/D like the reference's multi-field
                                   search_vec; migration
-                                  rebuild_rag_published_fts_multifield.py)
+                                  rebuild_rag_published_fts_multifield.py).
+                                  Stored TRANSPOSED (bucket-major) so the
+                                  query path gathers only the few dozen
+                                  buckets a query batch touches — ~130 MB
+                                  instead of a 2.3 GB full-matrix read at
+                                  70k chunks (queries are sparse in H)
 
 Host side keeps the row ↔ chunk-record map (text, ids, display metadata)
 for assembly; nothing host-side is on the query hot path before result
@@ -147,19 +152,22 @@ class DeviceIndex:
             d_tags=jnp.zeros((c, cfg.tag_words), jnp.uint32),
             p_tags=jnp.zeros((c, cfg.tag_words), jnp.uint32),
             phrase_bits=jnp.zeros((c, cfg.phrase_words), jnp.uint32),
-            lexical=jnp.zeros((c, cfg.lexical_buckets), jnp.bfloat16),
+            lexical=jnp.zeros((cfg.lexical_buckets, c), jnp.bfloat16),
         )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_block(index: DeviceIndex, start: jnp.ndarray, block: dict) -> DeviceIndex:
     """Write a fixed-size row block at dynamic offset `start` (donated
-    in-place update; one compile per array signature)."""
+    in-place update; one compile per array signature). `lexical` is
+    bucket-major [H, C], so its chunk-block writes land on axis 1."""
     new = {}
     for f in DeviceIndex.FIELDS:
         arr = getattr(index, f)
         upd = block[f].astype(arr.dtype)
-        if arr.ndim == 1:
+        if f == "lexical":
+            new[f] = jax.lax.dynamic_update_slice(arr, upd, (0, start))
+        elif arr.ndim == 1:
             new[f] = jax.lax.dynamic_update_slice(arr, upd, (start,))
         else:
             new[f] = jax.lax.dynamic_update_slice(arr, upd, (start, 0))
@@ -251,10 +259,13 @@ class ChunkStore:
         grown = {}
         for f in DeviceIndex.FIELDS:
             arr = np.asarray(getattr(old, f))
-            pad = np.zeros((new_cap - arr.shape[0],) + arr.shape[1:], arr.dtype)
+            axis = 1 if f == "lexical" else 0  # lexical is [H, C]
+            shape = list(arr.shape)
+            shape[axis] = new_cap - arr.shape[axis]
+            pad = np.zeros(shape, arr.dtype)
             if f in ("doc_id", "payer", "state", "program"):
                 pad.fill(-1)
-            grown[f] = jnp.asarray(np.concatenate([arr, pad], axis=0))
+            grown[f] = jnp.asarray(np.concatenate([arr, pad], axis=axis))
         self.index = DeviceIndex(**grown)
 
     # -- writes ------------------------------------------------------------
@@ -301,7 +312,7 @@ class ChunkStore:
         d_tags = np.zeros((n_pad, cfg.tag_words), np.uint32)
         p_tags = np.zeros((n_pad, cfg.tag_words), np.uint32)
         phrase_bits = np.zeros((n_pad, cfg.phrase_words), np.uint32)
-        lexical = np.zeros((n_pad, cfg.lexical_buckets), np.float32)
+        lexical = np.zeros((cfg.lexical_buckets, n_pad), np.float32)  # bucket-major
 
         for i, r in enumerate(recs):
             v = np.asarray(r.embedding, np.float32)
@@ -319,7 +330,7 @@ class ChunkStore:
             p_tags[i] = pack_bits(r.p_tags, cfg.tag_words)
             phrase_bits[i] = pack_bits(r.phrase_ids, cfg.phrase_words)
             for bucket, w in r.lexical_weights.items():
-                lexical[i, bucket % cfg.lexical_buckets] += w
+                lexical[bucket % cfg.lexical_buckets, i] += w
 
         for off in range(0, n_pad, _WRITE_BLOCK):
             block = {
@@ -335,7 +346,7 @@ class ChunkStore:
                 "d_tags": jnp.asarray(d_tags[off:off + _WRITE_BLOCK]),
                 "p_tags": jnp.asarray(p_tags[off:off + _WRITE_BLOCK]),
                 "phrase_bits": jnp.asarray(phrase_bits[off:off + _WRITE_BLOCK]),
-                "lexical": jnp.asarray(lexical[off:off + _WRITE_BLOCK]),
+                "lexical": jnp.asarray(lexical[:, off:off + _WRITE_BLOCK]),
             }
             self.index = _write_block(self.index, jnp.int32(start + off), block)
         self._lexical_stats_cache = None
@@ -406,11 +417,11 @@ class ChunkStore:
                 for bucket, w in r.lexical_weights.items():
                     lex_np[i, bucket % cfg.lexical_buckets] += w
             lexical = lex_np
-        lex_arr = jnp.zeros((cap, cfg.lexical_buckets), jnp.bfloat16)
+        # external API stays row-major [N, H]; storage is bucket-major [H, C]
+        lex_arr = jnp.zeros((cfg.lexical_buckets, cap), jnp.bfloat16)
         if lexical.shape[0] > 0:
-            # rows beyond lexical.shape[0] stay zero (pure-vector chunks)
-            lex_arr = lex_arr.at[: lexical.shape[0]].set(
-                jnp.asarray(lexical, jnp.bfloat16)
+            lex_arr = lex_arr.at[:, : lexical.shape[0]].set(
+                jnp.asarray(lexical, jnp.bfloat16).T
             )
 
         self.index = DeviceIndex(

@@ -34,6 +34,7 @@ from mobius_rag_tpu.ingest.extract import extract_text_from_bytes
 from mobius_rag_tpu.ingest.featurize import featurize_chunk
 from mobius_rag_tpu.ingest.paths import aggregate_document_tags, run_path_a, run_path_b
 from mobius_rag_tpu.ingest.queue import Job, JobQueue
+from mobius_rag_tpu.observability import PROGRESS
 from mobius_rag_tpu.query.lexicon import Lexicon
 
 EMBED_BATCH = 128
@@ -89,6 +90,7 @@ class ChunkingWorker:
         extracted = extract_text_from_bytes(blob.data, blob.filename)
         self.queue.emit(job.job_id, "extracted",
                         {"pages": len(extracted.pages), "kind": extracted.kind})
+        PROGRESS.emit(doc_id, "extracted", pages=len(extracted.pages))
 
         paragraphs = chunk_pages([(p.number, p.text) for p in extracted.pages])
         units: list[dict[str, Any]] = []
@@ -231,6 +233,7 @@ class EmbeddingWorker:
             self.queue.emit(job.job_id, "batch_embedded",
                             {"n": len(batch), "items_per_s": round(len(batch) / max(dt, 1e-6), 1),
                              "done": embedded, "of": len(src)})
+            PROGRESS.emit(doc_id, "embedding", done=embedded, of=len(src))
 
         # neighbor enrichment for the reranker haystack
         for i, rec in enumerate(recs):
@@ -244,6 +247,7 @@ class EmbeddingWorker:
             rows = self.store.publish_document(doc_id, recs)
         else:
             rows = self.store.add_chunks(recs)
+        PROGRESS.emit(doc_id, "done", published=len(rows))
         return {"embedded": embedded, "published_rows": len(rows)}
 
     def run_loop(self, *, poll_s: float = 0.5, max_jobs: int | None = None) -> int:

@@ -180,14 +180,28 @@ class ShardedEngine:
         arrays = {}
         for f in DeviceIndex.FIELDS:
             a = np.asarray(getattr(host, f))
-            c = a.shape[0]
+            # every field is chunk-major except lexical ([H, C]) — the
+            # chunk axis is what shards
+            chunk_axis = 1 if f == "lexical" else 0
+            c = a.shape[chunk_axis]
             c_pad = round_up(c, s)
             if c_pad != c:
-                pad = np.zeros((c_pad - c,) + a.shape[1:], a.dtype)
-                a = np.concatenate([a, pad], axis=0)
-            sharding = NamedSharding(self.mesh, P(self.axis, *([None] * (a.ndim - 1))))
-            arrays[f] = jax.device_put(a, sharding)
+                shape = list(a.shape)
+                shape[chunk_axis] = c_pad - c
+                a = np.concatenate([a, np.zeros(shape, a.dtype)], axis=chunk_axis)
+            spec = [None] * a.ndim
+            spec[chunk_axis] = self.axis
+            arrays[f] = jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
         return DeviceIndex(**arrays)
+
+    def _index_specs(self) -> DeviceIndex:
+        specs = {}
+        for f in DeviceIndex.FIELDS:
+            ndim = getattr(self.index, f).ndim
+            spec = [None] * ndim
+            spec[1 if f == "lexical" else 0] = self.axis
+            specs[f] = P(*spec)
+        return DeviceIndex(**specs)
 
     @functools.partial(jax.jit, static_argnames=("self", "k"))
     def _run(self, q: dict, k: int):
@@ -204,8 +218,7 @@ class ShardedEngine:
             functools.partial(_local_candidates, k=k, m=m, axis=self.axis),
             mesh=self.mesh,
             in_specs=(
-                jax.tree_util.tree_map(lambda _: P(self.axis), self.index,
-                                       is_leaf=lambda x: x is None),
+                self._index_specs(),
                 P(),  # queries replicated
             ),
             out_specs=(P(None, self.axis), P(None, self.axis), P(None, self.axis)),

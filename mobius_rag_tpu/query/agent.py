@@ -35,6 +35,16 @@ from mobius_rag_tpu.query.strategies import (StrategyOutcome, run_strategy_a,
 
 MAX_ATTEMPTS = 4
 
+# Escalation budget (agent :2321): strategies carry relative costs; the
+# adaptive loop stops escalating when the per-query budget is spent even
+# if attempts remain (c/d burn LLM/web calls, a/b are near-free).
+STRATEGY_COST = {"a": 1.0, "b": 2.0, "c": 4.0, "d": 4.0, "s": 0.5}
+ESCALATION_BUDGET = 8.0
+
+# Query-signature fast-exit (agent :3105): a query shape that was just
+# refused/abstained fast-exits without re-running the strategy cascade.
+_SIGNATURE_CACHE_MAX = 512
+
 
 @dataclasses.dataclass
 class AgentRequest:
@@ -86,6 +96,8 @@ class CorpusSearchAgent:
         self.fact_store = fact_store
         self._tag_docs_cache: tuple[int, dict] | None = None
         self.observers: list = []  # callbacks(AgentResult) — decision persistence
+        # signature → (refused_answer, contour) for fast-exit
+        self._signature_cache: dict[str, tuple[str, str]] = {}
 
     # -- corpus probe cache -------------------------------------------------
 
@@ -195,25 +207,35 @@ class CorpusSearchAgent:
                     pass
             return res
 
+        # query-signature fast-exit: identical normalized query shape that
+        # was just refused skips the cascade entirely (agent :3105)
+        signature = " ".join(sorted(set(req.query.lower().split()))) + f"|{req.payer}"
+        cached = self._signature_cache.get(signature)
+        if cached is not None and req.mode is None:
+            chain.append("e")
+            return _result(cached[0], [], "abstain",
+                           {"strategy": "e", "reason": "signature fast-exit"},
+                           refused=True)
+
+        def _refuse(answer, reason):
+            chain.append("e")
+            if len(self._signature_cache) >= _SIGNATURE_CACHE_MAX:
+                self._signature_cache.clear()
+            self._signature_cache[signature] = (answer, gate.contour.value)
+            return _result(answer, [], "abstain",
+                           {"strategy": "e", "reason": reason}, refused=True)
+
         # fail-fast gate e (strategy chain entry "e", ~0.25 s in the
         # reference; here it's pure regex)
         if gate.fail_fast:
-            chain.append("e")
-            return _result(
-                f"Request refused ({gate.fail_fast}).", [], "abstain",
-                {"strategy": "e", "reason": f"fail_fast:{gate.fail_fast}"},
-                refused=True,
-            )
+            return _refuse(f"Request refused ({gate.fail_fast}).",
+                           f"fail_fast:{gate.fail_fast}")
         if gate.contour in (Contour.OUT_OF_SCOPE, Contour.UNCLEAR):
-            chain.append("e")
-            return _result(
+            return _refuse(
                 "This question is outside the corpus domain."
                 if gate.contour == Contour.OUT_OF_SCOPE
                 else "Could not parse the question — please rephrase.",
-                [], "abstain",
-                {"strategy": "e", "reason": f"gate:{gate.contour.value}"},
-                refused=True,
-            )
+                f"gate:{gate.contour.value}")
 
         # strategy s pre-route (payor fact store)
         if req.mode in (None, "s"):
@@ -266,13 +288,17 @@ class CorpusSearchAgent:
             return _result(answer, hits, label, decision_dict)
 
         # adaptive loop: walk the fallback order until a strategy succeeds
-        tried = 0
+        # or the escalation budget is spent
+        budget = ESCALATION_BUDGET
         best: StrategyOutcome | None = None
         for sid in decision.order[:MAX_ATTEMPTS]:
+            cost = STRATEGY_COST.get(sid, 1.0)
+            if cost > budget and best is not None:
+                break  # escalation budget spent (agent :2321)
+            budget -= cost
             chain.append(sid)
             out = self._run_strategy(sid, base_req, req.k)
             outcomes.append(out)
-            tried += 1
             if best is None or (out.hits and not best.hits) or (
                 out.success and not best.success
             ):

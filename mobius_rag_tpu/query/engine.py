@@ -178,8 +178,15 @@ def arm_scores(index: DeviceIndex, q: dict, k: int, *, penalty=None, meta_ok=Non
     cos = jnp.dot(
         q["vec"], index.vectors.astype(jnp.float32).T, preferred_element_type=jnp.float32
     )  # [B, C]
+    # Lexical arm: queries are sparse in the hash-bucket space, so instead
+    # of a [B, H] x [H, C] matmul (a full read of the bucket-major lexical
+    # matrix), gather only the batch's union of touched buckets [U, C] and
+    # contract against per-query IDF weights [B, U] — HBM traffic drops
+    # from H rows to U rows (U is typically a few dozen).
+    bucket_rows = jnp.take(index.lexical, q["lex_buckets"], axis=0)  # [U, C]
     lex_raw = jnp.dot(
-        q["lex"], index.lexical.astype(jnp.float32).T, preferred_element_type=jnp.float32
+        q["lex_weights"], bucket_rows.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
     )  # [B, C]
     dtag_member = _overlap(index.d_tags, q["d_bits"])  # [B, C]
     dtag_scores = (
@@ -356,9 +363,6 @@ class SearchEngine:
         df, n_live = self.store.lexical_stats()
         lex_w = query_lexical_weights(req.query, exp.expansion_phrases, df, n_live,
                                       cfg.lexical_buckets)
-        lex = np.zeros(cfg.lexical_buckets, np.float32)
-        for bkt, w in lex_w.items():
-            lex[bkt] = w
 
         slots = exp.phrase_slots[:MAX_PHRASE_SLOTS]
         s_word = np.zeros(MAX_PHRASE_SLOTS, np.int32)
@@ -395,7 +399,6 @@ class SearchEngine:
             "j_bits": pack_bits(exp.tag_ids["j"], cfg.tag_words),
             "d_bits": pack_bits(exp.tag_ids["d"], cfg.tag_words),
             "p_bits": pack_bits(exp.tag_ids["p"], cfg.tag_words),
-            "lex": lex,
             "min_sim": np.float32(req.min_similarity),
             "tag_mode": np.int32(tag_mode_code),
             "arm_weights": np.asarray(_MODE_ARM_WEIGHTS[req.mode], np.float32),
@@ -406,7 +409,44 @@ class SearchEngine:
             "slot_isj": s_isj,
             "slot_weight": s_weight,
         }
-        return q, exp
+        return q, exp, lex_w
+
+    # Static pads for the batch bucket union — each distinct pad is one
+    # XLA compilation, so round up to a few sizes instead of exact counts.
+    _BUCKET_PADS = (128, 512, 2048)
+
+    def prepare_batch(self, reqs: Sequence[QueryRequest]):
+        """Assemble the batched device-query dict: per-query arrays
+        stacked + the sparse lexical contraction (union bucket list
+        [U] + per-query weights [B, U])."""
+        vecs = self._embeddings(reqs)
+        prepared = [self.prepare_query(r) for r in reqs]
+        q: dict = {"vec": jnp.asarray(vecs)}
+        for key in prepared[0][0]:
+            q[key] = jnp.asarray(np.stack([p[0][key] for p in prepared]))
+
+        union: list[int] = []
+        seen: dict[int, int] = {}
+        for _, _, lex_w in prepared:
+            for b in lex_w:
+                if b not in seen:
+                    seen[b] = len(union)
+                    union.append(b)
+        u_pad = next((p for p in self._BUCKET_PADS if len(union) <= p),
+                     self.cfg.lexical_buckets)
+        if len(union) > u_pad:  # beyond the largest pad — keep the heaviest
+            union = union[:u_pad]
+            seen = {b: i for i, b in enumerate(union)}
+        buckets = np.zeros(u_pad, np.int32)
+        buckets[: len(union)] = union
+        weights = np.zeros((len(reqs), u_pad), np.float32)
+        for bi, (_, _, lex_w) in enumerate(prepared):
+            for b, w in lex_w.items():
+                if b in seen:
+                    weights[bi, seen[b]] = w
+        q["lex_buckets"] = jnp.asarray(buckets)
+        q["lex_weights"] = jnp.asarray(weights)
+        return q, [p[1] for p in prepared]
 
     def _embeddings(self, reqs: Sequence[QueryRequest]) -> np.ndarray:
         need = [r.query for r in reqs if r.embedding is None]
@@ -422,6 +462,25 @@ class SearchEngine:
 
     # -- public API ---------------------------------------------------------
 
+    def search_pipelined(self, batches: Sequence[Sequence[QueryRequest]],
+                         k: int | None = None) -> list[list[SearchResult]]:
+        """Bulk search: dispatch every batch's compiled program before
+        fetching any results, so host↔device round-trips overlap device
+        execution (the serving-throughput shape; jax dispatch is async).
+        Results are fully materialized before returning."""
+        k = k or self.cfg.default_k
+        prepared = [self.prepare_batch(b) for b in batches]
+        outs = [
+            _search_compiled(self.store.index, q, k, self.cfg.over_fetch,
+                             self.cfg.rrf_k)
+            for q, _ in prepared
+        ]
+        fetched = jax.device_get(outs)  # one sync point for the whole set
+        return [
+            self._assemble(list(batch), exps, out, k)
+            for batch, (qq, exps), out in zip(batches, prepared, fetched)
+        ]
+
     def search(self, reqs: Sequence[QueryRequest] | QueryRequest, k: int | None = None
                ) -> list[SearchResult]:
         if isinstance(reqs, QueryRequest):
@@ -430,17 +489,21 @@ class SearchEngine:
         k = k or cfg.default_k
         t0 = time.perf_counter()
 
-        vecs = self._embeddings(reqs)
-        prepared = [self.prepare_query(r) for r in reqs]
-        q = {"vec": jnp.asarray(vecs)}
-        for key in prepared[0][0]:
-            q[key] = jnp.asarray(np.stack([p[0][key] for p in prepared]))
+        q, exps = self.prepare_batch(reqs)
 
         t_prep = time.perf_counter()
         out = _search_compiled(self.store.index, q, k, cfg.over_fetch, cfg.rrf_k)
         out = jax.device_get(out)
         t_dev = time.perf_counter()
+        timings = {
+            "prepare": (t_prep - t0) * 1e3 / len(reqs),
+            "device": (t_dev - t_prep) * 1e3 / len(reqs),
+        }
+        return self._assemble(list(reqs), exps, out, k, timings)
 
+    def _assemble(self, reqs: list[QueryRequest], exps, out, k: int,
+                  timings: dict | None = None) -> list[SearchResult]:
+        cfg = self.cfg
         results = []
         for bi, req in enumerate(reqs):
             hits = []
@@ -476,7 +539,7 @@ class SearchEngine:
                     },
                 ))
             label = _confidence_label(hits[0].score, cfg) if hits else "abstain"
-            exp = prepared[bi][1]
+            exp = exps[bi]
 
             def _arm_trace(name):
                 idxs = out[f"{name}_idx"][bi]
@@ -492,10 +555,7 @@ class SearchEngine:
                 confidence_label=label,
                 expansion=exp,
                 telemetry={
-                    "timings_ms": {
-                        "prepare": (t_prep - t0) * 1e3 / len(reqs),
-                        "device": (t_dev - t_prep) * 1e3 / len(reqs),
-                    },
+                    "timings_ms": timings or {},
                     "arms": {
                         "vector": _arm_trace("vec"),
                         "lexical": _arm_trace("lex"),

@@ -133,7 +133,11 @@ class Lexicon:
     # -- bulk matching (native Aho-Corasick) ---------------------------------
 
     def phrase_table(self) -> tuple[list[str], dict[int, list[tuple[str, int]]]]:
-        """(phrases ordered by phrase_id, phrase_id → [(kind, tag_id)])."""
+        """(phrases ordered by phrase_id, phrase_id → [(kind, tag_id)]).
+        Cached; invalidated when entries are added."""
+        cached = getattr(self, "_phrase_table", None)
+        if cached is not None and cached[0] == len(self.phrase_ids):
+            return cached[1], cached[2]
         ordered = [""] * len(self.phrase_ids)
         for p, pid in self.phrase_ids.items():
             ordered[pid] = p
@@ -141,6 +145,7 @@ class Lexicon:
         for e in self.entries:
             for p in e.phrases:
                 owners.setdefault(self.phrase_ids[p], []).append((e.kind, e.tag_id))
+        self._phrase_table = (len(self.phrase_ids), ordered, owners)
         return ordered, owners
 
     @property
@@ -194,21 +199,24 @@ class Lexicon:
     # -- expansion --------------------------------------------------------
 
     def expand(self, query: str) -> LexiconExpansion:
-        """Match query text against entry phrases; aggregate expansion."""
-        q = " " + query.lower() + " "
+        """Match query text against entry phrases (native Aho-Corasick —
+        this runs per query on the serving hot path); aggregate
+        expansion. Entry order and the 12-entry cap follow the
+        reference's iterate-in-curation-order semantics."""
         out = LexiconExpansion()
+        hit_ids = self.matcher.match_set(query)
+        ordered, _ = self.phrase_table()
+        # Reject generic single words per the stoplist; multi-word
+        # phrases containing them still match.
+        hit_phrases = {
+            ordered[pid] for pid in hit_ids
+            if " " in ordered[pid] or ordered[pid] not in SINGLE_WORD_STOPLIST
+        }
         matched: list[tuple[LexiconEntry, str]] = []
-        seen_codes: set[str] = set()
-        for pat, entry, phrase in self._phrase_index:
-            if entry.full_code in seen_codes:
-                continue
-            # Reject generic single words per the stoplist; multi-word
-            # phrases containing them still match.
-            if " " not in phrase and phrase in SINGLE_WORD_STOPLIST:
-                continue
-            if pat.search(q):
-                matched.append((entry, phrase))
-                seen_codes.add(entry.full_code)
+        for entry in self.entries:
+            first = next((p for p in entry.phrases if p in hit_phrases), None)
+            if first is not None:
+                matched.append((entry, first))
                 if len(matched) >= self.max_entries_per_query:
                     break
 

@@ -33,11 +33,7 @@ QUERIES = [
 
 
 def _prepared_batch(single, reqs):
-    vecs = hash_embed([r.query for r in reqs])
-    prepared = [single.prepare_query(r) for r in reqs]
-    q = {"vec": vecs}
-    for key in prepared[0][0]:
-        q[key] = np.stack([p[0][key] for p in prepared])
+    q, _ = single.prepare_batch(reqs)
     return q
 
 
