@@ -13,7 +13,7 @@ from typing import Any
 from mobius_rag_tpu.eval_harness.bank import Bank, load_bank
 from mobius_rag_tpu.eval_harness.db import EvalDB
 from mobius_rag_tpu.eval_harness.run import run_eval
-from mobius_rag_tpu.query.agent import AgentRequest, CorpusSearchAgent
+from mobius_rag_tpu.query.agent import CorpusSearchAgent
 from mobius_rag_tpu.query.engine import QueryRequest
 
 

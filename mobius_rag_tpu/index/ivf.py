@@ -22,7 +22,7 @@ TPU-first design decisions:
 """
 from __future__ import annotations
 
-import dataclasses
+
 import functools
 
 import jax
@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mobius_rag_tpu.ops.topk import NEG_INF
-from mobius_rag_tpu.utils import cdiv, round_up
+from mobius_rag_tpu.utils import round_up
 
 
 # Row-block width for the assignment matmul: keeps the [block, nlist]

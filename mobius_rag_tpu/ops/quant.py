@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mobius_rag_tpu.ops.topk import NEG_INF
+
 
 
 @jax.jit

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mobius_rag_tpu.utils import cdiv, round_up
+from mobius_rag_tpu.utils import round_up
 
 NEG_INF = -1e30
 

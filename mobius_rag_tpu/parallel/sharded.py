@@ -234,6 +234,29 @@ class ShardedEngine:
 
     def search_arrays(self, q_host: dict[str, np.ndarray], k: int):
         """Run the sharded pipeline on prepared query arrays (schema =
-        SearchEngine.prepare_query + 'vec'). Returns host dict."""
+        SearchEngine.prepare_batch). Returns host dict."""
         q = {key: jnp.asarray(v) for key, v in q_host.items()}
         return jax.device_get(self._run(q, k))
+
+    def search(self, engine, reqs, k: int | None = None):
+        """Full search over the sharded index: borrow the (single-chip)
+        SearchEngine for host-side prep and result assembly; run the
+        compiled portion sharded. `engine` must wrap the SAME ChunkStore
+        this ShardedEngine was built from (row ids are shared)."""
+        from mobius_rag_tpu.query.engine import QueryRequest
+
+        if isinstance(reqs, QueryRequest):
+            reqs = [reqs]
+        k = k or self.cfg.default_k
+        q, exps = engine.prepare_batch(reqs)
+        out = jax.device_get(self._run(q, k))
+        # the merge path reports no per-arm traces; synthesize the keys
+        # _assemble reads for them as empty
+        b, kk = out["idx"].shape
+        import numpy as _np
+
+        for arm in ("vec", "lex", "dtag"):
+            out.setdefault(f"{arm}_idx", _np.zeros((b, 0), _np.int32))
+            out.setdefault(f"{arm}_vals", _np.zeros((b, 0), _np.float32))
+        out.setdefault("strict_count", _np.zeros((b,), _np.float32))
+        return engine._assemble(list(reqs), exps, out, kk)

@@ -71,6 +71,20 @@ def test_sharded_matches_single(setup):
         )
 
 
+def test_sharded_full_search_api(setup):
+    lex, store, single, sharded = setup
+    res = sharded.search(single, QueryRequest(
+        query="What is the timely filing deadline for Sunshine Health "
+              "FL Medicaid claims?"), k=5)[0]
+    assert res.hits and res.hits[0].doc_id == "sunshine_provider_manual"
+    assert res.confidence_label in ("high", "medium")
+    # matches the single-chip engine's answer
+    mono = single.search(QueryRequest(
+        query="What is the timely filing deadline for Sunshine Health "
+              "FL Medicaid claims?"), k=5)[0]
+    assert [h.chunk_id for h in res.hits] == [h.chunk_id for h in mono.hits]
+
+
 def test_sharded_filter_parity(setup):
     # metadata filter must fail closed on every shard
     lex, store, single, sharded = setup
