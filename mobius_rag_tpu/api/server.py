@@ -60,6 +60,7 @@ class AppContext:
     namespaces: Any = None  # tenancy.NamespaceRegistry
     curator: Any = None  # curator.Curator
     nightly: Any = None  # nightly.NightlyOrchestrator
+    candidates: Any = None  # candidates.CandidateStore
 
     @classmethod
     def build(cls, *, embed_fn=None, lexicon=None, llm=None) -> "AppContext":
@@ -74,15 +75,19 @@ class AppContext:
         telemetry = TelemetryStore()
         engine = SearchEngine(store, lexicon, embed_fn=embed_fn,
                               telemetry=telemetry)
+        from mobius_rag_tpu.candidates import CandidateStore
+
         agent = CorpusSearchAgent(engine, llm=llm)
         agent.observers.append(telemetry.record_decision)
-        pipeline = IngestPipeline(store, lexicon, embed_fn, llm=llm)
+        candidates = CandidateStore()
+        pipeline = IngestPipeline(store, lexicon, embed_fn, llm=llm,
+                                  candidate_sink=candidates.record)
         ctx = cls(store=store, engine=engine, agent=agent, pipeline=pipeline,
                   telemetry=telemetry, eval_db=EvalDB(),
                   llm_configs=LLMConfigRegistry(), prompts=PromptRegistry(),
                   namespaces=NamespaceRegistry(lexicon, embed_fn,
                                                telemetry=telemetry),
-                  curator=Curator())
+                  curator=Curator(), candidates=candidates)
         from mobius_rag_tpu.nightly import NightlyOrchestrator
 
         ctx.nightly = NightlyOrchestrator(ctx)
@@ -343,6 +348,149 @@ def build_app(ctx: AppContext) -> web.Application:
             return _err(f"bad entry: {e}")
         return _json({"added": entry.full_code, "tag_id": entry.tag_id})
 
+    async def lexicon_candidates(request):
+        return _json({"candidates": ctx.candidates.pending(
+            min_occurrences=int(request.query.get("min_occurrences", 2)),
+            limit=int(request.query.get("limit", 100)))})
+
+    async def lexicon_candidate_review(request):
+        body = await request.json()
+        if not body.get("phrase"):
+            return _err("missing 'phrase'")
+        out = ctx.candidates.review(
+            body["phrase"], approve=bool(body.get("approve", False)),
+            lexicon=ctx.engine.lexicon if body.get("approve") else None,
+            kind=body.get("kind", "d"), code=body.get("code", ""))
+        if not out["found"]:
+            return _err("candidate not found", 404)
+        return _json(out)
+
+    # ---- eval timeline / compare -----------------------------------------------
+
+    async def eval_timeline(request):
+        """Runs over time (+ drift vs the previous run of the same bank) —
+        routers/eval.py timeline/drift parity."""
+        runs = ctx.eval_db.list_runs(int(request.query.get("limit", 100)))
+        bank = request.query.get("bank")
+        if bank:
+            runs = [r for r in runs if bank in (r["bank_name"] or "")]
+        runs = sorted(runs, key=lambda r: r["started_at"] or 0)
+        out = []
+        prev: dict | None = None
+        for r in runs:
+            agg = r["aggregates"] or {}
+            drift = None
+            if prev and agg and prev.get("aggregates"):
+                drift = {
+                    key: round(agg.get(key, 0) - prev["aggregates"].get(key, 0), 4)
+                    for key in ("accuracy", "mean_chunk_recall", "answer_rate")
+                }
+            out.append({**r, "drift": drift})
+            if agg:
+                prev = r
+        return _json({"timeline": out})
+
+    async def eval_compare(request):
+        """Per-query diff between two runs (routers/eval.py compare)."""
+        a, b = request.query.get("run_a"), request.query.get("run_b")
+        if not a or not b:
+            return _err("need run_a and run_b")
+        ra = {r["query_id"]: r for r in ctx.eval_db.results(a)}
+        rb = {r["query_id"]: r for r in ctx.eval_db.results(b)}
+        if not ra or not rb:
+            return _err("unknown run id(s)", 404)
+        diffs = []
+        for qid in sorted(set(ra) | set(rb)):
+            xa, xb = ra.get(qid), rb.get(qid)
+            diffs.append({
+                "query_id": qid,
+                "a": {"verdict": xa and xa["judge_verdict"],
+                      "recall": xa and xa["chunk_recall"]},
+                "b": {"verdict": xb and xb["judge_verdict"],
+                      "recall": xb and xb["chunk_recall"]},
+                "changed": bool(xa and xb and
+                                xa["judge_verdict"] != xb["judge_verdict"]),
+            })
+        return _json({"run_a": a, "run_b": b, "diffs": diffs,
+                      "changed": sum(d["changed"] for d in diffs)})
+
+    # ---- documents: original bytes + pdf export -----------------------------------
+
+    async def document_file(request):
+        d = ctx.pipeline.docs.get(request.match_info["doc_id"])
+        if d is None:
+            return _err("not found", 404)
+        return web.Response(body=d.data, content_type="application/octet-stream",
+                            headers={"Content-Disposition":
+                                     f'attachment; filename="{d.filename}"'})
+
+    async def document_pdf(request):
+        """Consolidated document markdown → PDF (markdown_to_pdf.py parity)."""
+        from mobius_rag_tpu.export_pdf import markdown_to_pdf
+
+        doc_id = request.match_info["doc_id"]
+        rows = ctx.store._doc_rows.get(doc_id, [])
+        recs = [r for i in rows if (r := ctx.store.record(i)) is not None]
+        if not recs:
+            return _err("not found", 404)
+        md = "\n\n".join(
+            (f"## {r.section_path}\n\n{r.text}" if r.section_path else r.text)
+            for r in recs
+        )
+        pdf = markdown_to_pdf(f"# {doc_id}\n\n{md}", title=doc_id)
+        return web.Response(body=pdf, content_type="application/pdf")
+
+    # ---- drive import ---------------------------------------------------------------
+
+    async def drive_import(request):
+        """Import a drive folder via the configured client (offline pods
+        have none → 501 with the reason, matching the gated-feature
+        pattern)."""
+        from mobius_rag_tpu.drive import import_folder
+
+        client = getattr(ctx, "drive_client", None)
+        if client is None:
+            return _err("no drive client configured (set ctx.drive_client)", 501)
+        body = await request.json()
+        if not body.get("folder_id"):
+            return _err("missing 'folder_id'")
+        out = import_folder(ctx.pipeline, client, body["folder_id"],
+                            manuals_only=bool(body.get("manuals_only", True)))
+        return _json(dataclasses.asdict(out))
+
+    # ---- admin DB console ---------------------------------------------------------
+
+    async def sql_console(request):
+        """Read-only SQL over the host-side sqlite stores (main.py:12438
+        DB-browser parity). Admin-gated by the middleware; connections
+        are opened query_only so writes are impossible."""
+        import sqlite3
+
+        body = await request.json()
+        sql = (body.get("sql") or "").strip()
+        target = body.get("db", "telemetry")
+        if not sql:
+            return _err("missing 'sql'")
+        paths = {
+            "telemetry": ctx.telemetry._path,
+            "eval": os.path.join(get_config().data_dir, "eval.sqlite"),
+            "jobs": os.path.join(get_config().data_dir, "jobs.sqlite"),
+            "curator": os.path.join(get_config().data_dir, "curator.sqlite"),
+            "candidates": os.path.join(get_config().data_dir, "candidates.sqlite"),
+        }
+        if target not in paths:
+            return _err(f"db must be one of {sorted(paths)}")
+        try:
+            conn = sqlite3.connect(f"file:{paths[target]}?mode=ro", uri=True)
+            conn.execute("PRAGMA query_only = ON")
+            cur = conn.execute(sql)
+            cols = [c[0] for c in cur.description or []]
+            rows = cur.fetchmany(int(body.get("limit", 200)))
+            conn.close()
+        except sqlite3.Error as e:
+            return _err(f"sql error: {e}")
+        return _json({"columns": cols, "rows": rows})
+
     # ---- config ----------------------------------------------------------------
 
     async def llm_configs_list(request):
@@ -554,6 +702,14 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_get("/api/eval/runs/{run_id}", eval_run_detail)
     r.add_get("/api/lexicon", lexicon_list)
     r.add_post("/api/lexicon/entries", lexicon_add)
+    r.add_get("/api/lexicon/candidates", lexicon_candidates)
+    r.add_post("/api/lexicon/candidates/review", lexicon_candidate_review)
+    r.add_get("/api/eval/timeline", eval_timeline)
+    r.add_get("/api/eval/compare", eval_compare)
+    r.add_get("/documents/{doc_id}/file", document_file)
+    r.add_get("/documents/{doc_id}/pdf", document_pdf)
+    r.add_post("/admin/drive/import", drive_import)
+    r.add_post("/admin/sql", sql_console)
     r.add_get("/config/llm", llm_configs_list)
     r.add_post("/config/llm", llm_configs_put)
     r.add_get("/config/prompts", prompts_list)

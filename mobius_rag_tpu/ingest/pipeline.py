@@ -41,7 +41,8 @@ class IngestPipeline:
                  *, queue: JobQueue | None = None,
                  docs: DocumentStore | None = None,
                  llm: LLMClient | None = None,
-                 extraction_enabled: bool = False):
+                 extraction_enabled: bool = False,
+                 candidate_sink=None):
         self.store = store
         self.lexicon = lexicon
         self.embed_fn = embed_fn
@@ -50,7 +51,8 @@ class IngestPipeline:
         self._sha_index: dict[str, str] = {}
         self.chunking_worker = ChunkingWorker(
             self.queue, self.docs, lexicon, llm=llm,
-            extraction_enabled=extraction_enabled)
+            extraction_enabled=extraction_enabled,
+            candidate_sink=candidate_sink)
         self.embedding_worker = EmbeddingWorker(
             self.queue, store, lexicon, embed_fn)
 

@@ -74,13 +74,16 @@ class DocumentStore:
 class ChunkingWorker:
     def __init__(self, queue: JobQueue, docs: DocumentStore, lexicon: Lexicon,
                  *, llm: LLMClient | None = None, extraction_enabled: bool = False,
-                 worker_id: str | None = None):
+                 worker_id: str | None = None, candidate_sink=None):
         self.queue = queue
         self.docs = docs
         self.lexicon = lexicon
         self.llm = llm
         self.extraction_enabled = extraction_enabled and llm is not None
         self.worker_id = worker_id or f"chunk-{uuid.uuid4().hex[:8]}"
+        # callable(candidates: list[dict], doc_id: str) — lexicon-candidate
+        # curation feed (candidates.CandidateStore.record)
+        self.candidate_sink = candidate_sink
 
     def process_job(self, job: Job) -> dict[str, Any]:
         doc_id = job.payload["doc_id"]
@@ -99,6 +102,11 @@ class ChunkingWorker:
         for i, para in enumerate(paragraphs):
             pb = run_path_b(para.text, self.lexicon)
             per_para_tags.append(pb.paragraph_tags)
+            if self.candidate_sink is not None and pb.candidates:
+                try:
+                    self.candidate_sink(pb.candidates, doc_id)
+                except Exception:  # curation feed is best-effort
+                    pass
             unit = {
                 "source_id": f"{doc_id}-p{para.paragraph_index}",
                 "kind": "paragraph",
