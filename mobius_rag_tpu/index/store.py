@@ -476,9 +476,19 @@ class ChunkStore:
         return len(rows)
 
     def publish_document(self, doc_id: str, recs: Sequence[ChunkRecord]) -> list[int]:
-        """Idempotent republish: DELETE+INSERT (publish.py:1-7 contract)."""
+        """Idempotent republish: DELETE+INSERT with integrity verification
+        (publish.py:27-481 contract — the reference verifies row counts and
+        tag-join coverage after every publish; here the device row count
+        for the doc must equal the record count or the publish raises)."""
         self.delete_by_document(doc_id)
-        return self.add_chunks(recs)
+        rows = self.add_chunks(recs)
+        live = [r for r in self._doc_rows.get(doc_id, [])
+                if self.records[r] is not None]
+        if len(live) != len(recs):
+            raise RuntimeError(
+                f"publish integrity: {doc_id!r} expected {len(recs)} live rows, "
+                f"found {len(live)}")
+        return rows
 
     def embedded_source_ids(self, doc_id: str) -> set[str]:
         """Which embeddable-unit source_ids are already live for this doc —
