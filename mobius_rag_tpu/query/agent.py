@@ -255,8 +255,15 @@ class CorpusSearchAgent:
             accuracy_need=req.accuracy_need, recall_demand=req.recall_demand,
             speed_budget=req.speed_budget, answer_shape=req.answer_shape,
         )
+        # inherited-authority corpus signal for the linear router features
+        # (regulator-grade docs exist → corpus_depth counts them)
+        has_regulator = any(
+            r is not None and r.authority_level >= 4
+            for r in self.engine.store.records
+        )
         features = {**profile.features, "query_class": profile.query_class,
-                    "canonicality": profile.canonicality}
+                    "canonicality": profile.canonicality,
+                    "has_inherited_docs": has_regulator}
         if req.mode:
             decision = self.router.decide_override(req.mode, features, prefs)
         else:

@@ -72,6 +72,11 @@ class QueryRequest:
     program: str = ""
     min_similarity: float = 0.0
     tag_mode: str = "strict"  # strict | relaxed | none
+    # inherited authority (corpus_search_agent.py:1970): a payer filter
+    # also admits top-authority state/regulator documents (AHCA-class,
+    # authority_level 4) in the same state — regulator policy applies to
+    # every payer it governs.
+    inherit_authority: bool = True
 
 
 @dataclasses.dataclass
@@ -135,8 +140,18 @@ def filter_masks(index: DeviceIndex, q: dict):
             want[:, None] == -1, 1.0, (col[None, :] == want[:, None]).astype(jnp.float32)
         )
 
+    payer_ok = col_match(index.payer, q["payer"])
+    # inherited authority: PAYER-UNAFFILIATED regulator-grade rows
+    # (authority_level 4, no payer of their own — AHCA-class) pass a
+    # payer filter when the query allows inheritance — the device form
+    # of the agent's inherited-authority candidate augmentation
+    # (corpus_search_agent.py:1970). Another payer's own documents never
+    # inherit, whatever their authority.
+    regulator = ((index.authority[None, :] >= 0.999)
+                 & (index.payer[None, :] < 0)).astype(jnp.float32)
+    payer_ok = jnp.maximum(payer_ok, q["inherit_authority"][:, None] * regulator)
     meta_ok = (
-        col_match(index.payer, q["payer"])
+        payer_ok
         * col_match(index.state, q["state"])
         * col_match(index.program, q["program"])
     )  # [B, C]
@@ -400,6 +415,7 @@ class SearchEngine:
             "d_bits": pack_bits(exp.tag_ids["d"], cfg.tag_words),
             "p_bits": pack_bits(exp.tag_ids["p"], cfg.tag_words),
             "min_sim": np.float32(req.min_similarity),
+            "inherit_authority": np.float32(1.0 if req.inherit_authority else 0.0),
             "tag_mode": np.int32(tag_mode_code),
             "arm_weights": np.asarray(_MODE_ARM_WEIGHTS[req.mode], np.float32),
             "slot_word": s_word,

@@ -95,6 +95,41 @@ def test_min_similarity_gates_vector_arm(engine):
     assert res.telemetry["arms"]["vector"] == []
 
 
+def test_inherited_authority(engine):
+    # the AHCA quarterly report has authority_level 1 (not a regulator) —
+    # build a regulator doc to exercise inheritance
+    from mobius_rag_tpu.index.store import ChunkRecord, ChunkStore
+    from mobius_rag_tpu.ingest.featurize import featurize_chunk
+    from mobius_rag_tpu.testing import hash_embed as he, sample_lexicon
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    from mobius_rag_tpu.testing import toy_corpus
+
+    recs = toy_corpus(lex)
+    reg = ChunkRecord(
+        chunk_id="ahca_rule-c0", doc_id="ahca_rule", source_id="ahca-s0",
+        text="AHCA rule: statewide Medicaid timely filing may not exceed "
+             "365 days for any managed care plan.",
+        embedding=he(["statewide medicaid timely filing rule 365 days"])[0],
+        payer="", state="FL", authority_level=4, filename="ahca_rule.pdf",
+    )
+    store.add_chunks(recs + [featurize_chunk(reg, lex)])
+    eng = SearchEngine(store, lex, embed_fn=he)
+
+    q = "statewide timely filing rule for medicaid plans"
+    with_inherit = eng.search(QueryRequest(query=q, payer="sunshine_health"),
+                              k=10)[0]
+    docs = {h.doc_id for h in with_inherit.hits}
+    assert "ahca_rule" in docs, "regulator doc must pass the payer filter"
+    without = eng.search(QueryRequest(query=q, payer="sunshine_health",
+                                      inherit_authority=False), k=10)[0]
+    assert all(h.doc_id != "ahca_rule" for h in without.hits)
+    # non-regulator other-payer docs still excluded either way
+    assert all(h.metadata["payer"] in ("sunshine_health", "")
+               for h in with_inherit.hits)
+
+
 def test_telemetry_shape(engine):
     res = engine.search(QueryRequest(query="dme prior auth"), k=3)[0]
     t = res.telemetry
