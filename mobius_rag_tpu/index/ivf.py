@@ -161,6 +161,155 @@ class IVFIndex:
         return int(np.asarray(self.spill_valid).sum())
 
 
+@jax.tree_util.register_pytree_node_class
+class PackedIVF:
+    """Cluster-contiguous int8 storage for corpora past the exact-scan
+    budget (BASELINE.json config 5, the 10M-chunk regime).
+
+    The row-gather probing of :func:`ivf_search` is gather-bound (it lost
+    to an exact scan at 1M); here each cluster's members are REORDERED
+    into a contiguous [pad, D] int8 block, so probing is whole-block
+    reads the DMA engine streams. Memory: ~pad_factor × N × D bytes
+    (int8) + per-row scales + the row-id map back to global ids."""
+
+    FIELDS = ("centroids", "values", "scales", "valid", "rowids")
+
+    def __init__(self, centroids, values, scales, valid, rowids,
+                 nlist: int, pad: int, base_nlist: int | None = None):
+        self.centroids = centroids  # [nlist, D] f32
+        self.values = values  # [nlist, pad, D] int8
+        self.scales = scales  # [nlist, pad] f32
+        self.valid = valid  # [nlist, pad] f32
+        self.rowids = rowids  # [nlist, pad] i32 (global row ids)
+        self.nlist = nlist
+        self.pad = pad
+        # real (k-means) clusters; cells beyond this are synthetic spill
+        # slabs that every query must probe
+        self.base_nlist = base_nlist if base_nlist is not None else nlist
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self.FIELDS),
+                (self.nlist, self.pad, self.base_nlist))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, nlist=aux[0], pad=aux[1], base_nlist=aux[2])
+
+    @classmethod
+    def from_ivf(cls, ivf: IVFIndex, vectors, *, row_scales=None,
+                 block: int = 65536) -> "PackedIVF":
+        """Quantize + pack the member rows of an existing IVFIndex.
+        Spill rows are folded into extra synthetic clusters (pad-sized
+        slabs) whose centroids are their member means, so every row stays
+        probeable and the search loop has ONE layout.
+
+        When `vectors` is ALREADY int8-quantized, pass its per-row scales
+        as `row_scales` — requantizing int8 patterns yields scale≈1 and
+        silently drops the true row magnitudes, which reweights ranking
+        by 1/maxabs (a ~50-point recall bug found at 2M scale)."""
+        from mobius_rag_tpu.ops.quant import _quantize_block
+
+        d = vectors.shape[1]
+        members = np.asarray(ivf.members)
+        mvalid = np.asarray(ivf.member_valid)
+        spill = np.asarray(ivf.spill)[np.asarray(ivf.spill_valid) > 0]
+        pad = ivf.pad
+        extra = int(np.ceil(len(spill) / pad)) if len(spill) else 0
+        nlist = ivf.nlist + extra
+
+        rowids = np.zeros((nlist, pad), np.int32)
+        valid = np.zeros((nlist, pad), np.float32)
+        rowids[: ivf.nlist] = members
+        valid[: ivf.nlist] = mvalid
+        for e in range(extra):
+            seg = spill[e * pad:(e + 1) * pad]
+            rowids[ivf.nlist + e, : len(seg)] = seg
+            valid[ivf.nlist + e, : len(seg)] = 1.0
+
+        # gather + quantize member rows block-by-block; assemble on HOST
+        # and device_put once — a device-side concatenate would briefly
+        # double the packed buffer (OOM at multi-GB scale)
+        flat_ids = rowids.reshape(-1)
+        vals_host = np.empty((len(flat_ids), d), np.int8)
+        scales_host = np.empty((len(flat_ids),), np.float32)
+        for off in range(0, len(flat_ids), block):
+            rows = jnp.asarray(flat_ids[off:off + block])
+            q, s = _quantize_block(jnp.take(vectors, rows, axis=0))
+            if row_scales is not None:
+                s = s * jnp.take(jnp.asarray(row_scales), rows)
+            vals_host[off:off + block] = np.asarray(jax.device_get(q))
+            scales_host[off:off + block] = np.asarray(jax.device_get(s))
+        values = jnp.asarray(vals_host.reshape(nlist, pad, d))
+        scales = jnp.asarray(scales_host.reshape(nlist, pad))
+
+        # centroids for the synthetic spill clusters = member means
+        cents = np.asarray(ivf.centroids, np.float32)
+        if extra:
+            extra_cents = []
+            v_host_get = lambda rows: np.asarray(
+                jax.device_get(jnp.take(vectors, jnp.asarray(rows), axis=0)),
+                np.float32)
+            for e in range(extra):
+                seg = spill[e * pad:(e + 1) * pad]
+                m = v_host_get(seg).mean(axis=0)
+                extra_cents.append(m / max(np.linalg.norm(m), 1e-6))
+            cents = np.concatenate([cents, np.stack(extra_cents)], axis=0)
+        return cls(jnp.asarray(cents), values, scales, jnp.asarray(valid),
+                   jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
+                      penalty: jnp.ndarray, k: int, nprobe: int):
+    """Probed masked top-k over the packed int8 layout. penalty indexes
+    GLOBAL row ids (same contract as every other scan op)."""
+    b = queries.shape[0]
+    q32 = queries.astype(jnp.float32)
+    q_max = jnp.max(jnp.abs(q32), axis=1)
+    q_scale = jnp.where(q_max > 0, q_max / 127.0, 1.0)
+    q_int = jnp.clip(jnp.round(q32 / q_scale[:, None]), -127, 127).astype(jnp.int8)
+
+    cscores = jnp.dot(q32, pivf.centroids.T, preferred_element_type=jnp.float32)
+    p_eff = min(nprobe, pivf.base_nlist)
+    _, probe = jax.lax.top_k(cscores[:, : pivf.base_nlist], p_eff)  # [B, P]
+    # synthetic spill cells (beyond base_nlist) are ALWAYS probed — their
+    # members are overflow from arbitrary clusters, so centroid routing
+    # can't find them (missing this caps recall hard).
+    n_spill_cells = pivf.nlist - pivf.base_nlist
+    if n_spill_cells:
+        spill_cells = jnp.broadcast_to(
+            jnp.arange(pivf.base_nlist, pivf.nlist, dtype=probe.dtype)[None, :],
+            (b, n_spill_cells))
+        probe = jnp.concatenate([probe, spill_cells], axis=1)
+
+    def per_query(args):
+        qi, qs, probes = args
+
+        def scan_probe(carry, c):
+            best_v, best_i = carry
+            # dynamic_index = contiguous DMA of one [pad, D] cluster block
+            block = jax.lax.dynamic_index_in_dim(pivf.values, c, 0,
+                                                 keepdims=False)
+            sc = jax.lax.dynamic_index_in_dim(pivf.scales, c, 0, keepdims=False)
+            ok = jax.lax.dynamic_index_in_dim(pivf.valid, c, 0, keepdims=False)
+            rid = jax.lax.dynamic_index_in_dim(pivf.rowids, c, 0, keepdims=False)
+            acc = jax.lax.dot_general(
+                block, qi, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            s = acc * sc * qs + jnp.take(penalty, rid) + (1.0 - ok) * NEG_INF
+            vals = jnp.concatenate([best_v, s])
+            ids = jnp.concatenate([best_i, rid])
+            nv, pos = jax.lax.top_k(vals, k)
+            return (nv, jnp.take(ids, pos)), None
+
+        init = (jnp.full((k,), NEG_INF, jnp.float32), jnp.zeros((k,), jnp.int32))
+        (vals, ids), _ = jax.lax.scan(scan_probe, init, probes)
+        return vals, ids
+
+    vals, idx = jax.lax.map(per_query, (q_int, q_scale, probe))
+    return vals, idx.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def ivf_search(ivf: IVFIndex, vectors: jnp.ndarray, queries: jnp.ndarray,
                penalty: jnp.ndarray, k: int, nprobe: int):

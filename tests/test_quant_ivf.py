@@ -91,6 +91,52 @@ def test_ivf_recall_vs_exact(rng):
     assert _recall(exact, probed16, 10) >= r - 0.02
 
 
+def test_packed_ivf_matches_row_gather_ivf(rng):
+    from mobius_rag_tpu.index.ivf import PackedIVF, ivf_search_packed
+
+    v = _corpus(rng, n=3000)
+    # small pad factor to force spill rows into synthetic clusters
+    ivf = IVFIndex.build(v, nlist=32, iters=6, pad_factor=1.1)
+    assert ivf.spill_count > 0, "test needs spill to exercise the fold-in"
+    pivf = PackedIVF.from_ivf(ivf, v)
+    assert pivf.nlist > ivf.nlist  # synthetic spill clusters exist
+
+    q = v[rng.choice(len(v), 8)] + 0.01 * rng.standard_normal((8, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    pen = np.zeros(len(v), np.float32)
+    _, exact = cosine_topk_xla(v, q, pen, 10)
+    _, packed = ivf_search_packed(pivf, q, pen, 10, nprobe=10)
+    r = _recall(exact, packed, 10)
+    assert r >= 0.85, f"packed IVF recall {r}"
+
+    # filter penalty respected through the packed layout
+    pen2 = np.full(len(v), NEG_INF, np.float32)
+    allowed = np.arange(0, 3000, 5)
+    pen2[allowed] = 0.0
+    vals, idx = ivf_search_packed(pivf, q, pen2, 10, nprobe=10)
+    live = np.asarray(vals) > NEG_INF / 2
+    assert np.isin(np.asarray(idx)[live], allowed).all()
+
+
+def test_packed_ivf_from_int8_source_needs_row_scales(rng):
+    # regression: packing an ALREADY-int8 matrix without its per-row
+    # scales reweights ranking by 1/maxabs (recall collapsed to ~0.2 at
+    # 200k before the fix)
+    from mobius_rag_tpu.index.ivf import PackedIVF, ivf_search_packed
+    from mobius_rag_tpu.ops.quant import cosine_topk_int8, quantize_rows
+
+    v = _corpus(rng, n=3000, noise=0.05)
+    v8, s8 = quantize_rows(v)
+    q = v[rng.choice(len(v), 8)] + 0.01 * rng.standard_normal((8, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    pen = np.zeros(len(v), np.float32)
+    _, exact = cosine_topk_int8(v8, s8, q, pen, 10)
+    ivf = IVFIndex.build(v8, nlist=32, iters=6)
+    pivf = PackedIVF.from_ivf(ivf, v8, row_scales=s8)
+    _, idx = ivf_search_packed(pivf, q, pen, 10, nprobe=10)
+    assert _recall(exact, idx, 10) >= 0.9
+
+
 def test_ivf_respects_filter_penalty(rng):
     v = _corpus(rng, n=1000)
     ivf = IVFIndex.build(v, nlist=16, iters=5)
