@@ -522,10 +522,15 @@ class SearchEngine:
         cfg = self.cfg
         results = []
         for bi, req in enumerate(reqs):
+            # mode-default minimum confidence floor (corpus_search.py
+            # _MODE_MIN): corpus/precision drop abstain-grade hits;
+            # recall keeps everything.
+            floor = 0.0 if MODE_MIN_LABEL.get(req.mode) == "abstain" \
+                else cfg.confidence_low
             hits = []
             for j in range(k):
                 score = float(out["rerank"][bi, j])
-                if score <= NEG_INF / 2:
+                if score <= NEG_INF / 2 or score < floor:
                     continue
                 row = int(out["idx"][bi, j])
                 rec = self.store.record(row)

@@ -138,6 +138,19 @@ def test_telemetry_shape(engine):
     assert any("matched" in line for line in t["expansion_log"])
 
 
+def test_mode_confidence_floor(engine):
+    # an off-topic query returns junk-grade hits: corpus mode drops them
+    # (floor = confidence_low), recall mode keeps everything (_MODE_MIN)
+    q = "miscellaneous committee schedule annual review"
+    corpus = engine.search(QueryRequest(query=q, mode="corpus",
+                                        tag_mode="none"), k=10)[0]
+    recall = engine.search(QueryRequest(query=q, mode="recall",
+                                        tag_mode="none"), k=10)[0]
+    assert len(recall.hits) >= len(corpus.hits)
+    floor = engine.cfg.confidence_low
+    assert all(h.score >= floor for h in corpus.hits)
+
+
 def test_deleted_doc_never_surfaces(engine):
     # fresh store so we don't poison the module fixture
     lex = sample_lexicon()

@@ -55,6 +55,43 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(va, vb, atol=1e-5)
 
 
+def test_trained_encoder_retrieval_stays_sharp(store):
+    """The full native loop: fine-tune on corpus ICT pairs → re-embed →
+    sentence-queries still retrieve their source chunk. (On this tiny
+    corpus the sentence→paragraph task saturates even untrained — mean-
+    pooled token embeddings preserve lexical overlap — so the guard here
+    is that contrastive training does NOT degrade retrieval, i.e. no
+    representation collapse.)"""
+    import jax
+
+    from mobius_rag_tpu.models.data import mine_ict_pairs
+    from mobius_rag_tpu.ops.topk import NEG_INF, cosine_topk_xla
+
+    cfg = EncoderConfig.tiny()
+    mesh = make_train_mesh(dp=4, tp=2)
+    trained_params, _ = train_encoder_on_corpus(
+        store, cfg=cfg, steps=30, batch=8, mesh=mesh, seed=7)
+    untrained = EncoderModel(cfg, seed=7)
+    trained = EncoderModel(cfg, params=jax.device_get(trained_params))
+
+    texts = [r.text for r in store.records if r is not None]
+    queries = [(q, i) for i, (q, _) in enumerate(
+        (t.split(". ")[0], t) for t in texts)]
+
+    def recall_at_1(model):
+        docs = model(texts)
+        qs = model([q for q, _ in queries])
+        pen = np.zeros(len(texts), np.float32)
+        _, idx = cosine_topk_xla(docs, qs, pen, 1)
+        return np.mean([int(np.asarray(idx)[j, 0]) == i
+                        for j, (_, i) in enumerate(queries)])
+
+    r_untrained = recall_at_1(untrained)
+    r_trained = recall_at_1(trained)
+    assert r_untrained >= 0.8  # task sanity: solvable before training
+    assert r_trained >= 0.8, f"training degraded retrieval: {r_trained}"
+
+
 def test_corpus_too_small_raises():
     s = ChunkStore()
     with pytest.raises(ValueError, match="too small"):
