@@ -669,6 +669,29 @@ def build_app(ctx: AppContext) -> web.Application:
             ctx.store.publish_document(doc_id, recs)
         return _json({"retagged_chunks": n, "documents": len(by_doc)})
 
+    async def profile(request):
+        """Capture a jax profiler trace while exercising the compiled
+        pipeline (SURVEY §5.1: per-kernel timing in the same search_id-
+        keyed structure the reference logs). Returns the trace dir for
+        TensorBoard/Perfetto."""
+        import jax
+
+        body = await request.json()
+        trace_dir = body.get("dir") or os.path.join(
+            get_config().data_dir, "profiles", str(int(__import__("time").time())))
+        os.makedirs(trace_dir, exist_ok=True)
+        queries = body.get("queries") or ["profile warm query"]
+        reps = int(body.get("repetitions", 3))
+        try:
+            jax.profiler.start_trace(trace_dir)
+            for _ in range(reps):
+                ctx.engine.search([QueryRequest(query=q) for q in queries],
+                                  k=int(body.get("k", 10)))
+        finally:
+            jax.profiler.stop_trace()
+        return _json({"trace_dir": trace_dir, "repetitions": reps,
+                      "queries": len(queries)})
+
     async def snapshot(request):
         body = await request.json()
         path = body.get("path") or os.path.join(get_config().data_dir, "snapshot")
@@ -728,6 +751,7 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_post("/admin/integrity/remediate", integrity_fix)
     r.add_post("/admin/nightly/run", nightly_run)
     r.add_get("/admin/nightly/status", nightly_status)
+    r.add_post("/admin/profile", profile)
     r.add_post("/admin/retag", retag)
     r.add_post("/admin/snapshot", snapshot)
     r.add_post("/admin/cleanup-stale-jobs", cleanup_stale)

@@ -318,5 +318,19 @@ class CorpusSearchAgent:
         best = best or StrategyOutcome(decision.strategy, [], None, "abstain",
                                        False, {}, 0.0)
         answer = best.answer or self._synthesize(req.query, best.hits)
-        label = best.confidence_label if best.hits else "abstain"
+        label = self._aggregate_confidence(best, outcomes)
         return _result(answer, best.hits, label, decision_dict)
+
+    @staticmethod
+    def _aggregate_confidence(best: StrategyOutcome,
+                              outcomes: list[StrategyOutcome]) -> str:
+        """Confidence aggregation (agent :2534): the winning outcome's
+        label, downgraded one notch when the cascade needed 3+ attempts —
+        having to escalate that far is itself evidence of uncertainty."""
+        if not best.hits:
+            return "abstain"
+        ladder = ["abstain", "low", "medium", "high"]
+        label = best.confidence_label
+        if len(outcomes) >= 3 and label != "abstain":
+            label = ladder[max(0, ladder.index(label) - 1)]
+        return label
