@@ -127,8 +127,15 @@ class CorpusSearchAgent:
     def _synthesize(self, query: str, hits: list[SearchHit]) -> str:
         if not hits:
             return ""
+
+        def passage(h: SearchHit) -> str:
+            # neighbor-enriched context (corpus_search.py:3079): siblings
+            # carry the section header / table label a sparse chunk lacks
+            parts = [h.text] + [n["text"] for n in getattr(h, "neighbors", [])]
+            return "\n".join(parts)
+
         context = "\n".join(
-            f"[passage {i}]\n{h.text}" for i, h in enumerate(hits[:8])
+            f"[passage {i}]\n{passage(h)}" for i, h in enumerate(hits[:8])
         )
         return self.llm.generate(
             f"Synthesize a grounded answer from the passages; cite as "

@@ -89,6 +89,9 @@ class SearchHit:
     similarity: float  # best-arm cosine
     signals: dict[str, float]
     metadata: dict[str, Any]
+    # neighbor expansion (corpus_search.py:3079): adjacent same-document
+    # chunks attached for synthesis context, subject to per-doc caps
+    neighbors: list[dict[str, Any]] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -517,6 +520,47 @@ class SearchEngine:
         }
         return self._assemble(list(reqs), exps, out, k, timings)
 
+    # Neighbor-expansion caps (corpus_search.py:2690 per-doc caps: don't
+    # let one document's siblings crowd the context window).
+    MAX_NEIGHBORS_PER_HIT = 2
+    MAX_NEIGHBOR_CHUNKS_PER_DOC = 4
+
+    def _expand_with_neighbors(self, hits: list[SearchHit]) -> None:
+        """Attach adjacent same-document chunks to each hit (the
+        reference's sibling fetch, corpus_search.py:2560): ±1 rows in
+        publish order within the same doc, deduped against hits already
+        present, capped per doc."""
+        hit_rows = {h.row for h in hits}
+        per_doc: dict[str, int] = {}
+        for h in hits:
+            rec = self.store.record(h.row)
+            if rec is None:
+                continue
+            doc_rows = self.store._doc_rows.get(h.doc_id, [])
+            try:
+                pos = doc_rows.index(h.row)
+            except ValueError:
+                continue
+            for npos in (pos - 1, pos + 1):
+                if not (0 <= npos < len(doc_rows)):
+                    continue
+                nrow = doc_rows[npos]
+                if nrow in hit_rows:
+                    continue
+                if per_doc.get(h.doc_id, 0) >= self.MAX_NEIGHBOR_CHUNKS_PER_DOC:
+                    break
+                nrec = self.store.record(nrow)
+                if nrec is None:
+                    continue
+                if len(h.neighbors) >= self.MAX_NEIGHBORS_PER_HIT:
+                    break
+                h.neighbors.append({
+                    "chunk_id": nrec.chunk_id, "text": nrec.text,
+                    "section_path": nrec.section_path, "page": nrec.page,
+                    "position": "before" if npos < pos else "after",
+                })
+                per_doc[h.doc_id] = per_doc.get(h.doc_id, 0) + 1
+
     def _assemble(self, reqs: list[QueryRequest], exps, out, k: int,
                   timings: dict | None = None) -> list[SearchResult]:
         cfg = self.cfg
@@ -559,6 +603,7 @@ class SearchEngine:
                         "authority_level": rec.authority_level,
                     },
                 ))
+            self._expand_with_neighbors(hits)
             label = _confidence_label(hits[0].score, cfg) if hits else "abstain"
             exp = exps[bi]
 

@@ -138,6 +138,24 @@ def test_telemetry_shape(engine):
     assert any("matched" in line for line in t["expansion_log"])
 
 
+def test_neighbor_expansion(engine):
+    # k=1 so the sibling chunks are NOT hits themselves and must arrive
+    # as neighbors
+    res = engine.search(QueryRequest(
+        query="timely filing deadline for sunshine health claims"), k=1)[0]
+    top = res.hits[0]
+    assert top.doc_id == "sunshine_provider_manual"
+    assert top.neighbors, "expected neighbor expansion on a multi-chunk doc"
+    assert all(n["chunk_id"] != top.chunk_id for n in top.neighbors)
+    assert all(n["position"] in ("before", "after") for n in top.neighbors)
+    # caps respected
+    assert len(top.neighbors) <= engine.MAX_NEIGHBORS_PER_HIT
+    # neighbors never duplicate other hits in the result
+    hit_ids = {h.chunk_id for h in res.hits}
+    for h in res.hits:
+        assert all(n["chunk_id"] not in hit_ids for n in h.neighbors)
+
+
 def test_mode_confidence_floor(engine):
     # an off-topic query returns junk-grade hits: corpus mode drops them
     # (floor = confidence_low), recall mode keeps everything (_MODE_MIN)
