@@ -250,13 +250,4 @@ class ShardedEngine:
         k = k or self.cfg.default_k
         q, exps = engine.prepare_batch(reqs)
         out = jax.device_get(self._run(q, k))
-        # the merge path reports no per-arm traces; synthesize the keys
-        # _assemble reads for them as empty
-        b, kk = out["idx"].shape
-        import numpy as _np
-
-        for arm in ("vec", "lex", "dtag"):
-            out.setdefault(f"{arm}_idx", _np.zeros((b, 0), _np.int32))
-            out.setdefault(f"{arm}_vals", _np.zeros((b, 0), _np.float32))
-        out.setdefault("strict_count", _np.zeros((b,), _np.float32))
-        return engine._assemble(list(reqs), exps, out, kk)
+        return engine._assemble(list(reqs), exps, out, out["idx"].shape[1])

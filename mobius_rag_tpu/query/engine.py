@@ -361,12 +361,17 @@ class SearchEngine:
     pipeline, materializes results + telemetry."""
 
     def __init__(self, store: ChunkStore, lexicon: Lexicon | None = None,
-                 cfg: Config | None = None, embed_fn=None, telemetry=None):
+                 cfg: Config | None = None, embed_fn=None, telemetry=None,
+                 sharded=None):
         self.store = store
         self.lexicon = lexicon
         self.cfg = cfg or get_config()
         self.embed_fn = embed_fn  # (list[str]) -> np.ndarray [B, D]
         self.telemetry = telemetry  # observability.TelemetryStore | None
+        # parallel.ShardedEngine over the SAME store: when attached, the
+        # compiled stage runs sharded over the mesh and the whole host
+        # stack (agent, strategies, API) serves multi-chip transparently
+        self.sharded = sharded
 
     # -- host-side query prep ---------------------------------------------
 
@@ -511,8 +516,11 @@ class SearchEngine:
         q, exps = self.prepare_batch(reqs)
 
         t_prep = time.perf_counter()
-        out = _search_compiled(self.store.index, q, k, cfg.over_fetch, cfg.rrf_k)
-        out = jax.device_get(out)
+        if self.sharded is not None:
+            out = jax.device_get(self.sharded._run(q, k))
+        else:
+            out = jax.device_get(
+                _search_compiled(self.store.index, q, k, cfg.over_fetch, cfg.rrf_k))
         t_dev = time.perf_counter()
         timings = {
             "prepare": (t_prep - t0) * 1e3 / len(reqs),
@@ -608,6 +616,9 @@ class SearchEngine:
             exp = exps[bi]
 
             def _arm_trace(name):
+                # the sharded merge path reports no per-arm traces
+                if f"{name}_idx" not in out:
+                    return []
                 idxs = out[f"{name}_idx"][bi]
                 vals = out[f"{name}_vals"][bi]
                 return [
@@ -627,7 +638,8 @@ class SearchEngine:
                         "lexical": _arm_trace("lex"),
                         "dtag": _arm_trace("dtag"),
                     },
-                    "strict_count": int(out["strict_count"][bi]),
+                    "strict_count": int(out["strict_count"][bi])
+                    if "strict_count" in out else -1,
                     "expansion_log": exp.log,
                     "mode": req.mode,
                 },
