@@ -25,6 +25,41 @@ from mobius_rag_tpu.providers import get_embedding_provider
 from mobius_rag_tpu.testing import sample_lexicon
 
 
+def _start_health_server(port: int, stale_after_s: float = 120.0):
+    """Liveness shell (reference worker_server_*.py:8-35): /health
+    returns 503 when the worker tick is stale so the supervisor replaces
+    the instance. Returns a tick() callable the worker loop must call."""
+    import json
+    import threading
+    import time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    last_tick = {"t": time.time()}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            age = time.time() - last_tick["t"]
+            ok = age < stale_after_s
+            body = json.dumps({"status": "ok" if ok else "stale",
+                               "tick_age_s": round(age, 1)}).encode()
+            self.send_response(200 if ok else 503)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet access log
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def tick():
+        last_tick["t"] = time.time()
+
+    return tick, server
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--kind", choices=["chunking", "embedding"], required=True)
@@ -32,17 +67,28 @@ def main() -> None:
     ap.add_argument("--snapshot", default=None, help="index snapshot dir")
     ap.add_argument("--provider", default=None)
     ap.add_argument("--once", action="store_true", help="drain and exit")
+    ap.add_argument("--health-port", type=int, default=0,
+                    help="liveness endpoint port (503 when tick stale >120s)")
     args = ap.parse_args()
 
     log = setup_logging(f"mrag-{args.kind}-worker")
     shutdown.install_handlers()
     queue = JobQueue(args.queue)
     lexicon = sample_lexicon()
+    tick = lambda: None
+    if args.health_port:
+        tick, _ = _start_health_server(args.health_port)
+        log.info("health endpoint on :%d", args.health_port)
 
     if args.kind == "chunking":
         worker = ChunkingWorker(queue, DocumentStore(), lexicon)
         log.info("chunking worker up")
-        n = worker.run_loop(max_jobs=10_000 if args.once else None)
+        n = 0
+        while not shutdown.is_shutting_down():
+            n += worker.run_loop(max_jobs=100)
+            tick()
+            if args.once or shutdown.sleep_or_shutdown(1.0):
+                break
         log.info("chunking worker done, jobs=%d", n)
         return
 
@@ -55,6 +101,7 @@ def main() -> None:
     log.info("embedding worker up (index %d chunks)", store.size)
     while not shutdown.is_shutting_down():
         n = worker.run_loop(max_jobs=100)
+        tick()
         if n:
             store.snapshot(snap)
             log.info("snapshotted after %d jobs (index %d chunks)", n, store.size)
