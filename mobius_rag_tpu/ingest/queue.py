@@ -47,6 +47,10 @@ CREATE TABLE IF NOT EXISTS job_events (
   event_id INTEGER PRIMARY KEY AUTOINCREMENT,
   job_id TEXT, stage TEXT, payload TEXT, ts REAL
 );
+CREATE TABLE IF NOT EXISTS job_partials (
+  job_id TEXT, part_key TEXT, payload TEXT, ts REAL,
+  PRIMARY KEY (job_id, part_key)
+);
 """
 
 
@@ -161,6 +165,30 @@ class JobQueue:
             self.conn.commit()
         self.emit(job_id, "failed" if status == "failed" else "requeued",
                   {"error": error[:500]})
+
+    # -- partial results (mid-job resume) -----------------------------------
+
+    def save_partial(self, job_id: str, part_key: str, payload: dict[str, Any]) -> None:
+        """Persist a per-unit partial result so a re-claimed job resumes
+        instead of redoing expensive work (the reference's paragraph-skip
+        resume, worker/coordinator.py:235-239)."""
+        with self._lock:
+            self.conn.execute(
+                "INSERT OR REPLACE INTO job_partials VALUES (?,?,?,?)",
+                (job_id, part_key, json.dumps(payload), time.time()))
+            self.conn.commit()
+
+    def partials(self, job_id: str) -> dict[str, dict[str, Any]]:
+        with self._lock:
+            rows = self.conn.execute(
+                "SELECT part_key, payload FROM job_partials WHERE job_id=?",
+                (job_id,)).fetchall()
+        return {k: json.loads(p) for k, p in rows}
+
+    def clear_partials(self, job_id: str) -> None:
+        with self._lock:
+            self.conn.execute("DELETE FROM job_partials WHERE job_id=?", (job_id,))
+            self.conn.commit()
 
     # -- observability --------------------------------------------------------------
 

@@ -96,10 +96,23 @@ class ChunkingWorker:
         PROGRESS.emit(doc_id, "extracted", pages=len(extracted.pages))
 
         paragraphs = chunk_pages([(p.number, p.text) for p in extracted.pages])
+        # mid-job resume: a re-claimed job (lease expiry / retry) skips
+        # paragraphs whose partial results already persisted
+        # (coordinator.py:235-239 paragraph-skip semantics)
+        done = self.queue.partials(job.job_id)
+        resumed = 0
         units: list[dict[str, Any]] = []
         per_para_tags: list[dict[str, list[int]]] = []
         n_facts = 0
         for i, para in enumerate(paragraphs):
+            key = f"p{para.paragraph_index}"
+            if key in done:
+                part = done[key]
+                units.extend(part["units"])
+                per_para_tags.append(part["tags"])
+                n_facts += part.get("n_facts", 0)
+                resumed += 1
+                continue
             pb = run_path_b(para.text, self.lexicon)
             per_para_tags.append(pb.paragraph_tags)
             if self.candidate_sink is not None and pb.candidates:
@@ -107,6 +120,7 @@ class ChunkingWorker:
                     self.candidate_sink(pb.candidates, doc_id)
                 except Exception:  # curation feed is best-effort
                     pass
+            para_units: list[dict[str, Any]] = []
             unit = {
                 "source_id": f"{doc_id}-p{para.paragraph_index}",
                 "kind": "paragraph",
@@ -118,14 +132,16 @@ class ChunkingWorker:
                 "p_tags": pb.paragraph_tags["p"],
                 "candidates": pb.candidates,
             }
+            para_facts = 0
             if self.extraction_enabled:
                 facts = run_path_a(para.text, self.llm)
-                n_facts += len(facts)
+                para_facts = len(facts)
+                n_facts += para_facts
                 unit["facts"] = [dataclasses.asdict(f) for f in facts]
                 # each fact is its own embeddable unit (embeddable_units
                 # single-embed contract, models.py:283)
                 for fi, f in enumerate(facts):
-                    units.append({
+                    para_units.append({
                         "source_id": f"{doc_id}-p{para.paragraph_index}-f{fi}",
                         "kind": "fact", "text": f.text,
                         "section_path": para.section_path, "page": para.page,
@@ -134,11 +150,18 @@ class ChunkingWorker:
                         "p_tags": pb.paragraph_tags["p"],
                         "critique_score": f.critique_score,
                     })
-            units.append(unit)
+            para_units.append(unit)
+            units.extend(para_units)
+            self.queue.save_partial(job.job_id, key, {
+                "units": para_units, "tags": pb.paragraph_tags,
+                "n_facts": para_facts,
+            })
             if i % 50 == 0:
                 self.queue.heartbeat(job.job_id)
                 self.queue.emit(job.job_id, "progress",
                                 {"paragraphs": i + 1, "of": len(paragraphs)})
+        if resumed:
+            self.queue.emit(job.job_id, "resumed", {"paragraphs_skipped": resumed})
 
         doc_tags = aggregate_document_tags(per_para_tags)
         # atomic finalize: chunking result persists by enqueueing the
@@ -152,8 +175,10 @@ class ChunkingWorker:
                       "summary": blob.summary}},
             dedupe_key=f"embed-{doc_id}-{job.job_id}",
         )
+        self.queue.clear_partials(job.job_id)
         return {"paragraphs": len(paragraphs), "units": len(units),
                 "facts": n_facts, "doc_tags": doc_tags,
+                "resumed_paragraphs": resumed,
                 "embedding_job": embed_job}
 
     def run_loop(self, *, poll_s: float = 0.5, max_jobs: int | None = None) -> int:

@@ -222,6 +222,43 @@ $500 also requires prior authorization.
 """
 
 
+def test_chunking_resume_skips_done_paragraphs(tmp_path):
+    """A chunking job that dies mid-document resumes from its persisted
+    partials instead of re-running Path A (coordinator.py:235-239)."""
+    from mobius_rag_tpu.ingest.worker import ChunkingWorker, DocumentBlob, DocumentStore
+
+    class FlakyLLM(FakeLLM):
+        def __init__(self):
+            super().__init__(first_score=0.9)
+            self.extractions = 0
+
+        def generate(self, prompt, **kw):
+            if kw.get("stage") == "extraction":
+                self.extractions += 1
+                if self.extractions == 3:  # die during the 3rd paragraph
+                    raise TimeoutError("llm connection timeout")
+            return super().generate(prompt, **kw)
+
+    q = JobQueue(str(tmp_path / "q.sqlite"))
+    docs = DocumentStore()
+    doc = b"P1 first paragraph text here.\n\nP2 second paragraph text.\n\nP3 third paragraph text.\n\nP4 fourth paragraph text."
+    docs.put(DocumentBlob(doc_id="d1", filename="d1.txt", data=doc))
+    llm = FlakyLLM()
+    worker = ChunkingWorker(q, docs, sample_lexicon(), llm=llm,
+                            extraction_enabled=True)
+    jid = q.enqueue("chunking", {"doc_id": "d1"})
+    # run_loop counts only successes: attempt 1 dies at paragraph 3, the
+    # retry ladder requeues, the loop re-claims and RESUMES, then succeeds
+    worker.run_loop(max_jobs=1)
+    assert q.job(jid)["status"] == "done"
+    events = [e["stage"] for e in q.events(jid)]
+    assert "requeued" in events and "resumed" in events
+    # 4 paragraphs: p1, p2, p3(raise) on attempt 1; resume re-runs ONLY
+    # p3 + p4 → 5 extraction calls total (7 would mean no resume)
+    assert llm.extractions == 5, llm.extractions
+    assert q.partials(jid) == {}  # cleaned after success
+
+
 def test_upload_to_query_end_to_end(tmp_path):
     lex = sample_lexicon()
     store = ChunkStore()
