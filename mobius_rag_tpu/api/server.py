@@ -80,8 +80,20 @@ class AppContext:
         agent = CorpusSearchAgent(engine, llm=llm)
         agent.observers.append(telemetry.record_decision)
         candidates = CandidateStore()
+        # Each context gets its OWN job queue file: two contexts sharing
+        # one queue would claim each other's jobs and fail them against
+        # the wrong DocumentStore (a cross-context job-theft race that
+        # surfaced as flaky 404s in the test suite). Standalone worker
+        # processes opt into a shared queue explicitly via --queue.
+        import uuid as _uuid
+
+        from mobius_rag_tpu.ingest.queue import JobQueue
+
+        queue = JobQueue(os.path.join(
+            get_config().data_dir, f"jobs-{_uuid.uuid4().hex[:8]}.sqlite"))
         pipeline = IngestPipeline(store, lexicon, embed_fn, llm=llm,
-                                  candidate_sink=candidates.record)
+                                  candidate_sink=candidates.record,
+                                  queue=queue)
         ctx = cls(store=store, engine=engine, agent=agent, pipeline=pipeline,
                   telemetry=telemetry, eval_db=EvalDB(),
                   llm_configs=LLMConfigRegistry(), prompts=PromptRegistry(),

@@ -126,21 +126,28 @@ class TelemetryStore:
         self._pending = 0
         self._pending_lock = threading.Lock()
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._writer, daemon=True)
-        self._thread.start()
-        # reader connection for queries (writer has its own)
-        self._read_conn = sqlite3.connect(base, check_same_thread=False)
+        # reader connection + schema FIRST (the writer thread's WAL pragma
+        # used to race this executescript, die on 'database is locked',
+        # and silently blackhole every write)
+        self._read_conn = sqlite3.connect(base, check_same_thread=False,
+                                          timeout=30.0)
         self._read_lock = threading.Lock()
         with self._read_lock:
             self._read_conn.executescript(_SCHEMA)
             self._read_conn.commit()
+        self._thread = threading.Thread(target=self._writer, daemon=True)
+        self._thread.start()
 
     # -- writer thread --------------------------------------------------------
 
     def _writer(self) -> None:
-        conn = sqlite3.connect(self._path)
-        conn.execute("PRAGMA journal_mode=WAL")
-        conn.executescript(_SCHEMA)
+        conn = sqlite3.connect(self._path, timeout=30.0)
+        for attempt in range(10):  # WAL switch can transiently contend
+            try:
+                conn.execute("PRAGMA journal_mode=WAL")
+                break
+            except sqlite3.OperationalError:
+                time.sleep(0.05 * (attempt + 1))
         while not (self._stop.is_set() and self._q.empty()):
             try:
                 sql, args = self._q.get(timeout=0.1)
