@@ -15,7 +15,8 @@ from mobius_rag_tpu.query.text import tokenize
 
 PAD_ID = 0
 CLS_ID = 1
-_RESERVED = 2
+SEP_ID = 2  # used by the cross-encoder's [CLS] q [SEP] d packing
+_RESERVED = 3
 
 
 class HashTokenizer:

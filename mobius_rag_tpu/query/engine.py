@@ -372,6 +372,10 @@ class SearchEngine:
         # compiled stage runs sharded over the mesh and the whole host
         # stack (agent, strategies, API) serves multi-chip transparently
         self.sharded = sharded
+        # optional models.cross_encoder.CrossEncoderModel: jointly rescores
+        # the hybrid top-k as a final stage (beyond the reference's linear
+        # signal blend)
+        self.cross_encoder = None
 
     # -- host-side query prep ---------------------------------------------
 
@@ -611,8 +615,16 @@ class SearchEngine:
                         "authority_level": rec.authority_level,
                     },
                 ))
+            if self.cross_encoder is not None and hits:
+                ce = self.cross_encoder(req.query, [h.text for h in hits])
+                for h, s in zip(hits, ce):
+                    h.signals["cross_encoder"] = float(s)
+                # stable re-sort by cross-encoder logit; keep the linear
+                # rerank score for confidence labels
+                hits.sort(key=lambda h: -h.signals["cross_encoder"])
             self._expand_with_neighbors(hits)
-            label = _confidence_label(hits[0].score, cfg) if hits else "abstain"
+            label = _confidence_label(max(h.score for h in hits), cfg) \
+                if hits else "abstain"
             exp = exps[bi]
 
             def _arm_trace(name):

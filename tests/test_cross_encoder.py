@@ -1,0 +1,60 @@
+"""Cross-encoder reranker: forward, pair packing, training, engine hook."""
+import numpy as np
+import pytest
+
+from mobius_rag_tpu.index.store import ChunkStore
+from mobius_rag_tpu.models.cross_encoder import (CrossEncoderConfig,
+                                                 CrossEncoderModel, encode_pair,
+                                                 train_cross_encoder_on_corpus)
+from mobius_rag_tpu.models.tokenizer import CLS_ID, SEP_ID, HashTokenizer
+from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+
+def test_encode_pair_layout():
+    tok = HashTokenizer(1024, 32)
+    pair = encode_pair(tok, "short query", "a much longer document body with words")
+    assert pair[0] == CLS_ID
+    assert SEP_ID in pair
+    sep_pos = int(np.argmax(pair == SEP_ID))
+    assert 1 < sep_pos <= 32 // 3 + 1
+    assert pair.shape == (32,)
+
+
+def test_score_pairs_shape_and_determinism():
+    m = CrossEncoderModel(CrossEncoderConfig.tiny(), seed=1)
+    s1 = m("query text", ["doc one", "doc two", "doc three"])
+    s2 = m("query text", ["doc one", "doc two", "doc three"])
+    assert s1.shape == (3,)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+    assert m("q", []).shape == (0,)
+
+
+def test_cross_training_learns_pairwise_order():
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(sample_lexicon()))
+    params, history = train_cross_encoder_on_corpus(
+        store, cfg=CrossEncoderConfig.tiny(), steps=40, batch=8, seed=3)
+    assert history[-1]["accuracy"] >= 0.75, history
+    assert history[-1]["loss"] < history[0]["loss"]
+
+
+def test_engine_cross_rerank_hook():
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=20))
+    engine = SearchEngine(store, lex, embed_fn=hash_embed)
+    base = engine.search(QueryRequest(query="timely filing deadline"), k=5)[0]
+
+    class FlipCE:
+        def __call__(self, query, texts):
+            return -np.arange(len(texts), dtype=np.float32) * -1.0  # ascending
+
+    engine.cross_encoder = FlipCE()
+    flipped = engine.search(QueryRequest(query="timely filing deadline"), k=5)[0]
+    engine.cross_encoder = None
+    assert [h.chunk_id for h in flipped.hits] == \
+        [h.chunk_id for h in reversed(base.hits)]
+    assert all("cross_encoder" in h.signals for h in flipped.hits)
+    # confidence label still derived from the linear rerank score
+    assert flipped.confidence_label == base.confidence_label
