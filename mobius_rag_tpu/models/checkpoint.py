@@ -18,7 +18,9 @@ import numpy as np
 from mobius_rag_tpu.models.encoder import EncoderConfig
 
 
-def save_encoder(path: str, params: dict, cfg: EncoderConfig) -> None:
+def save_encoder(path: str, params: dict, cfg: EncoderConfig, *,
+                 kind: str = "bi") -> None:
+    """kind: 'bi' (embedding encoder) or 'cross' (reranker)."""
     os.makedirs(path, exist_ok=True)
     try:
         import orbax.checkpoint as ocp
@@ -35,7 +37,8 @@ def save_encoder(path: str, params: dict, cfg: EncoderConfig) -> None:
         )
         backend = "npz"
     with open(os.path.join(path, "encoder.json"), "w") as f:
-        json.dump({"backend": backend, "config": dataclasses.asdict(cfg)}, f)
+        json.dump({"backend": backend, "kind": kind,
+                   "config": dataclasses.asdict(cfg)}, f)
 
 
 def load_encoder(path: str) -> tuple[dict, EncoderConfig]:
@@ -48,9 +51,16 @@ def load_encoder(path: str) -> tuple[dict, EncoderConfig]:
         ckpt = ocp.PyTreeCheckpointer()
         params = ckpt.restore(os.path.join(os.path.abspath(path), "params"))
     else:
-        from mobius_rag_tpu.models.encoder import init_params
+        if meta.get("kind") == "cross":
+            from mobius_rag_tpu.models.cross_encoder import (CrossEncoderConfig,
+                                                             init_cross_params)
 
-        template = init_params(cfg, jax.random.PRNGKey(0))
+            template = init_cross_params(CrossEncoderConfig(cfg),
+                                         jax.random.PRNGKey(0))
+        else:
+            from mobius_rag_tpu.models.encoder import init_params
+
+            template = init_params(cfg, jax.random.PRNGKey(0))
         flat, treedef = jax.tree_util.tree_flatten(template)
         data = np.load(os.path.join(path, "params.npz"))
         params = jax.tree_util.tree_unflatten(
