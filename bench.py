@@ -124,26 +124,33 @@ def main() -> None:
         )
         for i in range(BATCH)
     ]
+    # Median of 3 measurement rounds: wall clocks through the remote-TPU
+    # tunnel fluctuate ±30% run-to-run; the median measures the
+    # framework, not the tunnel's moment-to-moment RTT.
     engine.search(bench_reqs, k=K)  # warm / compile
-    t0 = time.perf_counter()
-    for _ in range(N_BATCHES):
-        engine.search(bench_reqs, k=K)
-    dt = time.perf_counter() - t0
-    qps = BATCH * N_BATCHES / dt
-    log(f"throughput: {qps:.1f} qps (batch={BATCH}, {dt / N_BATCHES * 1e3:.1f} ms/batch)")
+    sync_rounds = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(N_BATCHES):
+            engine.search(bench_reqs, k=K)
+        sync_rounds.append(BATCH * N_BATCHES / (time.perf_counter() - t0))
+    qps = sorted(sync_rounds)[1]
+    log(f"throughput: {qps:.1f} qps median of {[round(x) for x in sync_rounds]} "
+        f"(batch={BATCH})")
 
     # pipelined throughput: dispatch all batches before the single sync —
-    # the serving-throughput shape (amortizes per-dispatch RTT, which
-    # dominates through the remote-TPU tunnel; on-pod the gap shrinks)
+    # the serving-throughput shape (amortizes per-dispatch RTT)
     all_batches = [bench_reqs for _ in range(N_BATCHES)]
     engine.search_pipelined(all_batches[:1], k=K)
-    t0 = time.perf_counter()
-    results = engine.search_pipelined(all_batches, k=K)
-    dt = time.perf_counter() - t0
-    assert all(r.hits for batch in results for r in batch)
-    qps_pipe = BATCH * N_BATCHES / dt
-    log(f"pipelined throughput: {qps_pipe:.1f} qps ({dt * 1e3:.1f} ms for "
-        f"{N_BATCHES} batches)")
+    pipe_rounds = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        results = engine.search_pipelined(all_batches, k=K)
+        pipe_rounds.append(BATCH * N_BATCHES / (time.perf_counter() - t0))
+        assert all(r.hits for batch in results for r in batch)
+    qps_pipe = sorted(pipe_rounds)[1]
+    log(f"pipelined throughput: {qps_pipe:.1f} qps median of "
+        f"{[round(x) for x in pipe_rounds]}")
 
     # single-query latency (sync each)
     one = [bench_reqs[0]]
