@@ -56,7 +56,8 @@ class Config:
     phrase_words: int = _env_int("MRAG_PHRASE_WORDS", 64)
     # Hashed-term buckets for the device lexical (BM25-style) arm.
     lexical_buckets: int = _env_int("MRAG_LEXICAL_BUCKETS", 16384)
-    # Storage dtype for the chunk matrix: "float32" | "bfloat16".
+    # Storage dtype for the chunk matrix: "float32" | "bfloat16" | "int8"
+    # (int8 = symmetric per-row quantization; scales live in vec_scales).
     vector_dtype: str = _env_str("MRAG_VECTOR_DTYPE", "float32")
 
     # ---- search tunables (semantics mirrored from the reference) ------
@@ -106,9 +107,10 @@ class Config:
                 f"MRAG_EMBED_DIM={self.embed_dim} must be a multiple of 128 "
                 "(TPU lane width)"
             )
-        if self.vector_dtype not in ("float32", "bfloat16"):
+        if self.vector_dtype not in ("float32", "bfloat16", "int8"):
             problems.append(
-                f"MRAG_VECTOR_DTYPE={self.vector_dtype!r} must be float32|bfloat16"
+                f"MRAG_VECTOR_DTYPE={self.vector_dtype!r} must be "
+                "float32|bfloat16|int8"
             )
         if self.lexical_buckets % 128 != 0:
             problems.append(

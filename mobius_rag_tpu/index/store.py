@@ -6,7 +6,8 @@ Layout (all fixed-capacity device arrays; capacity doubles on overflow,
 unused rows masked via ``valid`` — mutable-index-vs-jit is solved by
 static shapes + masking, never by reshaping under jit):
 
-  vectors      [C, D]   f32/bf16  L2-normalized chunk embeddings
+  vectors      [C, D]   f32/bf16/int8  L2-normalized chunk embeddings
+  vec_scales   [C]      f32       per-row dequant scales (1.0 unless int8)
   valid        [C]      f32       1.0 = live row, 0.0 = hole/pad
   doc_id       [C]      i32       int-coded document
   authority    [C]      f32       authority_level normalized to [0, 1]
@@ -115,7 +116,7 @@ class DeviceIndex:
     """The pytree of device arrays handed to compiled query pipelines."""
 
     FIELDS = (
-        "vectors", "valid", "doc_id", "authority", "length_score",
+        "vectors", "vec_scales", "valid", "doc_id", "authority", "length_score",
         "payer", "state", "program",
         "j_tags", "d_tags", "p_tags", "phrase_bits", "lexical",
     )
@@ -137,10 +138,12 @@ class DeviceIndex:
 
     @classmethod
     def empty(cls, capacity: int, cfg: Config) -> "DeviceIndex":
-        vec_dtype = jnp.float32 if cfg.vector_dtype == "float32" else jnp.bfloat16
+        vec_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                     "int8": jnp.int8}[cfg.vector_dtype]
         c = capacity
         return cls(
             vectors=jnp.zeros((c, cfg.embed_dim), vec_dtype),
+            vec_scales=jnp.ones((c,), jnp.float32),
             valid=jnp.zeros((c,), jnp.float32),
             doc_id=jnp.full((c,), -1, jnp.int32),
             authority=jnp.zeros((c,), jnp.float32),
@@ -301,6 +304,7 @@ class ChunkStore:
         n_pad = round_up(n, _WRITE_BLOCK)
         d = cfg.embed_dim
         vecs = np.zeros((n_pad, d), np.float32)
+        vec_scales = np.ones((n_pad,), np.float32)
         valid = np.zeros((n_pad,), np.float32)
         doc_id = np.full((n_pad,), -1, np.int32)
         authority = np.zeros((n_pad,), np.float32)
@@ -317,7 +321,14 @@ class ChunkStore:
         for i, r in enumerate(recs):
             v = np.asarray(r.embedding, np.float32)
             norm = float(np.linalg.norm(v))
-            vecs[i] = v / norm if norm > 0 else v
+            v = v / norm if norm > 0 else v
+            if cfg.vector_dtype == "int8":
+                max_abs = float(np.abs(v).max())
+                scale = max_abs / 127.0 if max_abs > 0 else 1.0
+                vecs[i] = np.clip(np.round(v / scale), -127, 127)
+                vec_scales[i] = scale
+            else:
+                vecs[i] = v
             valid[i] = 1.0
             doc_id[i] = self.docs.intern(r.doc_id)
             authority[i] = min(max(r.authority_level, 0), _AUTH_MAX) / _AUTH_MAX
@@ -335,6 +346,7 @@ class ChunkStore:
         for off in range(0, n_pad, _WRITE_BLOCK):
             block = {
                 "vectors": jnp.asarray(vecs[off:off + _WRITE_BLOCK]),
+                "vec_scales": jnp.asarray(vec_scales[off:off + _WRITE_BLOCK]),
                 "valid": jnp.asarray(valid[off:off + _WRITE_BLOCK]),
                 "doc_id": jnp.asarray(doc_id[off:off + _WRITE_BLOCK]),
                 "authority": jnp.asarray(authority[off:off + _WRITE_BLOCK]),
@@ -395,17 +407,24 @@ class ChunkStore:
             p_tags[i] = pack_bits(r.p_tags, cfg.tag_words)
             phrase_bits[i] = pack_bits(r.phrase_ids, cfg.phrase_words)
 
-        vec_dtype = jnp.float32 if cfg.vector_dtype == "float32" else jnp.bfloat16
+        vec_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                     "int8": jnp.int8}[cfg.vector_dtype]
         if vectors is None:
-            vectors = np.zeros((cap, cfg.embed_dim), np.float32)
+            vectors = np.zeros((n, cfg.embed_dim), np.float32)
             for i, r in enumerate(recs):
                 v = np.asarray(r.embedding, np.float32)
                 nv = float(np.linalg.norm(v))
                 vectors[i] = v / nv if nv > 0 else v
-            vec_arr = jnp.asarray(vectors, vec_dtype)
+        scales_arr = jnp.ones((cap,), jnp.float32)
+        if cfg.vector_dtype == "int8":
+            from mobius_rag_tpu.ops.quant import quantize_rows
+
+            qv, qs = quantize_rows(jnp.asarray(vectors))
+            vec_arr = jnp.zeros((cap, cfg.embed_dim), jnp.int8).at[:n].set(qv[:n])
+            scales_arr = scales_arr.at[:n].set(qs[:n])
         else:
             vec_arr = jnp.zeros((cap, cfg.embed_dim), vec_dtype)
-            vec_arr = vec_arr.at[:n].set(jnp.asarray(vectors, vec_dtype))
+            vec_arr = vec_arr.at[:n].set(jnp.asarray(vectors, vec_dtype)[:n])
         if lexical is None:
             # Build only the nonzero prefix host-side (sparse-friendly).
             last = 0
@@ -425,7 +444,8 @@ class ChunkStore:
             )
 
         self.index = DeviceIndex(
-            vectors=vec_arr, valid=jnp.asarray(valid), doc_id=jnp.asarray(doc_id),
+            vectors=vec_arr, vec_scales=scales_arr,
+            valid=jnp.asarray(valid), doc_id=jnp.asarray(doc_id),
             authority=jnp.asarray(authority), length_score=jnp.asarray(length_score),
             payer=jnp.asarray(payer), state=jnp.asarray(state),
             program=jnp.asarray(program), j_tags=jnp.asarray(j_tags),

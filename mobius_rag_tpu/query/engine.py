@@ -195,7 +195,7 @@ def arm_scores(index: DeviceIndex, q: dict, k: int, *, penalty=None, meta_ok=Non
 
     cos = jnp.dot(
         q["vec"], index.vectors.astype(jnp.float32).T, preferred_element_type=jnp.float32
-    )  # [B, C]
+    ) * index.vec_scales[None, :]  # [B, C]; scales are 1.0 unless int8 storage
     # Lexical arm: queries are sparse in the hash-bucket space, so instead
     # of a [B, H] x [H, C] matmul (a full read of the bucket-major lexical
     # matrix), gather only the batch's union of touched buckets [U, C] and
