@@ -125,9 +125,13 @@ def _bit_test(bits_rows: jnp.ndarray, word: jnp.ndarray, bit: jnp.ndarray) -> jn
 
 def _overlap(bits: jnp.ndarray, qbits: jnp.ndarray) -> jnp.ndarray:
     """Any-bit overlap between chunk bitsets [C, W] and query bitsets
-    [B, W] → [B, C] {0,1} f32."""
-    inter = bits[None, :, :] & qbits[:, None, :]
-    return (inter.astype(jnp.uint32).sum(axis=-1) > 0).astype(jnp.float32)
+    [B, W] → [B, C] {0,1} f32. Loops over the (static, small) word axis
+    so no [B, C, W] temporary materializes — at 1M chunks that 3-D
+    intermediate was 1 GB per tag kind and OOMed the hybrid pipeline."""
+    acc = jnp.zeros((qbits.shape[0], bits.shape[0]), jnp.bool_)
+    for w in range(bits.shape[1]):
+        acc = acc | ((bits[:, w][None, :] & qbits[:, w][:, None]) > 0)
+    return acc.astype(jnp.float32)
 
 
 def filter_masks(index: DeviceIndex, q: dict):
