@@ -169,6 +169,10 @@ def _main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--snapshot", default=None,
                     help="ChunkStore snapshot dir (default: built-in toy corpus)")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="forced-arm calibration matrix instead of a single run")
+    ap.add_argument("--derive-priors", default=None, metavar="OUT_JSON",
+                    help="with --calibrate: regenerate router priors to this path")
     args = ap.parse_args()
 
     lex = sample_lexicon()
@@ -178,6 +182,18 @@ def _main() -> None:
         store = ChunkStore()
         store.add_chunks(toy_corpus(lex))
     agent = CorpusSearchAgent(SearchEngine(store, lex, embed_fn=hash_embed))
+    if args.calibrate:
+        from mobius_rag_tpu.eval_harness.calibrate import calibrate
+
+        out = calibrate(agent, args.bank, k=args.k)
+        if args.derive_priors:
+            from mobius_rag_tpu.eval_harness.derive_priors import derive_priors
+
+            info = derive_priors(out["matrix"], out["calib_id"],
+                                 out_path=args.derive_priors)
+            out["derived_priors"] = info
+        print(json.dumps(out, default=str))
+        return
     out = run_eval(agent, args.bank, forced_mode=args.mode, k=args.k)
     print(json.dumps({"run_id": out.run_id, **out.aggregates}))
 
