@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
+from collections import OrderedDict
 from typing import Any, Sequence
 
 import jax
@@ -380,6 +381,11 @@ class SearchEngine:
         # the hybrid top-k as a final stage (beyond the reference's linear
         # signal blend)
         self.cross_encoder = None
+        # query-embedding LRU (corpus_search.py:434-443: the reference's
+        # dominant cold-latency source was re-embedding repeated queries;
+        # with an on-chip encoder it's cheaper but still worth skipping)
+        self._embed_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._embed_cache_max = 256
 
     # -- host-side query prep ---------------------------------------------
 
@@ -481,13 +487,26 @@ class SearchEngine:
         return q, [p[1] for p in prepared]
 
     def _embeddings(self, reqs: Sequence[QueryRequest]) -> np.ndarray:
-        need = [r.query for r in reqs if r.embedding is None]
+        def cache_key(q: str) -> str:
+            return q.strip().lower()
+
+        need = [r.query for r in reqs
+                if r.embedding is None and cache_key(r.query) not in self._embed_cache]
         if need and self.embed_fn is None:
             raise ValueError("QueryRequest.embedding missing and no embed_fn attached")
-        encoded = iter(self.embed_fn(need)) if need else iter(())
+        if need:
+            for q, v in zip(need, self.embed_fn(need)):
+                if len(self._embed_cache) >= self._embed_cache_max:
+                    self._embed_cache.popitem(last=False)
+                self._embed_cache[cache_key(q)] = np.asarray(v, np.float32)
         out = []
         for r in reqs:
-            v = np.asarray(r.embedding if r.embedding is not None else next(encoded), np.float32)
+            if r.embedding is not None:
+                v = np.asarray(r.embedding, np.float32)
+            else:
+                key = cache_key(r.query)
+                self._embed_cache.move_to_end(key)  # refresh LRU position
+                v = self._embed_cache[key]
             n = np.linalg.norm(v)
             out.append(v / n if n > 0 else v)
         return np.stack(out)
