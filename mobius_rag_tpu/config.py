@@ -56,6 +56,17 @@ class Config:
     phrase_words: int = _env_int("MRAG_PHRASE_WORDS", 64)
     # Hashed-term buckets for the device lexical (BM25-style) arm.
     lexical_buckets: int = _env_int("MRAG_LEXICAL_BUCKETS", 16384)
+    # Lexical storage layout: "dense" keeps a bucket-major [H, C] weight
+    # matrix (fastest at ≤~500k chunks); "sparse" keeps padded postings
+    # [H, P] (cols + weights) scored by scatter-add — memory scales with
+    # nonzeros instead of H*C, lifting the dense layout's 1M-chunk HBM
+    # ceiling (dense [16384, 1M] bf16 = 33 GB; sparse ≈ nnz * 6 bytes).
+    lexical_format: str = _env_str("MRAG_LEXICAL_FORMAT", "dense")
+    # Sparse postings-per-bucket: initial width (doubles on overflow) and
+    # hard cap (beyond it the lowest-weight postings are pruned, i.e.
+    # impact-ordered truncation).
+    lexical_postings_init: int = _env_int("MRAG_LEXICAL_POSTINGS_INIT", 64)
+    lexical_postings_max: int = _env_int("MRAG_LEXICAL_POSTINGS_MAX", 8192)
     # Storage dtype for the chunk matrix: "float32" | "bfloat16" | "int8"
     # (int8 = symmetric per-row quantization; scales live in vec_scales).
     vector_dtype: str = _env_str("MRAG_VECTOR_DTYPE", "float32")
@@ -116,6 +127,16 @@ class Config:
             problems.append(
                 f"MRAG_LEXICAL_BUCKETS={self.lexical_buckets} must be a "
                 "multiple of 128"
+            )
+        if self.lexical_format not in ("dense", "sparse"):
+            problems.append(
+                f"MRAG_LEXICAL_FORMAT={self.lexical_format!r} must be "
+                "dense|sparse"
+            )
+        if not (8 <= self.lexical_postings_init <= self.lexical_postings_max):
+            problems.append(
+                "MRAG_LEXICAL_POSTINGS_INIT must be in "
+                f"[8, MRAG_LEXICAL_POSTINGS_MAX={self.lexical_postings_max}]"
             )
         if self.tag_words <= 0 or self.phrase_words <= 0:
             problems.append("tag_words and phrase_words must be positive")

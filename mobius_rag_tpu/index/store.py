@@ -113,24 +113,56 @@ class ChunkRecord:
 
 @jax.tree_util.register_pytree_node_class
 class DeviceIndex:
-    """The pytree of device arrays handed to compiled query pipelines."""
+    """The pytree of device arrays handed to compiled query pipelines.
 
-    FIELDS = (
+    Two lexical layouts (Config.lexical_format):
+      dense   — `lexical` [H, C] bf16 bucket-major weights (default)
+      sparse  — `lex_cols` [H, P] i32 chunk rows (-1 pad) + `lex_wts`
+                [H, P] bf16 weights; memory scales with postings, not
+                H*C, lifting the dense layout's HBM ceiling at ≥1M rows.
+    The instance's field tuple rides pytree aux data, so both layouts
+    flow through the same jitted writers and query pipelines (layout is
+    a static trace-time property)."""
+
+    # canonical field order; an instance carries the subset it uses
+    _CANON = (
         "vectors", "vec_scales", "valid", "doc_id", "authority", "length_score",
         "payer", "state", "program",
-        "j_tags", "d_tags", "p_tags", "phrase_bits", "lexical",
+        "j_tags", "d_tags", "p_tags", "phrase_bits",
+        "lexical", "lex_cols", "lex_wts",
     )
+    # dense-layout field tuple (kept under the historical name)
+    FIELDS = _CANON[:14]
 
     def __init__(self, **arrays):
-        for f in self.FIELDS:
+        self.fields = tuple(f for f in self._CANON if f in arrays)
+        if len(self.fields) != len(arrays):
+            unknown = set(arrays) - set(self._CANON)
+            raise ValueError(f"unknown DeviceIndex fields: {sorted(unknown)}")
+        for f in self.fields:
             setattr(self, f, arrays[f])
 
+    @staticmethod
+    def chunk_axis(f: str) -> int | None:
+        """Which axis of field `f` indexes chunks (None = no chunk axis —
+        the sparse postings arrays are bucket-major and row-valued)."""
+        if f == "lexical":
+            return 1
+        if f in ("lex_cols", "lex_wts"):
+            return None
+        return 0
+
     def tree_flatten(self):
-        return tuple(getattr(self, f) for f in self.FIELDS), None
+        return tuple(getattr(self, f) for f in self.fields), self.fields
 
     @classmethod
-    def tree_unflatten(cls, _aux, children):
-        return cls(**dict(zip(cls.FIELDS, children)))
+    def tree_unflatten(cls, aux, children):
+        return cls(**dict(zip(aux, children)))
+
+    def replace(self, **updates) -> "DeviceIndex":
+        arrays = {f: getattr(self, f) for f in self.fields}
+        arrays.update(updates)
+        return DeviceIndex(**arrays)
 
     @property
     def capacity(self) -> int:
@@ -141,7 +173,7 @@ class DeviceIndex:
         vec_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
                      "int8": jnp.int8}[cfg.vector_dtype]
         c = capacity
-        return cls(
+        arrays = dict(
             vectors=jnp.zeros((c, cfg.embed_dim), vec_dtype),
             vec_scales=jnp.ones((c,), jnp.float32),
             valid=jnp.zeros((c,), jnp.float32),
@@ -155,18 +187,29 @@ class DeviceIndex:
             d_tags=jnp.zeros((c, cfg.tag_words), jnp.uint32),
             p_tags=jnp.zeros((c, cfg.tag_words), jnp.uint32),
             phrase_bits=jnp.zeros((c, cfg.phrase_words), jnp.uint32),
-            lexical=jnp.zeros((cfg.lexical_buckets, c), jnp.bfloat16),
         )
+        if cfg.lexical_format == "sparse":
+            h, p = cfg.lexical_buckets, cfg.lexical_postings_init
+            arrays["lex_cols"] = jnp.full((h, p), -1, jnp.int32)
+            arrays["lex_wts"] = jnp.zeros((h, p), jnp.bfloat16)
+        else:
+            arrays["lexical"] = jnp.zeros((cfg.lexical_buckets, c), jnp.bfloat16)
+        return cls(**arrays)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_block(index: DeviceIndex, start: jnp.ndarray, block: dict) -> DeviceIndex:
     """Write a fixed-size row block at dynamic offset `start` (donated
     in-place update; one compile per array signature). `lexical` is
-    bucket-major [H, C], so its chunk-block writes land on axis 1."""
+    bucket-major [H, C], so its chunk-block writes land on axis 1;
+    fields absent from `block` (the sparse postings arrays, which are
+    updated by bucket not by row) pass through untouched."""
     new = {}
-    for f in DeviceIndex.FIELDS:
+    for f in index.fields:
         arr = getattr(index, f)
+        if f not in block:
+            new[f] = arr
+            continue
         upd = block[f].astype(arr.dtype)
         if f == "lexical":
             new[f] = jax.lax.dynamic_update_slice(arr, upd, (0, start))
@@ -183,9 +226,7 @@ def _clear_rows(index: DeviceIndex, rows: jnp.ndarray) -> DeviceIndex:
     safe = jnp.where(rows >= 0, rows, 0)
     keep = (rows >= 0).astype(jnp.float32)
     valid = index.valid.at[safe].multiply(1.0 - keep)
-    out = {f: getattr(index, f) for f in DeviceIndex.FIELDS}
-    out["valid"] = valid
-    return DeviceIndex(**out)
+    return index.replace(valid=valid)
 
 
 class _Interner:
@@ -240,6 +281,14 @@ class ChunkStore:
         self._source_ids: dict[str, set[str]] = {}  # doc → embedded source ids
         self._free_rows: list[int] = []
         self._lexical_stats_cache: tuple[dict[int, int], int] | None = None
+        self._sparse_lexical = self.cfg.lexical_format == "sparse"
+        if self._sparse_lexical:
+            h, p = self.cfg.lexical_buckets, self.cfg.lexical_postings_init
+            # host mirrors of lex_cols/lex_wts (postings packed left,
+            # -1-padded) — writes mutate these, then sync to device
+            self._lex_cols_np = np.full((h, p), -1, np.int32)
+            self._lex_wts_np = np.zeros((h, p), np.float32)
+            self._lex_fill = np.zeros(h, np.int64)
 
     # -- sizing ----------------------------------------------------------
 
@@ -260,9 +309,12 @@ class ChunkStore:
             new_cap *= 2
         old = jax.device_get(self.index)
         grown = {}
-        for f in DeviceIndex.FIELDS:
+        for f in self.index.fields:
             arr = np.asarray(getattr(old, f))
-            axis = 1 if f == "lexical" else 0  # lexical is [H, C]
+            axis = DeviceIndex.chunk_axis(f)
+            if axis is None:  # sparse postings don't scale with row capacity
+                grown[f] = jnp.asarray(arr)
+                continue
             shape = list(arr.shape)
             shape[axis] = new_cap - arr.shape[axis]
             pad = np.zeros(shape, arr.dtype)
@@ -316,7 +368,10 @@ class ChunkStore:
         d_tags = np.zeros((n_pad, cfg.tag_words), np.uint32)
         p_tags = np.zeros((n_pad, cfg.tag_words), np.uint32)
         phrase_bits = np.zeros((n_pad, cfg.phrase_words), np.uint32)
-        lexical = np.zeros((cfg.lexical_buckets, n_pad), np.float32)  # bucket-major
+        if self._sparse_lexical:
+            postings: dict[int, list[tuple[int, float]]] = {}
+        else:
+            lexical = np.zeros((cfg.lexical_buckets, n_pad), np.float32)  # bucket-major
 
         for i, r in enumerate(recs):
             v = np.asarray(r.embedding, np.float32)
@@ -340,8 +395,13 @@ class ChunkStore:
             d_tags[i] = pack_bits(r.d_tags, cfg.tag_words)
             p_tags[i] = pack_bits(r.p_tags, cfg.tag_words)
             phrase_bits[i] = pack_bits(r.phrase_ids, cfg.phrase_words)
-            for bucket, w in r.lexical_weights.items():
-                lexical[bucket % cfg.lexical_buckets, i] += w
+            if self._sparse_lexical:
+                for bucket, w in r.lexical_weights.items():
+                    postings.setdefault(bucket % cfg.lexical_buckets, []) \
+                        .append((rows[i], float(w)))
+            else:
+                for bucket, w in r.lexical_weights.items():
+                    lexical[bucket % cfg.lexical_buckets, i] += w
 
         for off in range(0, n_pad, _WRITE_BLOCK):
             block = {
@@ -358,11 +418,106 @@ class ChunkStore:
                 "d_tags": jnp.asarray(d_tags[off:off + _WRITE_BLOCK]),
                 "p_tags": jnp.asarray(p_tags[off:off + _WRITE_BLOCK]),
                 "phrase_bits": jnp.asarray(phrase_bits[off:off + _WRITE_BLOCK]),
-                "lexical": jnp.asarray(lexical[:, off:off + _WRITE_BLOCK]),
             }
+            if not self._sparse_lexical:
+                block["lexical"] = jnp.asarray(lexical[:, off:off + _WRITE_BLOCK])
             self.index = _write_block(self.index, jnp.int32(start + off), block)
+        if self._sparse_lexical:
+            self._sparse_add(postings)
         self._lexical_stats_cache = None
         return rows
+
+    # -- sparse-lexical maintenance ---------------------------------------
+
+    def _sparse_compact(self, bucket: int) -> None:
+        """Repack a bucket's postings, dropping rows that were deleted
+        (rows are never reused, so dead postings can only waste slots —
+        the valid-mask penalty already keeps them out of results)."""
+        fill = int(self._lex_fill[bucket])
+        cols = self._lex_cols_np[bucket, :fill]
+        wts = self._lex_wts_np[bucket, :fill]
+        live = np.array([0 <= c < len(self.records)
+                         and self.records[c] is not None for c in cols],
+                        dtype=bool)
+        keep = int(live.sum())
+        self._lex_cols_np[bucket, :keep] = cols[live]
+        self._lex_wts_np[bucket, :keep] = wts[live]
+        self._lex_cols_np[bucket, keep:] = -1
+        self._lex_wts_np[bucket, keep:] = 0.0
+        self._lex_fill[bucket] = keep
+
+    def _sparse_grow(self) -> None:
+        """Double the postings width P (host mirrors only; device sync
+        happens in the caller)."""
+        h, p = self._lex_cols_np.shape
+        cols = np.full((h, p * 2), -1, np.int32)
+        wts = np.zeros((h, p * 2), np.float32)
+        cols[:, :p] = self._lex_cols_np
+        wts[:, :p] = self._lex_wts_np
+        self._lex_cols_np, self._lex_wts_np = cols, wts
+
+    def _sparse_add(self, postings: dict[int, list[tuple[int, float]]]) -> None:
+        """Append postings to their buckets; compact (scrub dead rows)
+        then double P on overflow, and at the P cap prune the lowest-
+        weight postings (impact-ordered truncation, the device analogue
+        of FTS index pruning)."""
+        if not postings:
+            return
+        p_max = self.cfg.lexical_postings_max
+        grew = False
+        for b, posts in postings.items():
+            need = int(self._lex_fill[b]) + len(posts)
+            if need > self._lex_cols_np.shape[1]:
+                self._sparse_compact(b)
+                need = int(self._lex_fill[b]) + len(posts)
+            while need > self._lex_cols_np.shape[1] and \
+                    self._lex_cols_np.shape[1] < p_max:
+                self._sparse_grow()
+                grew = True
+            p = self._lex_cols_np.shape[1]
+            if need > p:  # at cap: keep the p heaviest postings
+                fill = int(self._lex_fill[b])
+                cols = np.concatenate([self._lex_cols_np[b, :fill],
+                                       np.array([c for c, _ in posts], np.int32)])
+                wts = np.concatenate([self._lex_wts_np[b, :fill],
+                                      np.array([w for _, w in posts], np.float32)])
+                top = np.argsort(-wts, kind="stable")[:p]
+                self._lex_cols_np[b] = cols[top]
+                self._lex_wts_np[b] = wts[top]
+                self._lex_fill[b] = p
+            else:
+                fill = int(self._lex_fill[b])
+                for c, w in posts:
+                    self._lex_cols_np[b, fill] = c
+                    self._lex_wts_np[b, fill] = w
+                    fill += 1
+                self._lex_fill[b] = fill
+        self._sync_sparse_device(None if grew else sorted(postings))
+
+    def _sync_sparse_device(self, buckets: Sequence[int] | None) -> None:
+        """Push host postings mirrors to the device index. `buckets`
+        limits the update to touched rows (padded to a power of two so
+        the scatter compiles O(log) times); None re-uploads everything
+        (P changed shape)."""
+        if buckets is None:
+            self.index = self.index.replace(
+                lex_cols=jnp.asarray(self._lex_cols_np),
+                lex_wts=jnp.asarray(self._lex_wts_np, jnp.bfloat16),
+            )
+            return
+        t = len(buckets)
+        t_pad = 1
+        while t_pad < t:
+            t_pad *= 2
+        idx = np.full(t_pad, buckets[0], np.int32)
+        idx[:t] = buckets
+        jidx = jnp.asarray(idx)
+        self.index = self.index.replace(
+            lex_cols=self.index.lex_cols.at[jidx].set(
+                jnp.asarray(self._lex_cols_np[idx])),
+            lex_wts=self.index.lex_wts.at[jidx].set(
+                jnp.asarray(self._lex_wts_np[idx], jnp.bfloat16)),
+        )
 
     def bulk_load(self, recs: Sequence[ChunkRecord], *, vectors=None, lexical=None) -> list[int]:
         """Mass-ingest fast path: one device_put per field instead of
@@ -425,33 +580,52 @@ class ChunkStore:
         else:
             vec_arr = jnp.zeros((cap, cfg.embed_dim), vec_dtype)
             vec_arr = vec_arr.at[:n].set(jnp.asarray(vectors, vec_dtype)[:n])
-        if lexical is None:
-            # Build only the nonzero prefix host-side (sparse-friendly).
-            last = 0
-            for i, r in enumerate(recs):
-                if r.lexical_weights:
-                    last = i + 1
-            lex_np = np.zeros((last, cfg.lexical_buckets), np.float32)
-            for i, r in enumerate(recs[:last]):
-                for bucket, w in r.lexical_weights.items():
-                    lex_np[i, bucket % cfg.lexical_buckets] += w
-            lexical = lex_np
-        # external API stays row-major [N, H]; storage is bucket-major [H, C]
-        lex_arr = jnp.zeros((cfg.lexical_buckets, cap), jnp.bfloat16)
-        if lexical.shape[0] > 0:
-            lex_arr = lex_arr.at[:, : lexical.shape[0]].set(
-                jnp.asarray(lexical, jnp.bfloat16).T
-            )
-
-        self.index = DeviceIndex(
+        arrays = dict(
             vectors=vec_arr, vec_scales=scales_arr,
             valid=jnp.asarray(valid), doc_id=jnp.asarray(doc_id),
             authority=jnp.asarray(authority), length_score=jnp.asarray(length_score),
             payer=jnp.asarray(payer), state=jnp.asarray(state),
             program=jnp.asarray(program), j_tags=jnp.asarray(j_tags),
             d_tags=jnp.asarray(d_tags), p_tags=jnp.asarray(p_tags),
-            phrase_bits=jnp.asarray(phrase_bits), lexical=lex_arr,
+            phrase_bits=jnp.asarray(phrase_bits),
         )
+        if self._sparse_lexical:
+            postings: dict[int, list[tuple[int, float]]] = {}
+            if lexical is not None:
+                lex_np = np.asarray(lexical, np.float32)  # [N, H] row-major
+                rows_nz, buckets_nz = np.nonzero(lex_np)
+                for i, b in zip(rows_nz.tolist(), buckets_nz.tolist()):
+                    postings.setdefault(int(b) % cfg.lexical_buckets, []) \
+                        .append((int(i), float(lex_np[i, b])))
+            else:
+                for i, r in enumerate(recs):
+                    for bucket, w in r.lexical_weights.items():
+                        postings.setdefault(bucket % cfg.lexical_buckets, []) \
+                            .append((i, float(w)))
+            arrays["lex_cols"] = self.index.lex_cols  # placeholder, synced below
+            arrays["lex_wts"] = self.index.lex_wts
+            self.index = DeviceIndex(**arrays)
+            self._sparse_add(postings)
+        else:
+            if lexical is None:
+                # Build only the nonzero prefix host-side (sparse-friendly).
+                last = 0
+                for i, r in enumerate(recs):
+                    if r.lexical_weights:
+                        last = i + 1
+                lex_np = np.zeros((last, cfg.lexical_buckets), np.float32)
+                for i, r in enumerate(recs[:last]):
+                    for bucket, w in r.lexical_weights.items():
+                        lex_np[i, bucket % cfg.lexical_buckets] += w
+                lexical = lex_np
+            # external API stays row-major [N, H]; storage is bucket-major [H, C]
+            lex_arr = jnp.zeros((cfg.lexical_buckets, cap), jnp.bfloat16)
+            if lexical.shape[0] > 0:
+                lex_arr = lex_arr.at[:, : lexical.shape[0]].set(
+                    jnp.asarray(lexical, jnp.bfloat16).T
+                )
+            arrays["lexical"] = lex_arr
+            self.index = DeviceIndex(**arrays)
         self._lexical_stats_cache = None
         return list(range(n))
 
@@ -549,7 +723,7 @@ class ChunkStore:
         (embedding_worker.py:215-266)."""
         os.makedirs(path, exist_ok=True)
         host = jax.device_get(self.index)
-        arrays = {f: np.asarray(getattr(host, f)) for f in DeviceIndex.FIELDS}
+        arrays = {f: np.asarray(getattr(host, f)) for f in self.index.fields}
         # bf16 has no numpy dtype — store as uint16 bit pattern.
         meta_dtypes = {}
         for f, a in arrays.items():
@@ -584,6 +758,7 @@ class ChunkStore:
                 "tag_words": self.cfg.tag_words,
                 "phrase_words": self.cfg.phrase_words,
                 "lexical_buckets": self.cfg.lexical_buckets,
+                "lexical_format": self.cfg.lexical_format,
             },
         }
         with open(os.path.join(path, "store.json"), "w") as f:
@@ -595,19 +770,32 @@ class ChunkStore:
             state = json.load(f)
         cfg = cfg or get_config()
         for key, val in state["config"].items():
-            if getattr(cfg, key) != val:
+            if key == "lexical_format" and getattr(cfg, key, "dense") != val:
+                raise ValueError(
+                    f"snapshot lexical_format={val!r} != config "
+                    f"{getattr(cfg, key, 'dense')!r} (set MRAG_LEXICAL_FORMAT)"
+                )
+            if key != "lexical_format" and getattr(cfg, key) != val:
                 raise ValueError(
                     f"snapshot {key}={val} != config {getattr(cfg, key)}"
                 )
         data = np.load(os.path.join(path, "index.npz"))
         arrays = {}
-        for f in DeviceIndex.FIELDS:
+        for f in DeviceIndex._CANON:
+            if f not in data.files:
+                continue
             a = data[f]
             if state["bf16_fields"].get(f) == "bfloat16":
                 a = a.view(jnp.bfloat16)
             arrays[f] = jnp.asarray(a)
         store = cls(cfg, capacity=arrays["vectors"].shape[0])
         store.index = DeviceIndex(**arrays)
+        if store._sparse_lexical:
+            # rebuild host postings mirrors from the restored device arrays
+            store._lex_cols_np = np.asarray(arrays["lex_cols"])
+            store._lex_wts_np = np.asarray(arrays["lex_wts"],
+                                           dtype=np.float32)
+            store._lex_fill = (store._lex_cols_np >= 0).sum(axis=1)
         store.records = []
         for d in state["records"]:
             if d is None:

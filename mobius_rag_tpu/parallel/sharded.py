@@ -175,10 +175,15 @@ class ShardedEngine:
         self.index = self._shard_index(store.index)
 
     def _shard_index(self, index: DeviceIndex) -> DeviceIndex:
+        if "lex_cols" in index.fields:
+            raise NotImplementedError(
+                "sparse lexical postings hold global row ids and can't be "
+                "block-partitioned yet — use MRAG_LEXICAL_FORMAT=dense for "
+                "sharded serving (per-shard postings are a planned follow-up)")
         s = self.mesh.shape[self.axis]
         host = jax.device_get(index)
         arrays = {}
-        for f in DeviceIndex.FIELDS:
+        for f in index.fields:
             a = np.asarray(getattr(host, f))
             # every field is chunk-major except lexical ([H, C]) — the
             # chunk axis is what shards
@@ -196,7 +201,7 @@ class ShardedEngine:
 
     def _index_specs(self) -> DeviceIndex:
         specs = {}
-        for f in DeviceIndex.FIELDS:
+        for f in self.index.fields:
             ndim = getattr(self.index, f).ndim
             spec = [None] * ndim
             spec[1 if f == "lexical" else 0] = self.axis

@@ -206,11 +206,25 @@ def arm_scores(index: DeviceIndex, q: dict, k: int, *, penalty=None, meta_ok=Non
     # matrix), gather only the batch's union of touched buckets [U, C] and
     # contract against per-query IDF weights [B, U] — HBM traffic drops
     # from H rows to U rows (U is typically a few dozen).
-    bucket_rows = jnp.take(index.lexical, q["lex_buckets"], axis=0)  # [U, C]
-    lex_raw = jnp.dot(
-        q["lex_weights"], bucket_rows.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )  # [B, C]
+    if "lex_cols" in index.fields:
+        # sparse postings layout ([H, P] cols + weights): gather the
+        # union buckets' postings and scatter-add into per-chunk scores.
+        # HBM read is U*P entries; memory scales with nonzeros instead
+        # of H*C (the dense layout's 1M-chunk ceiling).
+        c = valid.shape[0]
+        cols = jnp.take(index.lex_cols, q["lex_buckets"], axis=0)  # [U, P]
+        wts = jnp.take(index.lex_wts, q["lex_buckets"], axis=0)  # [U, P]
+        seg = jnp.where(cols >= 0, cols, c).reshape(-1)  # pads → drop bin c
+        vals = q["lex_weights"][:, :, None] * wts[None].astype(jnp.float32)
+        lex_raw = jax.vmap(
+            lambda v: jax.ops.segment_sum(v, seg, num_segments=c + 1)
+        )(vals.reshape(vals.shape[0], -1))[:, :c]  # [B, C]
+    else:
+        bucket_rows = jnp.take(index.lexical, q["lex_buckets"], axis=0)  # [U, C]
+        lex_raw = jnp.dot(
+            q["lex_weights"], bucket_rows.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # [B, C]
     dtag_member = _overlap(index.d_tags, q["d_bits"])  # [B, C]
     dtag_scores = (
         jnp.where(dtag_member > 0, index.authority[None, :] + 1.0, NEG_INF)
