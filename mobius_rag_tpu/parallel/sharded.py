@@ -175,21 +175,18 @@ class ShardedEngine:
         self.index = self._shard_index(store.index)
 
     def _shard_index(self, index: DeviceIndex) -> DeviceIndex:
-        if "lex_cols" in index.fields:
-            raise NotImplementedError(
-                "sparse lexical postings hold global row ids and can't be "
-                "block-partitioned yet — use MRAG_LEXICAL_FORMAT=dense for "
-                "sharded serving (per-shard postings are a planned follow-up)")
         s = self.mesh.shape[self.axis]
         host = jax.device_get(index)
         arrays = {}
+        c_pad = round_up(index.capacity, s)
         for f in index.fields:
+            if f in ("lex_cols", "lex_wts"):
+                continue  # rebuilt per shard below (row ids must go local)
             a = np.asarray(getattr(host, f))
             # every field is chunk-major except lexical ([H, C]) — the
             # chunk axis is what shards
             chunk_axis = 1 if f == "lexical" else 0
             c = a.shape[chunk_axis]
-            c_pad = round_up(c, s)
             if c_pad != c:
                 shape = list(a.shape)
                 shape[chunk_axis] = c_pad - c
@@ -197,7 +194,39 @@ class ShardedEngine:
             spec = [None] * a.ndim
             spec[chunk_axis] = self.axis
             arrays[f] = jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
+        if "lex_cols" in index.fields:
+            sc, sw = self._shard_sparse_tables(s, c_pad)
+            spec = NamedSharding(self.mesh, P(self.axis, None))
+            arrays["lex_cols"] = jax.device_put(sc, spec)
+            arrays["lex_wts"] = jax.device_put(sw.astype(jnp.bfloat16), spec)
         return DeviceIndex(**arrays)
+
+    def _shard_sparse_tables(self, s: int, c_pad: int):
+        """Re-key the store's sparse postings per shard: shard s owns
+        global rows [s*Cs, (s+1)*Cs); its table holds LOCAL row ids so
+        the per-shard arm scan scatter-adds into [B, c_local] directly.
+        Tables stack to [S*H, P_local] and shard on axis 0 — inside
+        shard_map each device sees its own [H, P_local]."""
+        cols_np = self.store._lex_cols_np  # [H, P] global row ids
+        wts_np = self.store._lex_wts_np
+        h = cols_np.shape[0]
+        cs = c_pad // s
+        hh, pp = np.nonzero(cols_np >= 0)
+        rows = cols_np[hh, pp]
+        shard = rows // cs
+        key = shard * h + hh  # [NNZ] → row of the stacked [S*H, ...] table
+        counts = np.bincount(key, minlength=s * h)
+        p_loc = int(round_up(max(8, int(counts.max(initial=0))), 8))
+        out_cols = np.full((s * h, p_loc), -1, np.int32)
+        out_wts = np.zeros((s * h, p_loc), np.float32)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        # slot within each key run (ks is sorted, so searchsorted-left
+        # gives each run's first position)
+        slot = np.arange(len(ks)) - np.searchsorted(ks, ks, side="left")
+        out_cols[ks, slot] = (rows - shard * cs)[order]
+        out_wts[ks, slot] = wts_np[hh, pp][order]
+        return out_cols, out_wts
 
     def _index_specs(self) -> DeviceIndex:
         specs = {}

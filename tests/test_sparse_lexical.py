@@ -130,14 +130,34 @@ def test_snapshot_format_mismatch_rejected(tmp_path):
         ChunkStore.restore(path, _cfg(lexical_format="dense"))
 
 
-def test_sharded_rejects_sparse():
+def test_sharded_sparse_matches_dense_engine():
+    """8-shard sparse search must reproduce the single-device DENSE
+    engine's results — postings are re-keyed to local row ids per shard
+    and the merge path is untouched."""
+    from mobius_rag_tpu.parallel.mesh import make_mesh
     from mobius_rag_tpu.parallel.sharded import ShardedEngine
 
     lex = sample_lexicon()
-    store = ChunkStore(_cfg(lexical_format="sparse"))
-    store.add_chunks(toy_corpus(lex))
-    with pytest.raises(NotImplementedError, match="sparse"):
-        ShardedEngine(store)
+    dense = ChunkStore(_cfg(lexical_format="dense"))
+    dense.add_chunks(toy_corpus(lex, pad_docs=300))
+    sparse = ChunkStore(_cfg(lexical_format="sparse", lexical_postings_init=8))
+    sparse.add_chunks(toy_corpus(lex, pad_docs=300))
+
+    e_dense = SearchEngine(dense, lex, embed_fn=hash_embed)
+    e_sparse = SearchEngine(sparse, lex, embed_fn=hash_embed)
+    sharded = ShardedEngine(sparse, mesh=make_mesh(8))
+    # each device's local table must carry only local row ids
+    c_local = sharded.index.valid.shape[0] // 8
+    cols = np.asarray(sharded.index.lex_cols)
+    assert cols.max() < c_local
+
+    for q in ("timely filing deadline for sunshine health claims",
+              "prior authorization for durable medical equipment"):
+        rd = e_dense.search(QueryRequest(query=q), k=5)[0]
+        rs = sharded.search(e_sparse, QueryRequest(query=q), k=5)[0]
+        assert [h.chunk_id for h in rd.hits] == [h.chunk_id for h in rs.hits]
+        for hd, hs in zip(rd.hits, rs.hits):
+            assert hd.score == pytest.approx(hs.score, abs=1e-4)
 
 
 def test_bulk_load_sparse_matches_incremental():
