@@ -36,125 +36,21 @@ from mobius_rag_tpu.ops.topk import NEG_INF
 from mobius_rag_tpu.query import engine as eng
 from mobius_rag_tpu.utils import round_up
 
-_N_SIG = 6  # cos, lex_raw, auth, len, jpd, cov
+_N_SIG = eng.N_SIG  # cos, lex_raw, auth, len, jpd, cov
 
 
 def _local_candidates(index: DeviceIndex, q: dict, k: int, m: int, axis: str):
-    """Per-shard: arm scores over the local rows, local top-m per arm,
-    signals for each local candidate. Returns (vals [3,B,m], gidx
-    [3,B,m], sigs [3,B,m,_N_SIG])."""
-    c_local = index.valid.shape[0]
-    offset = jax.lax.axis_index(axis) * c_local
-
-    # Global strict count → identical auto-relax branch on all shards.
-    strict, relaxed, open_mask, meta_ok = eng.filter_masks(index, q)
-    strict_total = jax.lax.psum(strict.sum(axis=1), axis)[:, None]
-    penalty = eng.gate_penalty(strict, relaxed, open_mask, q, k, strict_total)
-    cos, lex_raw, dtag_scores, _, _ = eng.arm_scores(
-        index, q, k, penalty=penalty, meta_ok=meta_ok, strict_count=strict_total[:, 0]
-    )
-
-    vec_scores = cos + penalty + jnp.where(cos < q["min_sim"][:, None], NEG_INF, 0.0)
-    lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
-
-    out_vals, out_gidx, out_sigs = [], [], []
-    for scores in (vec_scores, lex_scores, dtag_scores):
-        vals, idx = jax.lax.top_k(scores, m)  # [B, m] local
-        auth, lsig, jpd, cov = eng.candidate_signals(index, q, idx)
-        sig = jnp.stack(
-            [
-                jnp.take_along_axis(cos, idx, axis=1),
-                jnp.take_along_axis(lex_raw, idx, axis=1),
-                auth, lsig, jpd, cov,
-            ],
-            axis=-1,
-        )  # [B, m, 6]
-        out_vals.append(vals)
-        out_gidx.append(idx + offset)
-        out_sigs.append(sig)
-    return (
-        jnp.stack(out_vals),  # [3, B, m]
-        jnp.stack(out_gidx).astype(jnp.int32),
-        jnp.stack(out_sigs),
-    )
+    """Per-shard arm scan: delegates to the engine's shared
+    arm_candidates with the mesh axis (strict counts psum so every shard
+    takes the same auto-relax branch; indices offset to global).
+    Returns (vals [3,B,m], gidx [3,B,m], sigs [3,B,m,_N_SIG])."""
+    vals, gidx, sigs, _ = eng.arm_candidates(index, q, k, m, axis=axis)
+    return vals, gidx, sigs
 
 
-def _fuse_and_rerank(vals, gidx, sigs, q, k: int, rrf_k: int, m_global: int):
-    """Replicated merge: global per-arm ranks → RRF over the candidate
-    union (duplicate-sum via pairwise id matching — no dense [B, C]
-    buffer) → rerank. vals/gidx [3, S, B, m], sigs [3, S, B, m, 6].
-
-    m_global caps each arm's global candidate list to the same over-fetch
-    the dense single-chip engine uses, so RRF contributions (and thus
-    results) are bit-identical to the unsharded pipeline."""
-    n_arms, s, b, m = vals.shape
-    r = min(m_global, m * s)
-
-    # per-arm global re-sort
-    arm_vals = vals.transpose(0, 2, 1, 3).reshape(n_arms, b, s * m)
-    arm_gidx = gidx.transpose(0, 2, 1, 3).reshape(n_arms, b, s * m)
-    arm_sigs = sigs.transpose(0, 2, 1, 3, 4).reshape(n_arms, b, s * m, _N_SIG)
-
-    cand_parts, contrib_parts, sig_parts = [], [], []
-    for a in range(n_arms):
-        g_vals, pos = jax.lax.top_k(arm_vals[a], r)  # [B, r]
-        g_idx = jnp.take_along_axis(arm_gidx[a], pos, axis=1)
-        g_sig = jnp.take_along_axis(
-            arm_sigs[a], pos[..., None].repeat(_N_SIG, -1), axis=1
-        )
-        live = (g_vals > NEG_INF / 2).astype(jnp.float32)
-        ranks = jnp.arange(r, dtype=jnp.float32)[None, :]
-        w = q["arm_weights"][:, a : a + 1]
-        contrib = live * w / (rrf_k + ranks + 1.0)
-        # dead candidates must never match a real id
-        cand_parts.append(jnp.where(live > 0, g_idx, -1 - a * r - ranks.astype(jnp.int32)))
-        contrib_parts.append(contrib)
-        sig_parts.append(g_sig)
-
-    u_idx = jnp.concatenate(cand_parts, axis=1)  # [B, 3r]
-    u_contrib = jnp.concatenate(contrib_parts, axis=1)
-    u_sig = jnp.concatenate(sig_parts, axis=1)  # [B, 3r, 6]
-    u_live = (u_contrib > 0).astype(jnp.float32)
-
-    # pairwise duplicate handling
-    eq = (u_idx[:, :, None] == u_idx[:, None, :]).astype(jnp.float32)  # [B,3r,3r]
-    rrf_sum = jnp.einsum("bij,bj->bi", eq, u_contrib)
-    first = jnp.argmax(eq, axis=2)  # first occurrence index of each id
-    is_first = (first == jnp.arange(u_idx.shape[1])[None, :]).astype(jnp.float32)
-    fused = jnp.where((is_first * u_live) > 0, rrf_sum, NEG_INF)
-
-    # Keep the same fused-candidate count the dense engine reranks
-    # (top-m of fused RRF) so results match it exactly.
-    n_keep = min(m_global, fused.shape[1])
-    cand_rrf, pos = jax.lax.top_k(fused, n_keep)
-    cand_idx = jnp.take_along_axis(u_idx, pos, axis=1)
-    cand_sig = jnp.take_along_axis(u_sig, pos[..., None].repeat(_N_SIG, -1), axis=1)
-
-    cos_c, lex_c = cand_sig[..., 0], cand_sig[..., 1]
-    auth_c, len_c = cand_sig[..., 2], cand_sig[..., 3]
-    jpd_c, cov_c = cand_sig[..., 4], cand_sig[..., 5]
-    # global lexical normalizer = best live lexical score
-    lex_best = jnp.max(jnp.where(arm_vals[1] > NEG_INF / 2, arm_vals[1], 0.0), axis=1)
-    sim = jnp.clip(jnp.maximum(cos_c, lex_c / jnp.maximum(lex_best[:, None], 1e-6)), 0.0, 1.0)
-
-    has_jpd = (q["d_bits"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
-    has_cov = (q["slot_weight"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
-    rerank = eng.rerank_score(sim, auth_c, len_c, jpd_c, cov_c, has_jpd, has_cov)
-    rerank = jnp.where(cand_rrf > NEG_INF / 2, rerank, NEG_INF)
-
-    top_vals, tpos = jax.lax.top_k(rerank, k)
-    take = lambda x: jnp.take_along_axis(x, tpos, axis=1)
-    return {
-        "idx": take(cand_idx),
-        "rerank": top_vals,
-        "sim": take(sim),
-        "cos": take(cos_c),
-        "auth": take(auth_c),
-        "len": take(len_c),
-        "jpd": take(jpd_c),
-        "cov": take(cov_c),
-        "rrf": take(cand_rrf),
-    }
+# The replicated merge is the engine's fuse_and_rerank (shared with the
+# single-chip pipeline — one fusion code path ⇒ sharded ≡ dense results).
+_fuse_and_rerank = eng.fuse_and_rerank
 
 
 class ShardedEngine:

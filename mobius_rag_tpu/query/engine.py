@@ -294,6 +294,140 @@ def rerank_score(sim, auth, lsig, jpd, cov, has_jpd, has_cov):
     ) / jnp.maximum(max_w, 1e-6)
 
 
+# Per-candidate signal channels carried through fusion:
+# cos, lex_raw, auth, len, jpd, cov.
+N_SIG = 6
+
+
+def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
+                   axis: str | None = None):
+    """Per-(sub)index arm scan: top-m candidates per arm + their rerank
+    signals. Shared by the single-chip pipeline and the sharded per-shard
+    scan — with `axis` set, the strict count psums over the mesh (so all
+    shards take the same auto-relax branch) and indices offset to global.
+
+    Returns (vals [3,B,m], gidx [3,B,m] i32, sigs [3,B,m,N_SIG],
+    strict_total [B,1])."""
+    strict, relaxed, open_mask, meta_ok = filter_masks(index, q)
+    strict_local = strict.sum(axis=1)
+    if axis is None:
+        strict_total = strict_local[:, None]
+        offset = 0
+    else:
+        strict_total = jax.lax.psum(strict_local, axis)[:, None]
+        offset = jax.lax.axis_index(axis) * index.valid.shape[0]
+    penalty = gate_penalty(strict, relaxed, open_mask, q, k, strict_total)
+    cos, lex_raw, dtag_scores, _, _ = arm_scores(
+        index, q, k, penalty=penalty, meta_ok=meta_ok,
+        strict_count=strict_total[:, 0],
+    )
+
+    vec_scores = cos + penalty + jnp.where(cos < q["min_sim"][:, None], NEG_INF, 0.0)
+    lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
+
+    out_vals, out_gidx, out_sigs = [], [], []
+    for scores in (vec_scores, lex_scores, dtag_scores):
+        vals, idx = jax.lax.top_k(scores, m)  # [B, m] local
+        auth, lsig, jpd, cov = candidate_signals(index, q, idx)
+        sig = jnp.stack(
+            [
+                jnp.take_along_axis(cos, idx, axis=1),
+                jnp.take_along_axis(lex_raw, idx, axis=1),
+                auth, lsig, jpd, cov,
+            ],
+            axis=-1,
+        )  # [B, m, N_SIG]
+        out_vals.append(vals)
+        out_gidx.append(idx + offset)
+        out_sigs.append(sig)
+    return (
+        jnp.stack(out_vals),  # [3, B, m]
+        jnp.stack(out_gidx).astype(jnp.int32),
+        jnp.stack(out_sigs),
+        strict_total,
+    )
+
+
+def fuse_and_rerank(vals, gidx, sigs, q, k: int, rrf_k: int, m_global: int):
+    """RRF + rerank over the UNION of per-arm candidate lists — no dense
+    [B, C] score buffer (the candidate union is ≤ 3·m_global ids, so
+    duplicate-summing is a tiny [B, 3r, 3r] pairwise match; at 1M chunks
+    a [B, C] RRF scatter was 128 MB/query-batch of peak HBM for scores
+    the fusion never reads). vals/gidx [3, S, B, m], sigs
+    [3, S, B, m, N_SIG]; S=1 for the single-chip pipeline, S=shards for
+    the all-gathered merge (identical math ⇒ sharded ≡ dense results).
+
+    m_global caps each arm's global candidate list to the single-chip
+    over-fetch so RRF contributions are identical in both regimes."""
+    n_arms, s, b, m = vals.shape
+    r = min(m_global, m * s)
+
+    # per-arm global re-sort
+    arm_vals = vals.transpose(0, 2, 1, 3).reshape(n_arms, b, s * m)
+    arm_gidx = gidx.transpose(0, 2, 1, 3).reshape(n_arms, b, s * m)
+    arm_sigs = sigs.transpose(0, 2, 1, 3, 4).reshape(n_arms, b, s * m, N_SIG)
+
+    cand_parts, contrib_parts, sig_parts = [], [], []
+    for a in range(n_arms):
+        g_vals, pos = jax.lax.top_k(arm_vals[a], r)  # [B, r]
+        g_idx = jnp.take_along_axis(arm_gidx[a], pos, axis=1)
+        g_sig = jnp.take_along_axis(
+            arm_sigs[a], pos[..., None].repeat(N_SIG, -1), axis=1
+        )
+        live = (g_vals > NEG_INF / 2).astype(jnp.float32)
+        ranks = jnp.arange(r, dtype=jnp.float32)[None, :]
+        w = q["arm_weights"][:, a : a + 1]
+        contrib = live * w / (rrf_k + ranks + 1.0)
+        # dead candidates must never match a real id
+        cand_parts.append(jnp.where(live > 0, g_idx, -1 - a * r - ranks.astype(jnp.int32)))
+        contrib_parts.append(contrib)
+        sig_parts.append(g_sig)
+
+    u_idx = jnp.concatenate(cand_parts, axis=1)  # [B, 3r]
+    u_contrib = jnp.concatenate(contrib_parts, axis=1)
+    u_sig = jnp.concatenate(sig_parts, axis=1)  # [B, 3r, N_SIG]
+    u_live = (u_contrib > 0).astype(jnp.float32)
+
+    # pairwise duplicate handling
+    eq = (u_idx[:, :, None] == u_idx[:, None, :]).astype(jnp.float32)  # [B,3r,3r]
+    rrf_sum = jnp.einsum("bij,bj->bi", eq, u_contrib)
+    first = jnp.argmax(eq, axis=2)  # first occurrence index of each id
+    is_first = (first == jnp.arange(u_idx.shape[1])[None, :]).astype(jnp.float32)
+    fused = jnp.where((is_first * u_live) > 0, rrf_sum, NEG_INF)
+
+    # Rerank the same fused-candidate count the RRF over-fetch defines.
+    n_keep = min(m_global, fused.shape[1])
+    cand_rrf, pos = jax.lax.top_k(fused, n_keep)
+    cand_idx = jnp.take_along_axis(u_idx, pos, axis=1)
+    cand_sig = jnp.take_along_axis(u_sig, pos[..., None].repeat(N_SIG, -1), axis=1)
+
+    cos_c, lex_c = cand_sig[..., 0], cand_sig[..., 1]
+    auth_c, len_c = cand_sig[..., 2], cand_sig[..., 3]
+    jpd_c, cov_c = cand_sig[..., 4], cand_sig[..., 5]
+    # lexical normalizer = best LIVE (gate-passing) lexical score
+    lex_best = jnp.max(jnp.where(arm_vals[1] > NEG_INF / 2, arm_vals[1], 0.0), axis=1)
+    sim = jnp.clip(jnp.maximum(cos_c, lex_c / jnp.maximum(lex_best[:, None], 1e-6)), 0.0, 1.0)
+
+    has_jpd = (q["d_bits"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
+    has_cov = (q["slot_weight"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
+    rerank = rerank_score(sim, auth_c, len_c, jpd_c, cov_c, has_jpd, has_cov)
+    rerank = jnp.where(cand_rrf > NEG_INF / 2, rerank, NEG_INF)
+
+    top_vals, tpos = jax.lax.top_k(rerank, k)
+    take = lambda x: jnp.take_along_axis(x, tpos, axis=1)
+    return {
+        "idx": take(cand_idx),
+        "rerank": top_vals,
+        "sim": take(sim),
+        "cos": take(cos_c),
+        "auth": take(auth_c),
+        "len": take(len_c),
+        "jpd": take(jpd_c),
+        "cov": take(cov_c),
+        "rrf": take(cand_rrf),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k"))
 def _search_compiled(
     index: DeviceIndex,
@@ -303,71 +437,25 @@ def _search_compiled(
     rrf_k: int,
 ):
     """One XLA program: all arms, fusion, rerank. q holds per-query arrays
-    (see prepare_query for the schema)."""
+    (see prepare_query for the schema). Fusion runs over the candidate
+    UNION (fuse_and_rerank) — peak HBM is the arm scores themselves, not
+    a [B, C] RRF buffer, which is what lets the full hybrid pipeline run
+    at 1M chunks on one chip."""
     c = index.valid.shape[0]
-    b = q["vec"].shape[0]
     m = min(k * over_fetch, c)
 
-    cos, lex_raw, dtag_scores, penalty, strict_count = arm_scores(index, q, k)
-    strict_count = strict_count[:, None]
-
-    vec_scores = cos + penalty + jnp.where(cos < q["min_sim"][:, None], NEG_INF, 0.0)
-    vec_vals, vec_idx = jax.lax.top_k(vec_scores, m)
-
-    lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
-    lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
-
-    dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
-
-    # ---- RRF fusion ---------------------------------------------------------
-    rows = jnp.arange(b)[:, None]
-    ranks = jnp.arange(m)[None, :].astype(jnp.float32)
-    rrf = jnp.zeros((b, c), jnp.float32)
-    for arm_i, (vals, idx) in enumerate(
-        [(vec_vals, vec_idx), (lex_vals, lex_idx), (dtag_vals, dtag_idx)]
-    ):
-        live = (vals > NEG_INF / 2).astype(jnp.float32)
-        w = q["arm_weights"][:, arm_i : arm_i + 1]  # [B,1]
-        rrf = rrf.at[rows, idx].add(live * w / (rrf_k + ranks + 1.0))
-    # Only fused candidates that passed SOME arm are eligible.
-    fused = jnp.where(rrf > 0, rrf, NEG_INF)
-    cand_rrf, cand = jax.lax.top_k(fused, m)  # [B, M]
-
-    # ---- rerank signals over candidates -------------------------------------
-    cand_cos = jnp.take_along_axis(cos, cand, axis=1)
-    lex_max = jnp.max(jnp.where(lex_raw > 0, lex_raw, 0.0), axis=1, keepdims=True)
-    cand_lex = jnp.take_along_axis(lex_raw, cand, axis=1) / jnp.maximum(lex_max, 1e-6)
-    sim = jnp.clip(jnp.maximum(cand_cos, cand_lex), 0.0, 1.0)
-
-    auth, lsig, jpd, cov = candidate_signals(index, q, cand)
-    q_dcount = (q["d_bits"].sum(axis=1) > 0)
-    has_jpd = q_dcount.astype(jnp.float32)[:, None]
-    has_cov = (q["slot_weight"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
-
-    rerank = rerank_score(sim, auth, lsig, jpd, cov, has_jpd, has_cov)
-    rerank = jnp.where(cand_rrf > NEG_INF / 2, rerank, NEG_INF)
-
-    top_vals, pos = jax.lax.top_k(rerank, k)
-    top_idx = jnp.take_along_axis(cand, pos, axis=1)
-
-    out = {
-        "idx": top_idx,
-        "rerank": top_vals,
-        "sim": jnp.take_along_axis(sim, pos, axis=1),
-        "cos": jnp.take_along_axis(cand_cos, pos, axis=1),
-        "auth": jnp.take_along_axis(auth, pos, axis=1),
-        "len": jnp.take_along_axis(lsig, pos, axis=1),
-        "jpd": jnp.take_along_axis(jpd, pos, axis=1),
-        "cov": jnp.take_along_axis(cov, pos, axis=1),
-        "rrf": jnp.take_along_axis(cand_rrf, pos, axis=1),
-        "vec_idx": vec_idx[:, : k * 2],
-        "vec_vals": vec_vals[:, : k * 2],
-        "lex_idx": lex_idx[:, : k * 2],
-        "lex_vals": lex_vals[:, : k * 2],
-        "dtag_idx": dtag_idx[:, : k * 2],
-        "dtag_vals": dtag_vals[:, : k * 2],
-        "strict_count": strict_count[:, 0],
-    }
+    vals, gidx, sigs, strict_total = arm_candidates(index, q, k, m)
+    out = fuse_and_rerank(vals[:, None], gidx[:, None], sigs[:, None],
+                          q, k, rrf_k, m)
+    out.update({
+        "vec_idx": gidx[0][:, : k * 2],
+        "vec_vals": vals[0][:, : k * 2],
+        "lex_idx": gidx[1][:, : k * 2],
+        "lex_vals": vals[1][:, : k * 2],
+        "dtag_idx": gidx[2][:, : k * 2],
+        "dtag_vals": vals[2][:, : k * 2],
+        "strict_count": strict_total[:, 0],
+    })
     return out
 
 
