@@ -181,3 +181,17 @@ def test_deleted_doc_never_surfaces(engine):
     store.delete_by_document("sunshine_provider_manual")
     after = eng.search(q, k=5)[0]
     assert all(h.doc_id != "sunshine_provider_manual" for h in after.hits)
+
+
+def test_rrf_sums_duplicate_arm_contributions(engine):
+    """A chunk surfacing in multiple arms must accumulate RRF from each
+    (union fusion's pairwise duplicate-sum): its fused score has to beat
+    the max a single arm can contribute (w=1, rank 0 → 1/(rrf_k+1))."""
+    res = engine.search(QueryRequest(
+        query="timely filing deadline for sunshine health claims"), k=5)[0]
+    top = res.hits[0]
+    arms = res.telemetry["arms"]
+    in_arms = [a for a in ("vector", "lexical", "dtag")
+               if any(t["row"] == top.row for t in arms[a])]
+    assert len(in_arms) >= 2
+    assert top.signals["rrf"] > 1.0 / (engine.cfg.rrf_k + 1) + 1e-6
