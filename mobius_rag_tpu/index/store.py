@@ -578,8 +578,15 @@ class ChunkStore:
             vec_arr = jnp.zeros((cap, cfg.embed_dim), jnp.int8).at[:n].set(qv[:n])
             scales_arr = scales_arr.at[:n].set(qs[:n])
         else:
-            vec_arr = jnp.zeros((cap, cfg.embed_dim), vec_dtype)
-            vec_arr = vec_arr.at[:n].set(jnp.asarray(vectors, vec_dtype)[:n])
+            # Cast + pad on HOST, one device_put: the zeros+at[].set form
+            # put ~5x the array size in flight on device (f32 source cast
+            # on device + zeros + set output) — at 1M×1536 that transient
+            # spike is what kept the full 1M hybrid from fitting alongside
+            # its own search program.
+            host_vec = np.zeros((cap, cfg.embed_dim), np.dtype(vec_dtype))
+            host_vec[:n] = np.asarray(vectors[:n], host_vec.dtype)
+            vec_arr = jnp.asarray(host_vec)
+            del host_vec
         arrays = dict(
             vectors=vec_arr, vec_scales=scales_arr,
             valid=jnp.asarray(valid), doc_id=jnp.asarray(doc_id),
