@@ -118,13 +118,35 @@ def _err(msg: str, status: int = 400) -> web.Response:
 async def admin_auth_middleware(request: web.Request, handler):
     key = os.getenv("MRAG_ADMIN_KEY", "")
     path = request.path
-    if key and (path.startswith("/admin") or path.startswith("/config")):
-        if request.headers.get("X-Admin-Key") != key:
-            return _err("admin key required", 401)
+    if path.startswith("/admin") or path.startswith("/config"):
+        if key:
+            if request.headers.get("X-Admin-Key") != key:
+                return _err("admin key required", 401)
+        else:
+            # No admin key configured: the admin surface (SQL console,
+            # snapshot/restore, profiler) is loopback-only, so widening
+            # --host can never expose it unauthenticated.
+            peer = request.remote or ""
+            if peer not in ("", "127.0.0.1", "::1", "localhost"):
+                return _err(
+                    "admin/config routes require MRAG_ADMIN_KEY for "
+                    "non-loopback access", 403)
     try:
         return await handler(request)
     except json.JSONDecodeError:
         return _err("request body must be valid JSON", 400)
+
+
+def _data_subpath(sub: str | None, default_name: str) -> str:
+    """Resolve a caller-supplied path strictly inside data_dir — admin
+    snapshot/profile writes must not be able to target arbitrary
+    filesystem locations."""
+    base = os.path.realpath(get_config().data_dir)
+    target = os.path.realpath(
+        sub if sub else os.path.join(base, default_name))
+    if target != base and not target.startswith(base + os.sep):
+        raise ValueError(f"path must be inside data_dir ({base})")
+    return target
 
 
 def build_app(ctx: AppContext) -> web.Application:
@@ -486,7 +508,7 @@ def build_app(ctx: AppContext) -> web.Application:
         paths = {
             "telemetry": ctx.telemetry._path,
             "eval": os.path.join(get_config().data_dir, "eval.sqlite"),
-            "jobs": os.path.join(get_config().data_dir, "jobs.sqlite"),
+            "jobs": ctx.pipeline.queue.path,  # per-context queue file
             "curator": os.path.join(get_config().data_dir, "curator.sqlite"),
             "candidates": os.path.join(get_config().data_dir, "candidates.sqlite"),
         }
@@ -689,8 +711,12 @@ def build_app(ctx: AppContext) -> web.Application:
         import jax
 
         body = await request.json()
-        trace_dir = body.get("dir") or os.path.join(
-            get_config().data_dir, "profiles", str(int(__import__("time").time())))
+        try:
+            trace_dir = _data_subpath(
+                body.get("dir"),
+                os.path.join("profiles", str(int(__import__("time").time()))))
+        except ValueError as e:
+            return _err(str(e), 403)
         os.makedirs(trace_dir, exist_ok=True)
         queries = body.get("queries") or ["profile warm query"]
         reps = int(body.get("repetitions", 3))
@@ -706,9 +732,35 @@ def build_app(ctx: AppContext) -> web.Application:
 
     async def snapshot(request):
         body = await request.json()
-        path = body.get("path") or os.path.join(get_config().data_dir, "snapshot")
+        try:
+            path = _data_subpath(body.get("path"), "snapshot")
+        except ValueError as e:
+            return _err(str(e), 403)
         ctx.store.snapshot(path)
         return _json({"path": path, "chunks": ctx.store.size})
+
+    async def restore(request):
+        """Swap in a store restored from a snapshot (the durable-resume
+        counterpart of /admin/snapshot). Every component holding the old
+        store is rebound; an attached sharded engine is refreshed."""
+        body = await request.json()
+        try:
+            path = _data_subpath(body.get("path"), "snapshot")
+        except ValueError as e:
+            return _err(str(e), 403)
+        if not os.path.exists(os.path.join(path, "store.json")):
+            return _err(f"no snapshot at {path}", 404)
+        try:
+            new_store = ChunkStore.restore(path)
+        except ValueError as e:
+            return _err(f"restore failed: {e}", 409)
+        ctx.store = new_store
+        ctx.engine.store = new_store
+        ctx.pipeline.store = new_store
+        ctx.pipeline.embedding_worker.store = new_store
+        if ctx.engine.sharded is not None:
+            ctx.engine.sharded = ctx.engine.sharded.rebuilt(new_store)
+        return _json({"path": path, "chunks": new_store.size})
 
     async def cleanup_stale(request):
         return _json({"cleaned": ctx.pipeline.queue.cleanup_stale()})
@@ -766,6 +818,7 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_post("/admin/profile", profile)
     r.add_post("/admin/retag", retag)
     r.add_post("/admin/snapshot", snapshot)
+    r.add_post("/admin/restore", restore)
     r.add_post("/admin/cleanup-stale-jobs", cleanup_stale)
     return app
 

@@ -281,6 +281,14 @@ class ChunkStore:
         self._source_ids: dict[str, set[str]] = {}  # doc → embedded source ids
         self._free_rows: list[int] = []
         self._lexical_stats_cache: tuple[dict[int, int], int] | None = None
+        # Write-generation counter + mutation listeners: every device-state
+        # mutation bumps `generation` and notifies listeners with
+        # (event, rows) so downstream mirrors (ShardedEngine, index
+        # service) can stay current instead of silently serving stale
+        # results (the reference's republish contract, publish.py:27-481,
+        # has no "frozen at construction" copies anywhere).
+        self.generation = 0
+        self.listeners: list[Any] = []  # callables (event: str, rows: list[int])
         self._sparse_lexical = self.cfg.lexical_format == "sparse"
         if self._sparse_lexical:
             h, p = self.cfg.lexical_buckets, self.cfg.lexical_postings_init
@@ -299,6 +307,11 @@ class ChunkStore:
     @property
     def capacity(self) -> int:
         return self.index.capacity
+
+    def _notify(self, event: str, rows: Sequence[int]) -> None:
+        self.generation += 1
+        for fn in self.listeners:
+            fn(event, list(rows))
 
     def _ensure_capacity(self, extra: int) -> None:
         needed = len(self.records) + extra
@@ -322,6 +335,7 @@ class ChunkStore:
                 pad.fill(-1)
             grown[f] = jnp.asarray(np.concatenate([arr, pad], axis=axis))
         self.index = DeviceIndex(**grown)
+        self._notify("grow", [])
 
     # -- writes ------------------------------------------------------------
 
@@ -425,6 +439,7 @@ class ChunkStore:
         if self._sparse_lexical:
             self._sparse_add(postings)
         self._lexical_stats_cache = None
+        self._notify("add", rows)
         return rows
 
     # -- sparse-lexical maintenance ---------------------------------------
@@ -634,6 +649,7 @@ class ChunkStore:
             arrays["lexical"] = lex_arr
             self.index = DeviceIndex(**arrays)
         self._lexical_stats_cache = None
+        self._notify("bulk", list(range(n)))
         return list(range(n))
 
     def delete_by_document(self, doc_id: str) -> int:
@@ -653,6 +669,7 @@ class ChunkStore:
         for off in range(0, n_pad, _WRITE_BLOCK):
             self.index = _clear_rows(self.index, jnp.asarray(padded[off:off + _WRITE_BLOCK]))
         self._lexical_stats_cache = None
+        self._notify("delete", rows)
         return len(rows)
 
     def invalidate_rows(self, rows: Sequence[int]) -> int:
@@ -674,6 +691,7 @@ class ChunkStore:
         for off in range(0, n_pad, _WRITE_BLOCK):
             self.index = _clear_rows(self.index, jnp.asarray(padded[off:off + _WRITE_BLOCK]))
         self._lexical_stats_cache = None
+        self._notify("delete", rows)
         return len(rows)
 
     def publish_document(self, doc_id: str, recs: Sequence[ChunkRecord]) -> list[int]:
@@ -803,12 +821,27 @@ class ChunkStore:
             store._lex_wts_np = np.asarray(arrays["lex_wts"],
                                            dtype=np.float32)
             store._lex_fill = (store._lex_cols_np >= 0).sum(axis=1)
+        # Rehydrate record embeddings from the restored device vectors:
+        # publish-from-records paths (retag, nightly retag, integrity
+        # remediation) treat record embeddings as authoritative, so a
+        # restored store with zeroed embeddings would silently overwrite
+        # live vectors with zeros on the next republish — or be dropped
+        # wholesale by integrity_remediate's zero-norm check.
+        vecs_host = data["vectors"]
+        if state["bf16_fields"].get("vectors") == "bfloat16":
+            vecs_host = vecs_host.view(jnp.bfloat16)
+        int8_vecs = vecs_host.dtype == np.int8
+        scales_host = data["vec_scales"] if int8_vecs else None
         store.records = []
-        for d in state["records"]:
+        for i, d in enumerate(state["records"]):
             if d is None:
                 store.records.append(None)
             else:
-                d["embedding"] = np.zeros((cfg.embed_dim,), np.float32)
+                if int8_vecs:
+                    emb = vecs_host[i].astype(np.float32) * float(scales_host[i])
+                else:
+                    emb = vecs_host[i]  # row view; normalized at snapshot time
+                d["embedding"] = emb
                 d["lexical_weights"] = {int(k): v for k, v in d["lexical_weights"].items()}
                 store.records.append(ChunkRecord(**d))
         store._free_rows = list(state["free_rows"])

@@ -69,6 +69,7 @@ class JobQueue:
     def __init__(self, path: str | None = None, *, lease_seconds: float = 300.0):
         base = path or os.path.join(get_config().data_dir, "jobs.sqlite")
         os.makedirs(os.path.dirname(base), exist_ok=True)
+        self.path = base
         # shared across worker threads (nightly sweeps, API handlers) —
         # sqlite serializes writers; the RLock protects claim's
         # read-then-update transaction

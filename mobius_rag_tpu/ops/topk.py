@@ -194,14 +194,24 @@ def _cosine_topk_pallas(vectors, queries, penalty, k: int, interpret: bool):
 
 
 def cosine_topk_pallas(vectors, queries, penalty, k: int):
-    """Fused single-pass masked top-k (see module docstring)."""
+    """Fused single-pass masked top-k (see module docstring).
+
+    The kernel's running merge is capped at ``_K_PAD`` candidates; beyond
+    that it would silently keep only the first ``_K_PAD`` — so reject
+    rather than return wrong shapes/results.
+    """
+    if k > _K_PAD:
+        raise ValueError(
+            f"cosine_topk_pallas supports k <= {_K_PAD} (got k={k}); "
+            "use cosine_topk_xla for wider fetches")
     return _cosine_topk_pallas(vectors, queries, penalty, k, interpret=not _on_tpu())
 
 
 def cosine_topk(vectors, queries, penalty, k: int, *, use_pallas: bool | None = None):
-    """Dispatch: Pallas fused kernel on TPU, XLA elsewhere (or forced)."""
+    """Dispatch: Pallas fused kernel on TPU, XLA elsewhere (or forced).
+    Falls back to XLA for k beyond the kernel's merge width."""
     if use_pallas is None:
-        use_pallas = _on_tpu()
+        use_pallas = _on_tpu() and k <= _K_PAD
     if use_pallas:
         return cosine_topk_pallas(vectors, queries, penalty, k)
     return cosine_topk_xla(vectors, queries, penalty, k)

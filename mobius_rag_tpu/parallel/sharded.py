@@ -19,6 +19,17 @@ shard-local top-Ms, gathering local top-Ms and re-sorting reproduces the
 exact single-chip ranks (tested against the dense engine in
 tests/test_sharded.py). The strict-count for filter auto-relax is a
 psum so every shard takes the same strict/relaxed branch.
+
+LIVE SERVING: the sharded copy tracks the source ChunkStore through its
+mutation listeners (store.listeners). Publishes/deletes after
+construction accumulate as pending row updates; ``refresh()`` applies
+them as replicated scatter writes into the sharded arrays (or falls
+back to a full re-shard when the store grew, bulk-loaded, or uses the
+sparse postings layout, whose per-shard tables are re-keyed globally).
+The query entry points auto-refresh, so a freshly published document
+surfaces in sharded results without reconstructing the engine — the
+multi-chip counterpart of the reference's republish contract
+(app/services/publish.py:27-481).
 """
 from __future__ import annotations
 
@@ -38,6 +49,11 @@ from mobius_rag_tpu.utils import round_up
 
 _N_SIG = eng.N_SIG  # cos, lex_raw, auth, len, jpd, cov
 
+# Static pads for incremental row-refresh batches (each distinct pad is
+# one XLA compile of the scatter program); beyond the largest pad a full
+# re-shard is cheaper anyway.
+_ROW_PADS = (256, 1024, 4096)
+
 
 def _local_candidates(index: DeviceIndex, q: dict, k: int, m: int, axis: str):
     """Per-shard arm scan: delegates to the engine's shared
@@ -51,6 +67,70 @@ def _local_candidates(index: DeviceIndex, q: dict, k: int, m: int, axis: str):
 # The replicated merge is the engine's fuse_and_rerank (shared with the
 # single-chip pipeline — one fusion code path ⇒ sharded ≡ dense results).
 _fuse_and_rerank = eng.fuse_and_rerank
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
+    """Build the jitted sharded query program for a (mesh, axis, knobs)
+    tuple. Module-level + lru_cached so every ShardedEngine instance over
+    the same mesh shares ONE compiled program per index signature —
+    refresh/republish never recompiles (round-1 keyed the jit on `self`,
+    so each rebuild paid a full compile)."""
+    s = mesh.shape[axis]
+
+    def index_specs(index: DeviceIndex) -> DeviceIndex:
+        specs = {}
+        for f in index.fields:
+            ndim = getattr(index, f).ndim
+            spec = [None] * ndim
+            spec[1 if f == "lexical" else 0] = axis
+            specs[f] = P(*spec)
+        return DeviceIndex(**specs)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run(index: DeviceIndex, q: dict, k: int):
+        c_total = index.valid.shape[0]
+        c_local = c_total // s
+        # Per-shard over-fetch: the global top-(k*over_fetch) of an arm
+        # can in the worst case live entirely on one shard.
+        m = min(k * over_fetch, c_local)
+        m_global = min(k * over_fetch, c_total)
+        vals, gidx, sigs = shard_map(
+            functools.partial(_local_candidates, k=k, m=m, axis=axis),
+            mesh=mesh,
+            in_specs=(index_specs(index), P()),  # queries replicated
+            out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        )(index, q)
+        b = q["vec"].shape[0]
+        # locally [3, B, m] → gathered along axis 1 → [3, S*B, m]
+        vals = vals.reshape(3, s, b, m)
+        gidx = gidx.reshape(3, s, b, m)
+        sigs = sigs.reshape(3, s, b, m, _N_SIG)
+        return _fuse_and_rerank(vals, gidx, sigs, q, k, rrf_k, m_global)
+
+    return run
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("fields",))
+def _scatter_rows(index: DeviceIndex, rows: jnp.ndarray, updates: tuple,
+                  fields: tuple):
+    """Replicated row-scatter into the (sharded) index arrays. `rows` is
+    padded by REPEATING the last real row (duplicate writes carry
+    identical values, so scatter order can't corrupt anything). GSPMD
+    routes each row's write to the shard that owns it."""
+    upd = dict(zip(fields, updates))
+    new = {}
+    for f in index.fields:
+        arr = getattr(index, f)
+        if f not in upd:
+            new[f] = arr
+            continue
+        val = upd[f].astype(arr.dtype)
+        if f == "lexical":  # bucket-major [H, C]: column updates
+            new[f] = arr.at[:, rows].set(val)
+        else:
+            new[f] = arr.at[rows].set(val)
+    return DeviceIndex(**new)
 
 
 class ShardedEngine:
@@ -68,7 +148,74 @@ class ShardedEngine:
         self.store = store
         self.mesh = mesh or make_mesh(self.cfg.num_shards, self.cfg.shard_axis)
         self.axis = axis or self.cfg.shard_axis
+        self._run_fn = _sharded_run(self.mesh, self.axis,
+                                    self.cfg.over_fetch, self.cfg.rrf_k)
+        self._pending: set[int] = set()
+        self._needs_rebuild = False
+        self._sparse = "lex_cols" in store.index.fields
+        store.listeners.append(self._on_store_event)
         self.index = self._shard_index(store.index)
+        self._synced_generation = store.generation
+
+    # -- liveness ----------------------------------------------------------
+
+    def _on_store_event(self, event: str, rows: list[int]) -> None:
+        if event in ("grow", "bulk") or self._sparse:
+            # capacity/bulk changes reshape the shards; the sparse
+            # postings tables are re-keyed globally — full re-shard
+            self._needs_rebuild = True
+        else:
+            self._pending.update(rows)
+
+    @property
+    def stale(self) -> bool:
+        return self._synced_generation != self.store.generation
+
+    def refresh(self) -> dict:
+        """Bring the sharded copy current with the store. Incremental
+        row scatter for dense layouts; full re-shard when the store
+        grew/bulk-loaded, uses sparse postings, or the dirty set exceeds
+        the largest scatter pad."""
+        if not self.stale:
+            return {"refreshed": False}
+        if self._needs_rebuild or len(self._pending) > _ROW_PADS[-1]:
+            self.index = self._shard_index(self.store.index)
+            mode = "rebuild"
+        else:
+            self._apply_rows(sorted(self._pending))
+            mode = f"scatter:{len(self._pending)}"
+        self._pending.clear()
+        self._needs_rebuild = False
+        self._synced_generation = self.store.generation
+        return {"refreshed": True, "mode": mode}
+
+    def _apply_rows(self, rows: list[int]) -> None:
+        src = self.store.index
+        n = len(rows)
+        n_pad = next(p for p in _ROW_PADS if n <= p)
+        padded = np.full(n_pad, rows[-1], np.int64)
+        padded[:n] = rows
+        gather = jnp.asarray(padded)
+        fields, updates = [], []
+        for f in src.fields:
+            if f in ("lex_cols", "lex_wts"):
+                continue
+            arr = getattr(src, f)
+            if f == "lexical":
+                updates.append(np.asarray(arr[:, gather]))  # [H, R]
+            else:
+                updates.append(np.asarray(arr[gather]))
+            fields.append(f)
+        self.index = _scatter_rows(self.index, jnp.asarray(padded),
+                                   tuple(jnp.asarray(u) for u in updates),
+                                   tuple(fields))
+
+    def rebuilt(self, store: ChunkStore) -> "ShardedEngine":
+        """A fresh sharded engine over a NEW store (post-restore swap),
+        reusing this engine's mesh/axis (and hence its compiled program)."""
+        return ShardedEngine(store, mesh=self.mesh, cfg=self.cfg, axis=self.axis)
+
+    # -- build ---------------------------------------------------------------
 
     def _shard_index(self, index: DeviceIndex) -> DeviceIndex:
         s = self.mesh.shape[self.axis]
@@ -124,47 +271,15 @@ class ShardedEngine:
         out_wts[ks, slot] = wts_np[hh, pp][order]
         return out_cols, out_wts
 
-    def _index_specs(self) -> DeviceIndex:
-        specs = {}
-        for f in self.index.fields:
-            ndim = getattr(self.index, f).ndim
-            spec = [None] * ndim
-            spec[1 if f == "lexical" else 0] = self.axis
-            specs[f] = P(*spec)
-        return DeviceIndex(**specs)
+    # -- query ---------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self", "k"))
     def _run(self, q: dict, k: int):
-        cfg = self.cfg
-        s = self.mesh.shape[self.axis]
-        c_total = self.index.valid.shape[0]
-        c_local = c_total // s
-        # Per-shard over-fetch: the global top-(k*over_fetch) of an arm can
-        # in the worst case live entirely on one shard.
-        m = min(k * cfg.over_fetch, c_local)
-        m_global = min(k * cfg.over_fetch, c_total)
-
-        local = shard_map(
-            functools.partial(_local_candidates, k=k, m=m, axis=self.axis),
-            mesh=self.mesh,
-            in_specs=(
-                self._index_specs(),
-                P(),  # queries replicated
-            ),
-            out_specs=(P(None, self.axis), P(None, self.axis), P(None, self.axis)),
-        )(self.index, q)
-        # local returns: vals [3, S*B? ...]  — reshape below
-        vals, gidx, sigs = local
-        b = q["vec"].shape[0]
-        # out along axis 1 was locally [3, B, m] → gathered [3, S*B, m]
-        vals = vals.reshape(3, s, b, m)
-        gidx = gidx.reshape(3, s, b, m)
-        sigs = sigs.reshape(3, s, b, m, _N_SIG)
-        return _fuse_and_rerank(vals, gidx, sigs, q, k, cfg.rrf_k, m_global)
+        return self._run_fn(self.index, q, k)
 
     def search_arrays(self, q_host: dict[str, np.ndarray], k: int):
         """Run the sharded pipeline on prepared query arrays (schema =
         SearchEngine.prepare_batch). Returns host dict."""
+        self.refresh()
         q = {key: jnp.asarray(v) for key, v in q_host.items()}
         return jax.device_get(self._run(q, k))
 
@@ -178,6 +293,7 @@ class ShardedEngine:
         if isinstance(reqs, QueryRequest):
             reqs = [reqs]
         k = k or self.cfg.default_k
+        self.refresh()
         q, exps = engine.prepare_batch(reqs)
         out = jax.device_get(self._run(q, k))
         return engine._assemble(list(reqs), exps, out, out["idx"].shape[1])

@@ -623,11 +623,15 @@ class SearchEngine:
         Results are fully materialized before returning."""
         k = k or self.cfg.default_k
         prepared = [self.prepare_batch(b) for b in batches]
-        outs = [
-            _search_compiled(self.store.index, q, k, self.cfg.over_fetch,
-                             self.cfg.rrf_k)
-            for q, _ in prepared
-        ]
+        if self.sharded is not None:
+            self.sharded.refresh()
+            outs = [self.sharded._run(q, k) for q, _ in prepared]
+        else:
+            outs = [
+                _search_compiled(self.store.index, q, k, self.cfg.over_fetch,
+                                 self.cfg.rrf_k)
+                for q, _ in prepared
+            ]
         fetched = jax.device_get(outs)  # one sync point for the whole set
         return [
             self._assemble(list(batch), exps, out, k)
@@ -646,6 +650,7 @@ class SearchEngine:
 
         t_prep = time.perf_counter()
         if self.sharded is not None:
+            self.sharded.refresh()
             out = jax.device_get(self.sharded._run(q, k))
         else:
             out = jax.device_get(

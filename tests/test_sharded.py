@@ -93,3 +93,57 @@ def test_sharded_filter_parity(setup):
     out = sharded.search_arrays(q, 5)
     from mobius_rag_tpu.ops.topk import NEG_INF
     assert (out["rerank"][0] <= NEG_INF / 2).all()
+
+
+def test_sharded_live_refresh_publish_and_delete():
+    """Publishes/deletes AFTER ShardedEngine construction surface in
+    sharded results via refresh() — no engine reconstruction (the
+    multi-chip form of the republish contract, publish.py:27-481)."""
+    from mobius_rag_tpu.index.store import ChunkRecord
+    from mobius_rag_tpu.ingest.featurize import featurize_chunk
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=64))
+    single = SearchEngine(store, lex, embed_fn=hash_embed)
+    se = ShardedEngine(store, mesh=make_mesh(8))
+    serving = SearchEngine(store, lex, embed_fn=hash_embed, sharded=se)
+
+    text = ("Zephyr Plan zymurgy benefit requires prior authorization "
+            "before the first fermentation consult.")
+    rec = featurize_chunk(ChunkRecord(
+        chunk_id="zephyr-c0", doc_id="zephyr_doc", text=text,
+        embedding=hash_embed([text])[0]), lex)
+    store.publish_document("zephyr_doc", [rec])
+    assert se.stale
+
+    info = se.refresh()
+    assert info["refreshed"] and info["mode"].startswith("scatter")
+
+    q = QueryRequest(query="zymurgy benefit fermentation consult")
+    res = serving.search(q, k=5)[0]
+    assert any(h.doc_id == "zephyr_doc" for h in res.hits)
+    # parity with the dense engine over the same (mutated) store
+    mono = single.search(q, k=5)[0]
+    assert [h.chunk_id for h in res.hits] == [h.chunk_id for h in mono.hits]
+
+    store.delete_by_document("zephyr_doc")
+    res2 = serving.search(q, k=5)[0]  # auto-refresh inside search
+    assert not any(h.doc_id == "zephyr_doc" for h in res2.hits)
+    assert not se.stale
+
+
+def test_sharded_pipelined_routes_through_mesh():
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=32))
+    single = SearchEngine(store, lex, embed_fn=hash_embed)
+    serving = SearchEngine(store, lex, embed_fn=hash_embed,
+                           sharded=ShardedEngine(store, mesh=make_mesh(8)))
+    batches = [[QueryRequest(query="timely filing deadline")],
+               [QueryRequest(query="prior authorization for dme")]]
+    mono = single.search_pipelined(batches, k=5)
+    shrd = serving.search_pipelined(batches, k=5)
+    for mb, sb in zip(mono, shrd):
+        for mr, sr in zip(mb, sb):
+            assert [h.chunk_id for h in mr.hits] == [h.chunk_id for h in sr.hits]

@@ -106,3 +106,56 @@ def test_snapshot_restore(tmp_path, rng):
     )
     assert loaded.embedded_source_ids("docB") == store.embedded_source_ids("docB")
     assert loaded.record(12).chunk_id == "docB-c2"
+
+
+def test_restore_rehydrates_embeddings(tmp_path, rng):
+    """A restored store must carry REAL record embeddings: retag/nightly/
+    remediate republish from records, so zeroed embeddings would silently
+    wipe the live vectors (or get the whole corpus dropped by the
+    integrity zero-norm check)."""
+    store = ChunkStore()
+    recs = [_rec(rng, "docA", i) for i in range(6)]
+    store.add_chunks(recs)
+    store.snapshot(str(tmp_path / "snap"))
+
+    loaded = ChunkStore.restore(str(tmp_path / "snap"))
+    for row in range(6):
+        emb = np.asarray(loaded.record(row).embedding, np.float32)
+        assert np.linalg.norm(emb) == pytest.approx(1.0, abs=1e-2)
+        orig = recs[row].embedding / np.linalg.norm(recs[row].embedding)
+        np.testing.assert_allclose(emb, orig, atol=1e-2)
+
+    # republish from restored records keeps live vectors (the retag path)
+    loaded.publish_document("docA", [loaded.record(r) for r in range(6)])
+    vecs = np.asarray(loaded.index.vectors, np.float32)
+    valid = np.asarray(loaded.index.valid) > 0
+    assert (np.linalg.norm(vecs[valid], axis=1) > 0.5).all()
+
+
+def test_restore_then_remediate_keeps_corpus(tmp_path, rng):
+    """integrity_remediate drops docs whose record embeddings are
+    zero-norm — on a restored store that used to delete everything."""
+    import types
+
+    from mobius_rag_tpu.integrity import integrity_remediate
+
+    store = ChunkStore()
+    store.add_chunks([_rec(rng, "docA", i) for i in range(4)])
+    store.snapshot(str(tmp_path / "snap"))
+    loaded = ChunkStore.restore(str(tmp_path / "snap"))
+    ctx = types.SimpleNamespace(store=loaded, pipeline=None)
+    out = integrity_remediate(ctx)
+    assert out["dropped_docs"] == []
+    assert loaded.size == 4
+    assert out["after"]["ok"]
+
+
+def test_mutation_generation_and_listeners(rng):
+    store = ChunkStore()
+    events = []
+    store.listeners.append(lambda ev, rows: events.append((ev, len(rows))))
+    g0 = store.generation
+    rows = store.add_chunks([_rec(rng, "docA", i) for i in range(3)])
+    assert store.generation > g0 and events[-1] == ("add", 3)
+    store.delete_by_document("docA")
+    assert events[-1] == ("delete", 3)
