@@ -66,10 +66,12 @@ class AppContext:
     def build(cls, *, embed_fn=None, lexicon=None, llm=None) -> "AppContext":
         from mobius_rag_tpu.curator import Curator
         from mobius_rag_tpu.providers import get_embedding_provider
+        from mobius_rag_tpu.query.lexicon import Lexicon
         from mobius_rag_tpu.tenancy import NamespaceRegistry
-        from mobius_rag_tpu.testing import sample_lexicon
 
-        lexicon = lexicon or sample_lexicon()
+        # Entrypoints load the curated production lexicon (MRAG_LEXICON_PATH,
+        # default = packaged full lexicon) — never the toy test sample.
+        lexicon = lexicon or Lexicon.from_yaml(get_config().lexicon_path)
         embed_fn = embed_fn or get_embedding_provider().embed
         store = ChunkStore()
         telemetry = TelemetryStore()
@@ -77,7 +79,8 @@ class AppContext:
                               telemetry=telemetry)
         from mobius_rag_tpu.candidates import CandidateStore
 
-        agent = CorpusSearchAgent(engine, llm=llm)
+        curator = Curator()
+        agent = CorpusSearchAgent(engine, llm=llm, curator=curator)
         agent.observers.append(telemetry.record_decision)
         candidates = CandidateStore()
         # Each context gets its OWN job queue file: two contexts sharing
@@ -99,7 +102,7 @@ class AppContext:
                   llm_configs=LLMConfigRegistry(), prompts=PromptRegistry(),
                   namespaces=NamespaceRegistry(lexicon, embed_fn,
                                                telemetry=telemetry),
-                  curator=Curator(), candidates=candidates)
+                  curator=curator, candidates=candidates)
         from mobius_rag_tpu.nightly import NightlyOrchestrator
 
         ctx.nightly = NightlyOrchestrator(ctx)
@@ -765,6 +768,17 @@ def build_app(ctx: AppContext) -> web.Application:
     async def cleanup_stale(request):
         return _json({"cleaned": ctx.pipeline.queue.cleanup_stale()})
 
+    async def vector_backend(request):
+        """Select the vector-arm scan backend (exact | ivf | packed) —
+        the production-scan switch (reference vector_store.py:306 factory
+        role). ANN tables build lazily on the next search."""
+        body = await request.json()
+        try:
+            ctx.engine.set_vector_backend(body.get("backend", ""))
+        except ValueError as e:
+            return _err(str(e))
+        return _json({"backend": ctx.engine.vector_backend})
+
     # ---- routes -----------------------------------------------------------------
 
     r.add_get("/", console)
@@ -820,6 +834,7 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_post("/admin/snapshot", snapshot)
     r.add_post("/admin/restore", restore)
     r.add_post("/admin/cleanup-stale-jobs", cleanup_stale)
+    r.add_post("/admin/vector_backend", vector_backend)
     return app
 
 

@@ -57,7 +57,10 @@ class OfflineLLMStub:
 class OfflineWebStub:
     """Zero-egress web client: returns no results (strategy d degrades to
     'external unavailable', exactly like the reference's DDG fallback
-    failing closed)."""
+    failing closed). `offline = True` tells strategy c's citation locator
+    to report located_unverified instead of attempting fetches."""
+
+    offline = True
 
     def search(self, query: str, *, max_results: int = 5) -> list[dict[str, str]]:
         return []

@@ -70,6 +70,15 @@ class Config:
     # Storage dtype for the chunk matrix: "float32" | "bfloat16" | "int8"
     # (int8 = symmetric per-row quantization; scales live in vec_scales).
     vector_dtype: str = _env_str("MRAG_VECTOR_DTYPE", "float32")
+    # Vector-arm scan backend: "exact" (full masked matmul — the default
+    # and the ≤~1M-rows production path), "ivf" (coarse-quantized probed
+    # scan over the same chunk matrix), or "packed" (cluster-contiguous
+    # int8 blocks — the ≥2M regime). The reference's equivalent is
+    # pgvector HNSW as the production scan (vector_store.py:274-287).
+    vector_backend: str = _env_str("MRAG_VECTOR_BACKEND", "exact")
+    # IVF knobs: clusters (0 = sqrt(N) auto) and probed clusters/query.
+    ivf_nlist: int = _env_int("MRAG_IVF_NLIST", 0)
+    ivf_nprobe: int = _env_int("MRAG_IVF_NPROBE", 32)
 
     # ---- search tunables (semantics mirrored from the reference) ------
     # RRF k constant (Cormack 2009) — app/services/corpus_search.py:397.
@@ -108,6 +117,12 @@ class Config:
     data_dir: str = _env_str("MRAG_DATA_DIR", os.path.expanduser("~/.mobius_rag_tpu"))
     # Reference eval banks (read-only; consumed as-is as the parity oracle).
     eval_bank_dir: str = _env_str("MRAG_EVAL_BANK_DIR", "/root/reference/eval")
+    # Curated lexicon loaded by server/worker entrypoints. Defaults to the
+    # packaged full lexicon (206 entries); the 17-entry sample lexicon is
+    # for tests only and entrypoints never fall back to it.
+    lexicon_path: str = _env_str(
+        "MRAG_LEXICON_PATH",
+        os.path.join(os.path.dirname(__file__), "data", "lexicon_full.yaml"))
 
     def validate(self) -> list[str]:
         """Collect-all validation (mirrors the reference's
@@ -132,6 +147,11 @@ class Config:
             problems.append(
                 f"MRAG_LEXICAL_FORMAT={self.lexical_format!r} must be "
                 "dense|sparse"
+            )
+        if self.vector_backend not in ("exact", "ivf", "packed"):
+            problems.append(
+                f"MRAG_VECTOR_BACKEND={self.vector_backend!r} must be "
+                "exact|ivf|packed"
             )
         if not (8 <= self.lexical_postings_init <= self.lexical_postings_max):
             problems.append(

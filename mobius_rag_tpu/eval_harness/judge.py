@@ -38,6 +38,25 @@ _NUM_RE = re.compile(r"\d+(?:\.\d+)?")
 _NEG_RE = re.compile(r"\b(no|not|never|without|cannot|can't|won't|isn't|aren't)\b",
                      re.IGNORECASE)
 
+# The reference bank frames identification facts in judge-facing
+# vocabulary ("Sunshine Health is the payer being asked about", "H0015
+# is the IOP code under discussion"). Its LLM judge scores these
+# semantically; the offline matcher approximates that by dropping the
+# framing words so only the CONTENT tokens (entity names, codes) have to
+# appear in the haystack.
+_FRAME_STOPWORDS = frozenset({
+    "payer", "payor", "context", "question", "asked", "asking",
+    "discussion", "being", "destination", "verified", "applies",
+})
+
+# Common jurisdiction abbreviations normalize to the spelled-out form so
+# "FL Medicaid" matches corpus text that says "Florida Medicaid".
+_TOKEN_ALIASES = {
+    "fl": "florida", "ga": "georgia", "tx": "texas", "ca": "california",
+    "ny": "new", "oh": "ohio", "il": "illinois", "mi": "michigan",
+    "nc": "north", "pa2": "pennsylvania",
+}
+
 
 @dataclasses.dataclass
 class FactVerdicts:
@@ -63,7 +82,9 @@ def _fact_present(fact: str, haystack: str, hay_tokens: set[str]) -> bool:
         return False
     if _NEG_RE.search(fact) and not _NEG_RE.search(haystack):
         return False  # negative fact, positive haystack — polarity mismatch
-    toks = [t for t in tokenize(fact, drop_stopwords=True) if t not in STOPWORDS]
+    toks = [_TOKEN_ALIASES.get(t, t)
+            for t in tokenize(fact, drop_stopwords=True)
+            if t not in STOPWORDS and t not in _FRAME_STOPWORDS]
     if not toks:
         return bool(nums)
     hit = sum(1 for t in toks if t in hay_tokens)

@@ -145,9 +145,10 @@ def run_gate_on_bank(agent: CorpusSearchAgent, bank: Bank | str) -> dict[str, An
                                   "intersection_docs": probe.intersection_docs})
         g = run_gate(q.query, profile, probe)
         expected = q.expected.get("expected_contour")
+        actual = g.contour.value.lower()  # bank uses lowercase contour names
         rows.append({"query_id": q.id, "expected": expected,
-                     "actual": g.contour.value,
-                     "ok": (expected is None) or expected == g.contour.value})
+                     "actual": actual,
+                     "ok": (expected is None) or expected.lower() == actual})
     scored = [r for r in rows if r["expected"]]
     return {
         "per_query": rows,

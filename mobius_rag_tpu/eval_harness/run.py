@@ -24,6 +24,24 @@ from mobius_rag_tpu.eval_harness.judge import judge_answer
 from mobius_rag_tpu.query.agent import AgentRequest, AgentResult, CorpusSearchAgent
 
 
+def _doc_tokens(name: str) -> frozenset[str]:
+    """Normalized token set of a document name: extension stripped,
+    caseless, alnum runs. Citation matching is token-subset so
+    'SH-PRO-PE-MFC-Training.pdf' matches filename
+    'SH-PRO-PE-MFC-Training.md' and 'Sunshine Provider Manual' matches
+    'Sunshine Provider Manual.md'."""
+    import re
+
+    base = name.rsplit(".", 1)[0] if name.lower().endswith(
+        (".pdf", ".md", ".txt", ".html", ".htm")) else name
+    return frozenset(re.findall(r"[a-z0-9]+", base.lower()))
+
+
+def _citation_match(expected: str, actual: str) -> bool:
+    e, a = _doc_tokens(expected), _doc_tokens(actual)
+    return bool(e) and bool(a) and (e <= a or a <= e)
+
+
 def deterministic_checks(q: BankQuery, res: AgentResult) -> dict[str, Any]:
     """Non-LLM pass/fail checks (run.py:90-143)."""
     checks: dict[str, Any] = {}
@@ -54,7 +72,7 @@ def deterministic_checks(q: BankQuery, res: AgentResult) -> dict[str, Any]:
         }
         checks["citation"] = {
             "expected": gc["document"],
-            "ok": any(gc["document"] in d or d in gc["document"] for d in docs if d),
+            "ok": any(_citation_match(gc["document"], d) for d in docs if d),
         }
     checks["answered"] = {"ok": bool(res.answer) and not res.refused}
     return checks
@@ -169,19 +187,30 @@ def _main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--snapshot", default=None,
                     help="ChunkStore snapshot dir (default: built-in toy corpus)")
+    ap.add_argument("--corpus", default=None, choices=["toy", "fixture"],
+                    help="fixture = ingest data/corpus_cmhc through the full "
+                         "pipeline (the CMHC quality-loop corpus)")
     ap.add_argument("--calibrate", action="store_true",
                     help="forced-arm calibration matrix instead of a single run")
     ap.add_argument("--derive-priors", default=None, metavar="OUT_JSON",
                     help="with --calibrate: regenerate router priors to this path")
     args = ap.parse_args()
 
-    lex = sample_lexicon()
-    if args.snapshot:
-        store = ChunkStore.restore(args.snapshot)
+    if args.corpus == "fixture":
+        from mobius_rag_tpu.eval_harness.fixture_corpus import build_fixture_stack
+
+        agent, _, _, _, info = build_fixture_stack()
+        import sys
+
+        print(f"fixture corpus: {info}", file=sys.stderr)
     else:
-        store = ChunkStore()
-        store.add_chunks(toy_corpus(lex))
-    agent = CorpusSearchAgent(SearchEngine(store, lex, embed_fn=hash_embed))
+        lex = sample_lexicon()
+        if args.snapshot:
+            store = ChunkStore.restore(args.snapshot)
+        else:
+            store = ChunkStore()
+            store.add_chunks(toy_corpus(lex))
+        agent = CorpusSearchAgent(SearchEngine(store, lex, embed_fn=hash_embed))
     if args.calibrate:
         from mobius_rag_tpu.eval_harness.calibrate import calibrate
 

@@ -262,9 +262,12 @@ class PackedIVF:
 def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
                       penalty: jnp.ndarray, k: int, nprobe: int):
     """Probed masked top-k over the packed int8 layout. penalty indexes
-    GLOBAL row ids (same contract as every other scan op)."""
+    GLOBAL row ids (same contract as every other scan op); it may be
+    [C] (shared) or [B, C] (per-query — the hybrid engine's tag gate)."""
     b = queries.shape[0]
     q32 = queries.astype(jnp.float32)
+    if penalty.ndim == 1:
+        penalty = jnp.broadcast_to(penalty[None, :], (b, penalty.shape[0]))
     q_max = jnp.max(jnp.abs(q32), axis=1)
     q_scale = jnp.where(q_max > 0, q_max / 127.0, 1.0)
     q_int = jnp.clip(jnp.round(q32 / q_scale[:, None]), -127, 127).astype(jnp.int8)
@@ -283,7 +286,7 @@ def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
         probe = jnp.concatenate([probe, spill_cells], axis=1)
 
     def per_query(args):
-        qi, qs, probes = args
+        qi, qs, probes, pen = args
 
         def scan_probe(carry, c):
             best_v, best_i = carry
@@ -296,7 +299,7 @@ def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
             acc = jax.lax.dot_general(
                 block, qi, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32).astype(jnp.float32)
-            s = acc * sc * qs + jnp.take(penalty, rid) + (1.0 - ok) * NEG_INF
+            s = acc * sc * qs + jnp.take(pen, rid) + (1.0 - ok) * NEG_INF
             vals = jnp.concatenate([best_v, s])
             ids = jnp.concatenate([best_i, rid])
             nv, pos = jax.lax.top_k(vals, k)
@@ -306,21 +309,25 @@ def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
         (vals, ids), _ = jax.lax.scan(scan_probe, init, probes)
         return vals, ids
 
-    vals, idx = jax.lax.map(per_query, (q_int, q_scale, probe))
+    vals, idx = jax.lax.map(per_query, (q_int, q_scale, probe, penalty))
     return vals, idx.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def ivf_search(ivf: IVFIndex, vectors: jnp.ndarray, queries: jnp.ndarray,
-               penalty: jnp.ndarray, k: int, nprobe: int):
+               penalty: jnp.ndarray, k: int, nprobe: int,
+               row_scales: jnp.ndarray | None = None):
     """Probed masked top-k.
 
     Args mirror cosine_topk: vectors is the FULL chunk matrix (any
-    dtype), penalty [C] is the additive filter/validity mask. Returns
-    (scores [B, k], global row indices [B, k]).
+    dtype), penalty is the additive filter/validity mask — [C] (shared)
+    or [B, C] (per-query tag gate). Returns (scores [B, k], global row
+    indices [B, k]).
     """
     b = queries.shape[0]
     q32 = queries.astype(jnp.float32)
+    if penalty.ndim == 1:
+        penalty = jnp.broadcast_to(penalty[None, :], (b, penalty.shape[0]))
 
     cscores = jnp.dot(q32, ivf.centroids.T, preferred_element_type=jnp.float32)
     _, probe = jax.lax.top_k(cscores, min(nprobe, ivf.nlist))  # [B, P]
@@ -334,12 +341,14 @@ def ivf_search(ivf: IVFIndex, vectors: jnp.ndarray, queries: jnp.ndarray,
         axis=1)
 
     def per_query(args):
-        qv, rows, ok = args
+        qv, rows, ok, pen = args
         vecs = jnp.take(vectors, rows, axis=0).astype(jnp.float32)  # [S, D]
         s = jnp.dot(vecs, qv, preferred_element_type=jnp.float32)  # [S]
-        s = s + jnp.take(penalty, rows) + (1.0 - ok) * NEG_INF
+        if row_scales is not None:  # int8 storage: per-row dequant scales
+            s = s * jnp.take(row_scales, rows)
+        s = s + jnp.take(pen, rows) + (1.0 - ok) * NEG_INF
         vals, pos = jax.lax.top_k(s, k)
         return vals, jnp.take(rows, pos)
 
-    vals, idx = jax.lax.map(per_query, (q32, cand, cand_ok))
+    vals, idx = jax.lax.map(per_query, (q32, cand, cand_ok, penalty))
     return vals, idx.astype(jnp.int32)

@@ -22,7 +22,7 @@ from mobius_rag_tpu.ingest.queue import JobQueue
 from mobius_rag_tpu.ingest.worker import ChunkingWorker, DocumentStore, EmbeddingWorker
 from mobius_rag_tpu.observability import setup_logging
 from mobius_rag_tpu.providers import get_embedding_provider
-from mobius_rag_tpu.testing import sample_lexicon
+from mobius_rag_tpu.query.lexicon import Lexicon
 
 
 def _start_health_server(port: int, stale_after_s: float = 120.0):
@@ -74,7 +74,10 @@ def main() -> None:
     log = setup_logging(f"mrag-{args.kind}-worker")
     shutdown.install_handlers()
     queue = JobQueue(args.queue)
-    lexicon = sample_lexicon()
+    # Production lexicon (MRAG_LEXICON_PATH; packaged full lexicon by
+    # default) — workers must tag with the same lexicon the server
+    # expands queries with, or coverage/gate signals drift.
+    lexicon = Lexicon.from_yaml(get_config().lexicon_path)
     tick = lambda: None
     if args.health_port:
         tick, _ = _start_health_server(args.health_port)

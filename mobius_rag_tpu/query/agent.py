@@ -87,6 +87,7 @@ class CorpusSearchAgent:
         web: WebSearchClient | None = None,
         fact_store: FactStoreClient | None = None,
         router_version: str | None = None,
+        curator=None,
     ):
         self.engine = engine
         version = router_version or os.getenv("ROUTER_VERSION", "v1")
@@ -94,6 +95,9 @@ class CorpusSearchAgent:
         self.llm = llm or OfflineLLMStub()
         self.web = web or OfflineWebStub()
         self.fact_store = fact_store
+        # discovered-source registry backing strategy c's citation
+        # locator chain (strategy_c.py:273-699)
+        self.curator = curator
         self._tag_docs_cache: tuple[int, dict] | None = None
         self.observers: list = []  # callbacks(AgentResult) — decision persistence
         # signature → (refused_answer, contour) for fast-exit
@@ -117,7 +121,8 @@ class CorpusSearchAgent:
         if sid == "b":
             return run_strategy_b(self.engine, req, k)
         if sid == "c":
-            return run_strategy_c(self.engine, req, k, self.llm)
+            return run_strategy_c(self.engine, req, k, self.llm,
+                                  curator=self.curator, web=self.web)
         if sid == "d":
             return run_strategy_d(self.engine, req, k, self.llm, self.web)
         raise ValueError(f"unknown strategy {sid!r}")

@@ -299,12 +299,29 @@ def rerank_score(sim, auth, lsig, jpd, cov, has_jpd, has_cov):
 N_SIG = 6
 
 
+def _cand_cos(index: DeviceIndex, qvec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Per-candidate cosine via row gather [B, m, D] — used when the
+    vector arm ran through an ANN backend and no dense [B, C] cosine
+    matrix exists."""
+    vecs = jnp.take(index.vectors, idx, axis=0).astype(jnp.float32)
+    cos = jnp.einsum("bmd,bd->bm", vecs, qvec)
+    return cos * jnp.take(index.vec_scales, idx, axis=0)
+
+
 def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
-                   axis: str | None = None):
+                   axis: str | None = None, ann=None, nprobe: int = 32):
     """Per-(sub)index arm scan: top-m candidates per arm + their rerank
     signals. Shared by the single-chip pipeline and the sharded per-shard
     scan — with `axis` set, the strict count psums over the mesh (so all
     shards take the same auto-relax branch) and indices offset to global.
+
+    `ann` selects the vector-arm backend: None = exact masked matmul
+    (the [B, C] cosine matrix), an index.ivf.IVFIndex = probed scan over
+    the same chunk matrix, a PackedIVF = cluster-contiguous int8 blocks.
+    The lexical/d-tag arms and the filter gate stay exact in every
+    backend (they are the cheap arms); only the vector scan changes —
+    the device analogue of swapping pgvector's seqscan for HNSW
+    (vector_store.py:274-287).
 
     Returns (vals [3,B,m], gidx [3,B,m] i32, sigs [3,B,m,N_SIG],
     strict_total [B,1])."""
@@ -317,21 +334,70 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
         strict_total = jax.lax.psum(strict_local, axis)[:, None]
         offset = jax.lax.axis_index(axis) * index.valid.shape[0]
     penalty = gate_penalty(strict, relaxed, open_mask, q, k, strict_total)
-    cos, lex_raw, dtag_scores, _, _ = arm_scores(
-        index, q, k, penalty=penalty, meta_ok=meta_ok,
-        strict_count=strict_total[:, 0],
-    )
 
-    vec_scores = cos + penalty + jnp.where(cos < q["min_sim"][:, None], NEG_INF, 0.0)
+    if ann is None:
+        cos, lex_raw, dtag_scores, _, _ = arm_scores(
+            index, q, k, penalty=penalty, meta_ok=meta_ok,
+            strict_count=strict_total[:, 0],
+        )
+        vec_scores = cos + penalty + jnp.where(
+            cos < q["min_sim"][:, None], NEG_INF, 0.0)
+        vec_vals, vec_idx = jax.lax.top_k(vec_scores, m)
+    else:
+        from mobius_rag_tpu.index.ivf import (IVFIndex, ivf_search,
+                                              ivf_search_packed)
+
+        # lexical + d-tag arms via the shared exact path, without the
+        # dense cosine matmul (penalty precomputed → arm_scores skips
+        # filter recompute; its cos output is unused dead code XLA DCEs
+        # away only if we don't request it — so inline the two arms).
+        valid = index.valid
+        if "lex_cols" in index.fields:
+            c = valid.shape[0]
+            cols = jnp.take(index.lex_cols, q["lex_buckets"], axis=0)
+            wts = jnp.take(index.lex_wts, q["lex_buckets"], axis=0)
+            seg = jnp.where(cols >= 0, cols, c).reshape(-1)
+            vals_ = q["lex_weights"][:, :, None] * wts[None].astype(jnp.float32)
+            lex_raw = jax.vmap(
+                lambda v: jax.ops.segment_sum(v, seg, num_segments=c + 1)
+            )(vals_.reshape(vals_.shape[0], -1))[:, :c]
+        else:
+            bucket_rows = jnp.take(index.lexical, q["lex_buckets"], axis=0)
+            lex_raw = jnp.dot(q["lex_weights"],
+                              bucket_rows.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+        dtag_member = _overlap(index.d_tags, q["d_bits"])
+        dtag_scores = (
+            jnp.where(dtag_member > 0, index.authority[None, :] + 1.0, NEG_INF)
+            + (1.0 - valid[None, :]) * NEG_INF
+            + (1.0 - meta_ok) * NEG_INF
+        )
+        if isinstance(ann, IVFIndex):
+            vec_vals, vec_idx = ivf_search(
+                ann, index.vectors, q["vec"], penalty, m, nprobe,
+                index.vec_scales)
+        else:
+            vec_vals, vec_idx = ivf_search_packed(
+                ann, q["vec"], penalty, m, nprobe)
+        # min_sim post-filter: for eligible rows the returned value IS
+        # the cosine (penalty contributes 0); gated rows are already -inf
+        vec_vals = vec_vals + jnp.where(
+            vec_vals < q["min_sim"][:, None], NEG_INF, 0.0)
+        cos = None  # no dense cosine matrix in ANN mode
+
     lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
+    lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
+    dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
 
     out_vals, out_gidx, out_sigs = [], [], []
-    for scores in (vec_scores, lex_scores, dtag_scores):
-        vals, idx = jax.lax.top_k(scores, m)  # [B, m] local
+    for vals, idx in ((vec_vals, vec_idx), (lex_vals, lex_idx),
+                      (dtag_vals, dtag_idx)):
         auth, lsig, jpd, cov = candidate_signals(index, q, idx)
+        cand_cos = (jnp.take_along_axis(cos, idx, axis=1) if cos is not None
+                    else _cand_cos(index, q["vec"], idx))
         sig = jnp.stack(
             [
-                jnp.take_along_axis(cos, idx, axis=1),
+                cand_cos,
                 jnp.take_along_axis(lex_raw, idx, axis=1),
                 auth, lsig, jpd, cov,
             ],
@@ -428,23 +494,27 @@ def fuse_and_rerank(vals, gidx, sigs, q, k: int, rrf_k: int, m_global: int):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k"))
+@functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k", "nprobe"))
 def _search_compiled(
     index: DeviceIndex,
     q: dict,
     k: int,
     over_fetch: int,
     rrf_k: int,
+    ann=None,
+    nprobe: int = 32,
 ):
     """One XLA program: all arms, fusion, rerank. q holds per-query arrays
     (see prepare_query for the schema). Fusion runs over the candidate
     UNION (fuse_and_rerank) — peak HBM is the arm scores themselves, not
     a [B, C] RRF buffer, which is what lets the full hybrid pipeline run
-    at 1M chunks on one chip."""
+    at 1M chunks on one chip. `ann` switches the vector arm to a probed
+    IVF/packed scan (MRAG_VECTOR_BACKEND)."""
     c = index.valid.shape[0]
     m = min(k * over_fetch, c)
 
-    vals, gidx, sigs, strict_total = arm_candidates(index, q, k, m)
+    vals, gidx, sigs, strict_total = arm_candidates(index, q, k, m,
+                                                    ann=ann, nprobe=nprobe)
     out = fuse_and_rerank(vals[:, None], gidx[:, None], sigs[:, None],
                           q, k, rrf_k, m)
     out.update({
@@ -469,12 +539,19 @@ class SearchEngine:
 
     def __init__(self, store: ChunkStore, lexicon: Lexicon | None = None,
                  cfg: Config | None = None, embed_fn=None, telemetry=None,
-                 sharded=None):
+                 sharded=None, vector_backend: str | None = None):
         self.store = store
         self.lexicon = lexicon
         self.cfg = cfg or get_config()
         self.embed_fn = embed_fn  # (list[str]) -> np.ndarray [B, D]
         self.telemetry = telemetry  # observability.TelemetryStore | None
+        # Vector-arm backend: exact | ivf | packed (Config.vector_backend).
+        # ANN tables build lazily on first search and rebuild when the
+        # store's write generation moves (publish/delete invalidates the
+        # cluster assignment).
+        self.vector_backend = vector_backend or self.cfg.vector_backend
+        self._ann = None
+        self._ann_generation = -1
         # parallel.ShardedEngine over the SAME store: when attached, the
         # compiled stage runs sharded over the mesh and the whole host
         # stack (agent, strategies, API) serves multi-chip transparently
@@ -488,6 +565,40 @@ class SearchEngine:
         # with an on-chip encoder it's cheaper but still worth skipping)
         self._embed_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._embed_cache_max = 256
+
+    # -- vector-arm backend -------------------------------------------------
+
+    def set_vector_backend(self, backend: str) -> None:
+        if backend not in ("exact", "ivf", "packed"):
+            raise ValueError(f"backend {backend!r} must be exact|ivf|packed")
+        if backend != self.vector_backend:
+            self.vector_backend = backend
+            self._ann = None
+            self._ann_generation = -1
+
+    def ensure_ann(self):
+        """Build (or rebuild after store mutations) the ANN tables for
+        the configured backend. Returns None for exact."""
+        if self.vector_backend == "exact":
+            return None
+        if self._ann is not None and self._ann_generation == self.store.generation:
+            return self._ann
+        from mobius_rag_tpu.index.ivf import IVFIndex, PackedIVF
+
+        cfg = self.cfg
+        index = self.store.index
+        ivf = IVFIndex.build(
+            index.vectors, np.asarray(index.valid),
+            nlist=cfg.ivf_nlist or None)
+        if self.vector_backend == "packed":
+            scales = (index.vec_scales
+                      if cfg.vector_dtype == "int8" else None)
+            self._ann = PackedIVF.from_ivf(ivf, index.vectors,
+                                           row_scales=scales)
+        else:
+            self._ann = ivf
+        self._ann_generation = self.store.generation
+        return self._ann
 
     # -- host-side query prep ---------------------------------------------
 
@@ -627,9 +738,10 @@ class SearchEngine:
             self.sharded.refresh()
             outs = [self.sharded._run(q, k) for q, _ in prepared]
         else:
+            ann = self.ensure_ann()
             outs = [
                 _search_compiled(self.store.index, q, k, self.cfg.over_fetch,
-                                 self.cfg.rrf_k)
+                                 self.cfg.rrf_k, ann, self.cfg.ivf_nprobe)
                 for q, _ in prepared
             ]
         fetched = jax.device_get(outs)  # one sync point for the whole set
@@ -653,8 +765,10 @@ class SearchEngine:
             self.sharded.refresh()
             out = jax.device_get(self.sharded._run(q, k))
         else:
+            ann = self.ensure_ann()
             out = jax.device_get(
-                _search_compiled(self.store.index, q, k, cfg.over_fetch, cfg.rrf_k))
+                _search_compiled(self.store.index, q, k, cfg.over_fetch,
+                                 cfg.rrf_k, ann, cfg.ivf_nprobe))
         t_dev = time.perf_counter()
         timings = {
             "prepare": (t_prep - t0) * 1e3 / len(reqs),

@@ -43,9 +43,37 @@ _PROCESS_INTENT_RE = re.compile(
     r"what are the steps (for|to)|steps to|procedure for)\b", re.IGNORECASE)
 
 # Malformed = not parseable as a question/ask at all (gibberish, empty,
-# no plausible English words). A plausible word has ≥2 chars and a vowel —
-# the malformed-vs-off-domain split (reference gate.py:65).
-_WORD_RE = re.compile(r"\b[a-zA-Z]*[aeiouyAEIOUY][a-zA-Z]+\b|\b[a-zA-Z]+[aeiouyAEIOUY][a-zA-Z]*\b")
+# no plausible English words). The reference's word-count check let
+# multi-word fake English ("asdkfj qwoeiru xyz") through — a pinned known
+# gap in its contour bank (queries_gate_contours.yaml gate024 notes).
+# Here a word is plausible only if it has a vowel AND no ≥4-run of
+# consonants or vowels (keyboard mash produces such runs; real English
+# almost never does), which closes that gap.
+_TOKEN_RE = re.compile(r"[a-zA-Z]+")
+_CONS_RUN_RE = re.compile(r"[bcdfghjklmnpqrstvwxz]{4,}", re.IGNORECASE)
+_VOWEL_RUN_RE = re.compile(r"[aeiou]{4,}", re.IGNORECASE)
+_VOWEL_RE = re.compile(r"[aeiouy]", re.IGNORECASE)
+
+
+def _plausible_words(query: str) -> int:
+    n = 0
+    for w in _TOKEN_RE.findall(query):
+        if len(w) < 2 or not _VOWEL_RE.search(w):
+            continue
+        if _CONS_RUN_RE.search(w) or _VOWEL_RUN_RE.search(w):
+            continue
+        if re.search(r"q(?!u)", w, re.IGNORECASE):  # q without u = mash
+            continue
+        n += 1
+    return n
+
+
+# Yes/no fact-lookup form ("Is eligibility required for Medicaid") — a
+# closed question picks ONE fact, so an umbrella domain match is still
+# disambiguated (the reference's gate010 negative control: 'required' as
+# fact lookup, not a process ask → exact).
+_YESNO_RE = re.compile(r"^\s*(is|are|does|do|will|would|should|must)\b",
+                       re.IGNORECASE)
 
 # Fail-fast gate e patterns: PHI and prompt-injection/jailbreak shapes.
 _PHI_RE = re.compile(
@@ -115,15 +143,19 @@ def fail_fast_check(query: str) -> str | None:
 
 
 def run_gate(query: str, profile: QueryProfile, probe: CorpusProbe) -> GateResult:
-    """Contour rules (gate.py:9-24 semantics):
-      no codes, malformed            → UNCLEAR
-      no codes, well-formed          → OUT_OF_SCOPE
-      union == 0                     → CORPUS_GAP
-      D+J, D general-only, no P      → UNDERSPECIFIED
-      D+J matched                    → EXACT
-      D+J matched, intersection == 0 → VICINITY
-      D or J missing, corpus small   → EXACT
-      D or J missing, corpus broad   → UNDERSPECIFIED
+    """Contour rules (reference gate.py:9-24 semantics, pinned against the
+    live-verified contour bank queries_gate_contours.yaml):
+      no codes, malformed                  → UNCLEAR
+      no codes, well-formed                → OUT_OF_SCOPE
+      tags matched, union == 0             → CORPUS_GAP
+      D+J, D umbrella-only, no P/intent    → UNDERSPECIFIED (explore_siblings)
+      D+J matched, intersection == 0       → VICINITY
+      D+J matched                          → EXACT
+      no J (and no literal anchor)         → UNDERSPECIFIED (missing_jurisdiction)
+      J but no D (and no literal anchor)   → UNDERSPECIFIED (missing_domain)
+      literal anchor                       → EXACT (the code IS the slot)
+    Disambiguators for umbrella-D: a P tag, explicit process-intent
+    phrasing, or a yes/no fact-lookup form.
     """
     reasons: list[str] = []
     ff = fail_fast_check(query)
@@ -133,10 +165,9 @@ def run_gate(query: str, profile: QueryProfile, probe: CorpusProbe) -> GateResul
 
     exp = profile.expansion
     any_codes = bool(exp.matched_codes) or profile.has_literal
-    well_formed = len(_WORD_RE.findall(query)) >= 2
 
     if not any_codes:
-        if not well_formed:
+        if _plausible_words(query) < 2:
             return GateResult(Contour.UNCLEAR, probe, ["no codes; malformed"])
         return GateResult(Contour.OUT_OF_SCOPE, probe, ["no codes; well-formed"])
 
@@ -149,17 +180,23 @@ def run_gate(query: str, profile: QueryProfile, probe: CorpusProbe) -> GateResul
         d_general_only = all(
             c.endswith(".general") for c in exp.domain_tags
         ) and bool(exp.domain_tags)
-        if d_general_only and not profile.has_p_tag and not _PROCESS_INTENT_RE.search(query):
+        disambiguated = (profile.has_p_tag
+                         or bool(_PROCESS_INTENT_RE.search(query))
+                         or bool(_YESNO_RE.search(query)))
+        if d_general_only and not disambiguated:
             return GateResult(Contour.UNDERSPECIFIED, probe,
-                              ["D umbrella-only, no P disambiguator"])
+                              ["underspecified_kind=explore_siblings: "
+                               "D umbrella-only, no disambiguator"])
         if probe.intersection_docs == 0 and len(exp.matched_codes) > 1:
             return GateResult(Contour.VICINITY, probe,
                               ["tags covered separately, combination not"])
         return GateResult(Contour.EXACT, probe, ["D+J matched with coverage"])
 
-    # D or J missing
-    if profile.has_literal or probe.union_docs and probe.union_docs <= BROAD_MIN_DOCS:
+    if profile.has_literal:
         return GateResult(Contour.EXACT, probe,
-                          ["missing slot but corpus/literal narrows it"])
+                          ["literal anchor narrows the missing slot"])
+    if not has_j:
+        return GateResult(Contour.UNDERSPECIFIED, probe,
+                          ["underspecified_kind=missing_jurisdiction"])
     return GateResult(Contour.UNDERSPECIFIED, probe,
-                      ["missing D or J over a broad corpus"])
+                      ["underspecified_kind=missing_domain"])

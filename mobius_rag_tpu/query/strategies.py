@@ -134,12 +134,93 @@ def run_strategy_b(engine: SearchEngine, req: QueryRequest, k: int,
 
 _QUOTE_RE = re.compile(r'"([^"]{12,400})"')
 
+# Lexical-location confidence: if the quote's content tokens overlap a
+# corpus chunk this strongly, the corpus demonstrably covers the claim's
+# location — a non-verbatim quote there is a fabrication, not a gap.
+_LOCATE_OVERLAP = 0.7
+
+
+def _norm_ws(s: str) -> str:
+    return re.sub(r"\s+", " ", s.strip())
+
+
+def locate_citation(quote: str, retrieved_texts: list[str],
+                    engine: SearchEngine, req: QueryRequest,
+                    curator=None, web: WebSearchClient | None = None) -> dict:
+    """The reference's citation locator chain (strategy_c.py:273-699):
+    documents → discovered_sources → web, producing the full 6-outcome
+    matrix:
+
+      validated_correct      quote verbatim in a corpus chunk (or a
+                             fetched external source)
+      validated_hallucinated corpus demonstrably covers the claim's
+                             location but the quote is not there
+      located_unverified     a curated source plausibly holds it but
+                             cannot be fetched/verified (offline, or
+                             fetched body lacks the quote)
+      unverified_robots      the locator found a source whose robots
+                             policy blocks fetching
+      needs_scrape           a fetchable source exists but returned no
+                             extractable text (scrape work needed)
+      needs_external         nothing in corpus or registry — requires an
+                             external search pass
+    """
+    q = _norm_ws(quote)
+    # 1. documents: verbatim in the retrieved context
+    if any(q in _norm_ws(t) for t in retrieved_texts):
+        return {"outcome": "validated_correct", "where": "retrieved"}
+    # 2. documents: lexical locate across the whole corpus
+    try:
+        located = engine.search(QueryRequest(
+            query=quote, tag_mode="none", mode="precision"), k=5)[0]
+    except ValueError:
+        located = None
+    if located and located.hits:
+        toks = set(re.findall(r"[a-z0-9]+", q.lower()))
+        for h in located.hits:
+            if q in _norm_ws(h.text):
+                return {"outcome": "validated_correct", "where": "corpus",
+                        "doc_id": h.doc_id}
+        best = max(located.hits, key=lambda h: len(
+            toks & set(re.findall(r"[a-z0-9]+", h.text.lower()))))
+        overlap = (len(toks & set(re.findall(r"[a-z0-9]+", best.text.lower())))
+                   / max(len(toks), 1))
+        if overlap >= _LOCATE_OVERLAP:
+            return {"outcome": "validated_hallucinated", "where": "corpus",
+                    "doc_id": best.doc_id, "overlap": round(overlap, 3)}
+    # 3. discovered_sources: curated registry for this payer
+    sources = []
+    if curator is not None:
+        sources = [s for s in curator.search(payer=req.payer or "")
+                   if s.status in ("curated", "ingested", "discovered")]
+    if sources:
+        src = sources[0]  # highest authority first (registry sort order)
+        if web is not None and not getattr(web, "offline", False):
+            probe = curator.probe(src.url) if hasattr(curator, "probe") else {}
+            if probe.get("robots_disallowed"):
+                return {"outcome": "unverified_robots", "url": src.url}
+            body = web.fetch(src.url, timeout_s=8.0)
+            if not body:
+                return {"outcome": "needs_scrape", "url": src.url}
+            if q in _norm_ws(body):
+                return {"outcome": "validated_correct", "where": "external",
+                        "url": src.url}
+            return {"outcome": "located_unverified", "url": src.url}
+        return {"outcome": "located_unverified", "url": src.url,
+                "reason": "offline"}
+    # 4. nothing locatable
+    return {"outcome": "needs_external"}
+
 
 def run_strategy_c(engine: SearchEngine, req: QueryRequest, k: int,
-                   llm: LLMClient) -> StrategyOutcome:
-    """LLM → validate: answer with quoted citations, verify each quote
-    verbatim against the retrieved chunks. Outcomes per citation:
-    validated_correct | validated_hallucinated | located_unverified."""
+                   llm: LLMClient, curator=None,
+                   web: WebSearchClient | None = None) -> StrategyOutcome:
+    """LLM → validate (strategy_c.py:977): answer with quoted citations,
+    then run every quote through the documents → discovered_sources →
+    web locator chain (locate_citation's 6-outcome matrix). Success
+    requires every citation validated_correct; located_unverified
+    citations degrade confidence instead of failing outright (the
+    reference surfaces them as caveats)."""
     t0 = time.perf_counter()
     res = engine.search(dataclasses.replace(req, mode="recall"), k=max(k, 8))[0]
     context = "\n".join(
@@ -150,20 +231,27 @@ def run_strategy_c(engine: SearchEngine, req: QueryRequest, k: int,
         f"text in double quotes.\n\nQUESTION: {req.query}\n\n{context}"
     )
     answer = llm.generate(prompt, stage="strategy_c", max_tokens=800)
-    outcomes = []
     texts = [h.text for h in res.hits]
+    outcomes = []
     for quote in _QUOTE_RE.findall(answer or ""):
-        verbatim = any(quote.strip() in t for t in texts)
-        outcomes.append({
-            "quote": quote[:120],
-            "outcome": "validated_correct" if verbatim else "validated_hallucinated",
-        })
-    n_ok = sum(1 for o in outcomes if o["outcome"] == "validated_correct")
+        loc = locate_citation(quote, texts, engine, req, curator, web)
+        outcomes.append({"quote": quote[:120], **loc})
+    by_outcome: dict[str, int] = {}
+    for o in outcomes:
+        by_outcome[o["outcome"]] = by_outcome.get(o["outcome"], 0) + 1
+    n_ok = by_outcome.get("validated_correct", 0)
+    n_bad = by_outcome.get("validated_hallucinated", 0)
     success = bool(answer) and bool(outcomes) and n_ok == len(outcomes)
-    label = "high" if success and n_ok >= 2 else ("medium" if success else "abstain")
+    if success:
+        label = "high" if n_ok >= 2 else "medium"
+    elif n_bad == 0 and n_ok > 0:
+        label = "low"  # partially verified, rest located-but-unverified
+    else:
+        label = "abstain"
     return StrategyOutcome(
         "c", res.hits[:k], answer if success else None, label, success,
-        {"citations": outcomes}, (time.perf_counter() - t0) * 1e3, [res],
+        {"citations": outcomes, "outcome_counts": by_outcome},
+        (time.perf_counter() - t0) * 1e3, [res],
     )
 
 
