@@ -177,6 +177,24 @@ def hybrid_mode(args):
         bool(r.telemetry["arms"]["vector"])
         and r.telemetry["arms"]["vector"][0]["row"] == q_rows[i]
         for i, r in enumerate(res)]))
+    detail = {"vector_arm_self_top1": arm_top1,
+              "vector_dtype": cfg.vector_dtype,
+              "vector_backend": engine.vector_backend, "batch": b}
+    if engine.vector_backend != "exact":
+        # vector-arm recall vs the exact backend over the same store
+        # (VERDICT r1 #2 done-criterion: ANN arm recall ≥0.97 vs exact)
+        exact_eng = SearchEngine(store, lexicon, vector_backend="exact")
+        ex = exact_eng.search(sanity_reqs, k=k)
+        recalls = []
+        for ra, re_ in zip(res, ex):
+            a = {h["row"] for h in ra.telemetry["arms"]["vector"]}
+            e = {h["row"] for h in re_.telemetry["arms"]["vector"]}
+            if e:
+                recalls.append(len(a & e) / len(e))
+        detail["vector_arm_recall_vs_exact"] = round(float(np.mean(recalls)), 4)
+        detail["nprobe"] = cfg.ivf_nprobe
+        log(f"[hybrid] ANN vector-arm recall vs exact: "
+            f"{detail['vector_arm_recall_vs_exact']}")
     log(f"[hybrid] {n // 1000}k chunks: {qps:.1f} qps median of "
         f"{[round(x) for x in rounds]}, vector-arm self top-1 {arm_top1:.2f}")
     print(json.dumps({
@@ -184,8 +202,7 @@ def hybrid_mode(args):
         "value": round(qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(qps / (1.0 / 1.1), 1),
-        "detail": {"vector_arm_self_top1": arm_top1,
-                   "vector_dtype": cfg.vector_dtype, "batch": b},
+        "detail": detail,
     }))
 
 

@@ -361,6 +361,170 @@ def build_app(ctx: AppContext) -> web.Application:
             return _err("not found", 404)
         return _json({**run, "results": ctx.eval_db.results(run_id)})
 
+    async def eval_pr_curve(request):
+        """Per-strategy precision/recall sweep over a confidence
+        threshold τ (routers/eval.py:1368 pr_curve). Results carry
+        confidence tiers; tier→score {low:.33, medium:.66, high:1.0};
+        at each τ a query is ANSWERED if its tier score ≥ τ; precision =
+        correct/answered, recall = correct-and-answered/all. Human
+        verdict overrides count (effective_verdict)."""
+        run_id = request.match_info["run_id"]
+        results = ctx.eval_db.results(run_id)
+        if not results:
+            return _err("no results for run", 404)
+        n_steps = max(5, min(101, int(request.query.get("n_steps", 21))))
+        tier_score = {"high": 1.0, "medium": 0.66, "low": 0.33, "abstain": 0.0}
+        by_strategy: dict[str, list] = {}
+        for r in results:
+            sid = (r.get("strategy_chain") or ["?"])[-1]
+            by_strategy.setdefault(sid, []).append(r)
+        curves = {}
+        for sid, rows in sorted(by_strategy.items()):
+            pts = []
+            for i in range(n_steps):
+                tau = i / (n_steps - 1)
+                answered = [r for r in rows
+                            if tier_score.get(r.get("confidence"), 0.0) >= tau
+                            and not r.get("refused")]
+                correct = [r for r in answered
+                           if r.get("effective_verdict") == "correct"]
+                pts.append({
+                    "tau": round(tau, 3),
+                    "answered": len(answered),
+                    "precision": round(len(correct) / len(answered), 4)
+                    if answered else None,
+                    "recall": round(len(correct) / len(rows), 4),
+                })
+            curves[sid] = pts
+        return _json({"run_id": run_id, "axis": "confidence_tier",
+                      "curves": curves})
+
+    async def eval_grade_rollup(request):
+        """Two-grade QA rollup per strategy (routers/eval.py:224):
+        retrieval grade = chunk recall, synthesis grade = grounding,
+        mean ± std, with the fact-checker σ noise band."""
+        import statistics as stats
+
+        from mobius_rag_tpu.eval_harness.fact_checker import (
+            FACT_CHECKER_SIGMA, FACT_CHECKER_VERSION)
+
+        run_id = request.match_info["run_id"]
+        results = ctx.eval_db.results(run_id)
+        if not results:
+            return _err("no results for run", 404)
+        by: dict[str, list] = {}
+        for r in results:
+            by.setdefault((r.get("strategy_chain") or ["?"])[-1], []).append(r)
+        strategies = {}
+        for sid, rows in sorted(by.items()):
+            ret = [r.get("chunk_recall", 0.0) for r in rows]
+            syn = [r.get("grounding", 0.0) for r in rows]
+            strategies[sid] = {
+                "n": len(rows),
+                "retrieval_mean": round(stats.mean(ret), 3),
+                "retrieval_std": round(stats.pstdev(ret), 3),
+                "synthesis_mean": round(stats.mean(syn), 3),
+                "synthesis_std": round(stats.pstdev(syn), 3),
+                "gap_mean": round(stats.mean(r - s for r, s in zip(ret, syn)), 3),
+            }
+        return _json({"run_id": run_id, "strategies": strategies,
+                      "sigma_noise": FACT_CHECKER_SIGMA,
+                      "fact_checker_version": FACT_CHECKER_VERSION})
+
+    async def eval_verdict_patch(request):
+        """Human-verdict override on one result (routers/eval.py:1151):
+        body {verdict: correct|partial|incorrect|null, reasoning, by}."""
+        body = await request.json()
+        verdict = body.get("verdict")
+        if verdict is not None and verdict not in ("correct", "partial",
+                                                   "incorrect"):
+            return _err("verdict must be correct|partial|incorrect|null")
+        out = ctx.eval_db.patch_verdict(
+            request.match_info["run_id"], request.match_info["query_id"],
+            verdict, reasoning=body.get("reasoning", ""),
+            by=body.get("by", ""))
+        return _json(out) if out else _err("result not found", 404)
+
+    async def prod_rollup(request):
+        return _json(ctx.telemetry.decisions_rollup(
+            float(request.query.get("window_hours", 24))))
+
+    def _editable_bank_path(rel: str) -> str:
+        """Editable banks live under data_dir/banks — the reference banks
+        (eval_bank_dir) are the read-only parity oracle."""
+        base = os.path.realpath(os.path.join(get_config().data_dir, "banks"))
+        target = os.path.realpath(os.path.join(base, rel))
+        if target != base and not target.startswith(base + os.sep):
+            raise ValueError(f"bank path must live under {base}")
+        return target
+
+    async def eval_bank_get(request):
+        """Read a bank as JSON (routers/eval.py:902). `name` resolves
+        through the standard loader (reference banks included, read-only);
+        `path` reads an editable bank under data_dir/banks."""
+        from mobius_rag_tpu.eval_harness.bank import load_bank
+
+        rel = request.query.get("path")
+        if rel:
+            try:
+                path = _editable_bank_path(rel)
+            except ValueError as e:
+                return _err(str(e), 403)
+            if not os.path.exists(path):
+                return _err("bank not found", 404)
+            bank = load_bank(path)
+        else:
+            try:
+                bank = load_bank(request.query.get("name", "toy"))
+            except FileNotFoundError as e:
+                return _err(str(e), 404)
+        return _json({"name": bank.name, "version": bank.version,
+                      "sha": bank.sha, "n_queries": len(bank.queries),
+                      "queries": [q.raw for q in bank.queries]})
+
+    async def eval_bank_put(request):
+        """Write an editable bank (routers/eval.py:928 PUT semantics):
+        validates id/query per entry, rejects duplicates, backs up the
+        previous version to <name>.bak."""
+        import yaml as _yaml
+
+        body = await request.json()
+        queries = body.get("queries")
+        if not isinstance(queries, list) or not queries:
+            return _err("body.queries must be a non-empty list")
+        seen = set()
+        cleaned = []
+        for i, q in enumerate(queries):
+            if not isinstance(q, dict):
+                return _err(f"query[{i}] not a dict")
+            qid = (q.get("id") or "").strip()
+            text = (q.get("query") or "").strip()
+            if not qid:
+                return _err(f"query[{i}] missing id")
+            if not text:
+                return _err(f"query[{i}] ({qid}) missing query text")
+            if qid in seen:
+                return _err(f"duplicate id: {qid}")
+            seen.add(qid)
+            cleaned.append({k: v for k, v in q.items()
+                            if v not in (None, "", [], {})})
+        try:
+            path = _editable_bank_path(body.get("rel_path") or "custom.yaml")
+        except ValueError as e:
+            return _err(str(e), 403)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = f.read()
+            with open(path + ".bak", "w") as f:
+                f.write(prev)
+        with open(path, "w") as f:
+            _yaml.safe_dump(
+                {"bank_version": body.get("bank_version", "custom"),
+                 "queries": cleaned},
+                f, sort_keys=False, allow_unicode=True, width=120)
+        return _json({"path": path, "n_queries": len(cleaned)})
+
     # ---- lexicon ----------------------------------------------------------------
 
     async def lexicon_list(request):
@@ -807,6 +971,12 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_post("/api/lexicon/candidates/review", lexicon_candidate_review)
     r.add_get("/api/eval/timeline", eval_timeline)
     r.add_get("/api/eval/compare", eval_compare)
+    r.add_get("/api/eval/runs/{run_id}/pr_curve", eval_pr_curve)
+    r.add_get("/api/eval/runs/{run_id}/grade_rollup", eval_grade_rollup)
+    r.add_patch("/api/eval/results/{run_id}/{query_id}/verdict", eval_verdict_patch)
+    r.add_get("/api/observe/prod_rollup", prod_rollup)
+    r.add_get("/api/eval/bank", eval_bank_get)
+    r.add_put("/api/eval/bank", eval_bank_put)
     r.add_get("/documents/{doc_id}/file", document_file)
     r.add_get("/documents/{doc_id}/pdf", document_pdf)
     r.add_post("/admin/drive/import", drive_import)

@@ -101,7 +101,41 @@ class EvalDB:
     def results(self, run_id: str) -> list[dict[str, Any]]:
         rows = self._fetchall(
             "SELECT query_id, payload FROM eval_results WHERE run_id=?", (run_id,))
-        return [{"query_id": q, **json.loads(p)} for q, p in rows]
+        out = []
+        for q, p in rows:
+            d = {"query_id": q, **json.loads(p)}
+            # effective verdict = human override when present (the
+            # reference's COALESCE(human_verdict, judge_verdict))
+            d["effective_verdict"] = d.get("human_verdict") or d.get("judge_verdict")
+            out.append(d)
+        return out
+
+    def patch_verdict(self, run_id: str, query_id: str, verdict: str | None,
+                      reasoning: str = "", by: str = "") -> dict[str, Any] | None:
+        """Human-verdict override (routers/eval.py:1151 PATCH semantics):
+        set verdict to correct|partial|incorrect, or None to clear the
+        override. Idempotent — re-PATCH overwrites."""
+        rows = self._fetchall(
+            "SELECT payload FROM eval_results WHERE run_id=? AND query_id=?",
+            (run_id, query_id))
+        if not rows:
+            return None
+        payload = json.loads(rows[0][0])
+        if verdict is None:
+            for key in ("human_verdict", "human_reasoning", "human_verdict_at",
+                        "human_verdict_by"):
+                payload.pop(key, None)
+        else:
+            payload["human_verdict"] = verdict
+            payload["human_reasoning"] = reasoning
+            payload["human_verdict_at"] = time.time()
+            payload["human_verdict_by"] = by
+        self._execute(
+            "UPDATE eval_results SET payload=? WHERE run_id=? AND query_id=?",
+            (json.dumps(payload), run_id, query_id))
+        payload["effective_verdict"] = payload.get("human_verdict") \
+            or payload.get("judge_verdict")
+        return {"query_id": query_id, **payload}
 
     def list_runs(self, limit: int = 50) -> list[dict[str, Any]]:
         rows = self._fetchall(

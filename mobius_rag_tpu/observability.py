@@ -260,6 +260,36 @@ class TelemetryStore:
                  "confidence": r[7], "refused": bool(r[8]), "latency_ms": r[9]}
                 for r in rows]
 
+    def decisions_rollup(self, window_hours: float = 24.0) -> dict[str, Any]:
+        """Per-strategy rollup over recent PROD decisions (the reference's
+        /observe/prod_rollup): n, confidence distribution, refusal rate,
+        mean latency. Prod has no gold facts, so confidence is the live
+        signal (the reference's synthesis_grade analogue)."""
+        since = time.time() - window_hours * 3600.0
+        rows = self._query(
+            "SELECT strategy, confidence, refused, latency_ms "
+            "FROM query_decisions WHERE ts >= ?", (since,))
+        by: dict[str, dict[str, Any]] = {}
+        for strategy, confidence, refused, latency in rows:
+            s = by.setdefault(strategy or "?", {
+                "n": 0, "refused": 0, "latency_ms_sum": 0.0,
+                "confidence": {"high": 0, "medium": 0, "low": 0, "abstain": 0},
+            })
+            s["n"] += 1
+            s["refused"] += int(refused)
+            s["latency_ms_sum"] += float(latency or 0.0)
+            if confidence in s["confidence"]:
+                s["confidence"][confidence] += 1
+        out = {}
+        for sid, s in sorted(by.items()):
+            out[sid] = {
+                "n": s["n"],
+                "refusal_rate": round(s["refused"] / s["n"], 4),
+                "latency_ms_mean": round(s["latency_ms_sum"] / s["n"], 2),
+                "confidence": s["confidence"],
+            }
+        return {"window_hours": window_hours, "strategies": out}
+
     def trace(self, agent_id: str) -> dict[str, Any] | None:
         rows = self._query("SELECT trace FROM query_traces WHERE agent_id=?",
                            (agent_id,))

@@ -45,6 +45,35 @@ ESCALATION_BUDGET = 8.0
 # refused/abstained fast-exits without re-running the strategy cascade.
 _SIGNATURE_CACHE_MAX = 512
 
+# Selectivity-based term partitioning (agent :1131-1343): matched lexicon
+# entries split into ANCHORS (rare, discriminating — they drive filters
+# and candidate pools) and CONTEXT (common — expansion-only). An entry
+# anchors when its corpus-derived selectivity clears this bar.
+ANCHOR_SELECTIVITY = 0.82
+
+# Candidate-pool cascade (agent :1762): minimum docs for a pool level to
+# be usable; below it the pool relaxes one level.
+POOL_MIN_DOCS = 1
+
+# Internal recall self-estimate (agent :1503): below this the adaptive
+# loop keeps escalating even after a nominal success, and the re-route
+# boosts recall demand (router hook).
+SELF_ESTIMATE_FLOOR = 0.5
+
+
+def partition_terms(profile: QueryProfile, lexicon) -> dict[str, list[str]]:
+    """Split the query's matched lexicon codes into anchors vs context by
+    selectivity (agent :1131-1221 semantics — selectivity is corpus-
+    derived via Lexicon.set_tag_doc_counts)."""
+    anchors, context = [], []
+    for code in profile.expansion.matched_codes:
+        e = lexicon.entry_by_code(code) if lexicon else None
+        if e is not None and e.selectivity >= ANCHOR_SELECTIVITY:
+            anchors.append(code)
+        else:
+            context.append(code)
+    return {"anchors": anchors, "context": context}
+
 
 @dataclasses.dataclass
 class AgentRequest:
@@ -112,6 +141,86 @@ class CorpusSearchAgent:
                 key, doc_tag_index(self.engine.store, self.engine.lexicon)
             )
         return self._tag_docs_cache[1]
+
+    def _doc_meta(self) -> dict[str, tuple[str, int]]:
+        """doc_id → (payer, max authority_level) over live records."""
+        key = len(self.engine.store.records)
+        cached = getattr(self, "_doc_meta_cache", None)
+        if cached is None or cached[0] != key:
+            meta: dict[str, tuple[str, int]] = {}
+            for rec in self.engine.store.records:
+                if rec is None:
+                    continue
+                prev = meta.get(rec.doc_id, ("", -1))
+                meta[rec.doc_id] = (rec.payer or prev[0],
+                                    max(prev[1], rec.authority_level))
+            self._doc_meta_cache = (key, meta)
+        return self._doc_meta_cache[1]
+
+    # -- candidate pool (agent :1762, :1970) ---------------------------------
+
+    def build_candidate_pool(self, partition: dict[str, list[str]],
+                             payer: str) -> dict[str, Any]:
+        """Cascading candidate-pool levels: tightest usable pool wins.
+          L0  docs carrying ALL anchor tags, payer-matched
+          L1  docs carrying ANY anchor tag, payer-matched
+          L2  L1 ∪ payer-unaffiliated regulator docs (inherited-authority
+              augmentation — regulator policy governs every payer)
+          L3  docs carrying ANY matched tag (union, unfiltered)
+        """
+        tag_docs = self._tag_docs()
+        meta = self._doc_meta()
+        anchors = partition["anchors"]
+        all_codes = anchors + partition["context"]
+
+        def payer_ok(doc: str) -> bool:
+            return not payer or meta.get(doc, ("", 0))[0] in ("", payer)
+
+        anchor_sets = [tag_docs.get(c, set()) for c in anchors]
+        l0 = set.intersection(*anchor_sets) if anchor_sets else set()
+        l0 = {d for d in l0 if payer_ok(d)}
+        l1 = set().union(*anchor_sets) if anchor_sets else set()
+        l1 = {d for d in l1 if payer_ok(d)}
+        regulators = {d for d, (p, a) in meta.items() if not p and a >= 4}
+        l2 = l1 | {d for d in regulators
+                   if any(d in tag_docs.get(c, ()) for c in all_codes)}
+        l3 = set().union(*(tag_docs.get(c, set()) for c in all_codes)) \
+            if all_codes else set()
+        for level, pool in enumerate((l0, l1, l2, l3)):
+            if len(pool) >= POOL_MIN_DOCS:
+                return {"level": level, "docs": len(pool),
+                        "doc_ids": sorted(pool)[:20],
+                        "inherited": level == 2 and bool(pool - l1)}
+        return {"level": 3, "docs": 0, "doc_ids": [], "inherited": False}
+
+    # -- internal recall self-estimate (agent :1503) --------------------------
+
+    def _recall_self_estimate(self, outcome: StrategyOutcome,
+                              partition: dict[str, list[str]]) -> float:
+        """How much of the query's anchor-term surface did the hits
+        actually cover? Feeds routing (low estimate ⇒ keep escalating and
+        boost recall demand on the re-route)."""
+        if not outcome.hits:
+            return 0.0
+        lex = self.engine.lexicon
+        anchor_keys = set()
+        for code in partition["anchors"]:
+            e = lex.entry_by_code(code) if lex else None
+            if e is not None:
+                anchor_keys.add((e.kind, e.tag_id))
+        covered = set()
+        for h in outcome.hits:
+            rec = self.engine.store.record(h.row) if h.row >= 0 else None
+            if rec is None:
+                continue
+            for kind, ids in (("j", rec.j_tags), ("d", rec.d_tags),
+                              ("p", rec.p_tags)):
+                covered |= {(kind, t) for t in ids}
+        tag_cov = (len(anchor_keys & covered) / len(anchor_keys)
+                   if anchor_keys else 1.0)
+        conf = {"high": 1.0, "medium": 0.7, "low": 0.4,
+                "abstain": 0.0}.get(outcome.confidence_label, 0.0)
+        return round(0.6 * tag_cov + 0.4 * conf, 4)
 
     # -- strategies ----------------------------------------------------------
 
@@ -182,6 +291,10 @@ class CorpusSearchAgent:
         )
         gate = run_gate(req.query, profile, probe)
 
+        # selectivity partition + cascading candidate pool (:1343, :1762)
+        partition = partition_terms(profile, self.engine.lexicon)
+        pool = self.build_candidate_pool(partition, req.payer)
+
         base_req = QueryRequest(
             query=req.query, embedding=req.embedding, payer=req.payer,
             state=req.state, program=req.program,
@@ -200,6 +313,9 @@ class CorpusSearchAgent:
                 profile={"query_class": profile.query_class,
                          "literals": profile.literals,
                          "canonicality": profile.canonicality,
+                         "anchors": partition["anchors"],
+                         "context_terms": partition["context"],
+                         "pool": pool,
                          **profile.features},
                 improvement_hint=hint, refused=refused,
                 telemetry={
@@ -262,6 +378,28 @@ class CorpusSearchAgent:
                 return _result("", [], "abstain",
                                {"strategy": "s", "reason": "forced s; no fact-store hit"})
 
+        # multi-literal short-circuit (agent :2091): two+ literal anchors
+        # co-occurring verbatim in one chunk is near-certain evidence —
+        # skip routing entirely and return the direct lookup.
+        if req.mode is None and len(profile.literals) >= 2:
+            t_sc = time.perf_counter()
+            sc = self.engine.search(dataclasses.replace(
+                base_req, tag_mode="none", mode="precision"), k=req.k * 2)[0]
+            lits = [l.lower() for l in profile.literals]
+            sc_hits = [h for h in sc.hits
+                       if all(l in h.text.lower() for l in lits)][: req.k]
+            if sc_hits:
+                chain.append("a")
+                outcomes.append(StrategyOutcome(
+                    "a", sc_hits, None, "high", True,
+                    {"short_circuit": "multi_literal",
+                     "literals": profile.literals},
+                    (time.perf_counter() - t_sc) * 1e3, [sc]))
+                answer = self._synthesize(req.query, sc_hits)
+                return _result(answer, sc_hits, "high",
+                               {"strategy": "a",
+                                "reason": "multi-literal short-circuit"})
+
         # route
         prefs = RoutePreferences(
             accuracy_need=req.accuracy_need, recall_demand=req.recall_demand,
@@ -275,7 +413,10 @@ class CorpusSearchAgent:
         )
         features = {**profile.features, "query_class": profile.query_class,
                     "canonicality": profile.canonicality,
-                    "has_inherited_docs": has_regulator}
+                    "has_inherited_docs": has_regulator,
+                    # the pool refines the raw probe's union for routing
+                    "pool_size": pool["docs"] or profile.pool_size,
+                    "pool_level": pool["level"]}
         if req.mode:
             decision = self.router.decide_override(req.mode, features, prefs)
         else:
@@ -307,25 +448,39 @@ class CorpusSearchAgent:
             return _result(answer, hits, label, decision_dict)
 
         # adaptive loop: walk the fallback order until a strategy succeeds
-        # or the escalation budget is spent
+        # WITH an adequate recall self-estimate, or the escalation budget
+        # is spent. A nominal success whose self-estimate is low keeps
+        # escalating (agent :1503 → the router re-route boosts recall
+        # demand through the recall_self_estimate feature).
         budget = ESCALATION_BUDGET
         best: StrategyOutcome | None = None
-        for sid in decision.order[:MAX_ATTEMPTS]:
+        best_est = -1.0
+        order = list(decision.order)
+        attempt = 0
+        while order and attempt < MAX_ATTEMPTS:
+            sid = order.pop(0)
             cost = STRATEGY_COST.get(sid, 1.0)
             if cost > budget and best is not None:
                 break  # escalation budget spent (agent :2321)
             budget -= cost
+            attempt += 1
             chain.append(sid)
             out = self._run_strategy(sid, base_req, req.k)
+            est = self._recall_self_estimate(out, partition)
+            out.detail["recall_self_estimate"] = est
             outcomes.append(out)
-            if best is None or (out.hits and not best.hits) or (
-                out.success and not best.success
-            ):
-                best = out
-            if out.success:
-                break
+            if est > best_est or (out.success and not (best and best.success)):
+                best, best_est = out, est
             if req.mode:  # forced mode: one attempt only
                 break
+            if out.success and est >= SELF_ESTIMATE_FLOOR:
+                break
+            if out.success and est < SELF_ESTIMATE_FLOOR and order:
+                # re-route with the self-estimate fed back (router hook)
+                redecide = self.router.decide(
+                    {**features, "recall_self_estimate": est}, prefs,
+                    exclude=list(dict.fromkeys(chain)))
+                order = [s for s in redecide.order if s not in chain]
 
         best = best or StrategyOutcome(decision.strategy, [], None, "abstain",
                                        False, {}, 0.0)

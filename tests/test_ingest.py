@@ -40,14 +40,18 @@ def test_extract_html_sections():
     doc = extract_text_from_bytes(html, "manual.html")
     assert doc.kind == "html"
     assert len(doc.pages) == 2
-    assert doc.pages[1].section == "Timely Filing"
+    # heading-chain section path (html_extractor.py section shaping)
+    assert doc.pages[1].section == "Provider Manual > Timely Filing"
     assert "180 days" in doc.pages[1].text
     assert "ignore()" not in doc.pages[0].text + doc.pages[1].text
 
 
-def test_extract_pdf_gated():
-    with pytest.raises(RuntimeError, match="PyMuPDF"):
-        extract_text_from_bytes(b"%PDF-1.4 fake", "doc.pdf")
+def test_extract_pdf_unparseable_reports_errors():
+    # garbage PDF bytes: the builtin extractor reports per-page/empty
+    # errors instead of raising (no PyMuPDF gate anymore)
+    doc = extract_text_from_bytes(b"%PDF-1.4 fake", "doc.pdf")
+    assert doc.kind == "pdf"
+    assert not any(p.text for p in doc.pages)
 
 
 # ---------------------------------------------------------------------------
@@ -294,3 +298,63 @@ def test_upload_to_query_end_to_end(tmp_path):
         "meta": {}}, dedupe_key="resume-test")
     pipe.embedding_worker.run_loop(max_jobs=1)
     assert store.size == size_before
+
+
+def test_pdf_builtin_roundtrip():
+    """The built-in PDF extractor reads back what our own PDF writer
+    emits (FlateDecode streams + Tj operators) — the PDF path runs with
+    no native deps in this image."""
+    from mobius_rag_tpu.export_pdf import markdown_to_pdf
+    from mobius_rag_tpu.ingest.extract import extract_text_from_bytes
+
+    md = ("# Timely Filing\n\nParticipating providers must submit initial "
+          "claims within 180 days from the date of service.\n\n"
+          "## Disputes\n\nReconsiderations are due within 90 days of the EOP.")
+    pdf = markdown_to_pdf(md, title="Test Manual")
+    doc = extract_text_from_bytes(pdf, "manual.pdf")
+    assert doc.kind == "pdf"
+    all_text = " ".join("\n".join(p.text for p in doc.pages).split())
+    assert "180 days from the date of service" in all_text
+    assert "90 days of the EOP" in all_text
+
+
+def test_pdf_builtin_through_pipeline(tmp_path):
+    """A PDF upload flows end-to-end: extract → chunk → Path-B → embed →
+    publish → searchable."""
+    from mobius_rag_tpu.export_pdf import markdown_to_pdf
+    from mobius_rag_tpu.index.store import ChunkStore
+    from mobius_rag_tpu.ingest.pipeline import IngestPipeline
+    from mobius_rag_tpu.ingest.queue import JobQueue
+    from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+    from mobius_rag_tpu.testing import hash_embed, sample_lexicon
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    pipeline = IngestPipeline(store, lex, hash_embed,
+                              queue=JobQueue(str(tmp_path / "jobs.sqlite")))
+    pdf = markdown_to_pdf(
+        "# Zebra Plan Filing\n\nZebra Plan timely filing deadline is 222 "
+        "days from the date of service for participating providers.")
+    res = pipeline.upload(pdf, "Zebra Plan Manual.pdf", payer="zebra")
+    assert store.size > 0, res
+    eng = SearchEngine(store, lex, embed_fn=hash_embed)
+    out = eng.search(QueryRequest(query="zebra plan timely filing deadline"),
+                     k=3)[0]
+    assert out.hits and "222" in out.hits[0].text
+
+
+def test_html_heading_chain_sections():
+    from mobius_rag_tpu.ingest.extract import extract_text_from_bytes
+
+    html = b"""<html><body>
+    <h1>Claims</h1><p>Intro text about claims.</p>
+    <h2>Timely Filing</h2><p>180 days window.</p>
+    <h3>Exceptions</h3><p>COB claims differ.</p>
+    <h2>Appeals</h2><p>90 day appeals window.</p>
+    </body></html>"""
+    doc = extract_text_from_bytes(html, "manual.html")
+    sections = [p.section for p in doc.pages]
+    assert "Claims" in sections[0]
+    assert "Claims > Timely Filing" in sections
+    assert "Claims > Timely Filing > Exceptions" in sections
+    assert "Claims > Appeals" in sections  # h3 popped when h2 changed
