@@ -127,8 +127,17 @@ def hybrid_mode(args):
     cfg = get_config()
     n, b, k = args.n, args.batch, args.k
     rng = np.random.default_rng(11)
-    log(f"[hybrid] building {n}-chunk corpus (vector_dtype={cfg.vector_dtype})")
-    vectors = rng.standard_normal((n, cfg.embed_dim)).astype(np.float32)
+    log(f"[hybrid] building {n}-chunk corpus (vector_dtype={cfg.vector_dtype}, "
+        f"backend={cfg.vector_backend})")
+    # CLUSTERED corpus (centers + noise): text-embedding spaces are
+    # strongly clustered; a uniform-random corpus is the pathological
+    # worst case for probed ANN and measures nothing real.
+    n_centers = 4096
+    centers = rng.standard_normal((n_centers, cfg.embed_dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_centers, n)
+    vectors = centers[assign] + 0.05 * rng.standard_normal(
+        (n, cfg.embed_dim)).astype(np.float32)
     vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
     payers = ["sunshine_health", "aetna", "molina", ""]
     recs = [
@@ -151,19 +160,67 @@ def hybrid_mode(args):
     engine = SearchEngine(store, lexicon)
 
     q_rows = rng.choice(n, b, replace=False)
+    q_vecs = vectors[q_rows] + 0.02 * rng.standard_normal(
+        (b, cfg.embed_dim)).astype(np.float32)
+    q_vecs /= np.linalg.norm(q_vecs, axis=1, keepdims=True)
     reqs = [
         QueryRequest(query=f"timely filing for {payers[i % 3]} claims",
-                     embedding=vectors[q_rows[i]])
+                     embedding=q_vecs[i])
         for i in range(b)
     ]
-    engine.search(reqs, k=k)  # warm
-    rounds = []
-    for _ in range(3):
-        t0 = _t.perf_counter()
-        for _ in range(4):
-            engine.search(reqs, k=k)
-        rounds.append(b * 4 / (_t.perf_counter() - t0))
-    qps = sorted(rounds)[1]
+    def measure(eng, rqs, reps=4):
+        eng.search(rqs, k=k)  # warm (compile + ANN build)
+        rounds = []
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            for _ in range(reps):
+                eng.search(rqs, k=k)
+            rounds.append(len(rqs) * reps / (_t.perf_counter() - t0))
+        return sorted(rounds)[1], rounds
+
+    if args.matrix:
+        # one corpus, every (backend × batch) cell — the backend-selection
+        # guidance table (exact amortizes the corpus read over the batch
+        # matmul; probed backends win at small batch / huge N)
+        exact_eng = SearchEngine(store, lexicon, vector_backend="exact")
+        sanity_reqs = [QueryRequest(query=r.query, embedding=r.embedding,
+                                    tag_mode="none") for r in reqs]
+        ex_res = exact_eng.search(sanity_reqs, k=k)
+        cells = {}
+        for backend in ("exact", "ivf", "packed"):
+            eng = SearchEngine(store, lexicon, vector_backend=backend)
+            if backend != "exact":
+                t0 = _t.perf_counter()
+                eng.ensure_ann()
+                log(f"[matrix] {backend} ANN build {_t.perf_counter() - t0:.1f}s")
+            recall = 1.0
+            if backend != "exact":
+                res_ = eng.search(sanity_reqs, k=k)
+                recalls = []
+                for ra, re_ in zip(res_, ex_res):
+                    a = {h["row"] for h in ra.telemetry["arms"]["vector"]}
+                    e = {h["row"] for h in re_.telemetry["arms"]["vector"]}
+                    if e:
+                        recalls.append(len(a & e) / len(e))
+                recall = round(float(np.mean(recalls)), 4)
+            for bb in (1, 4, 32):
+                qps_bb, rounds = measure(eng, reqs[:bb], reps=4 if bb > 1 else 8)
+                cells[f"{backend}_b{bb}"] = {
+                    "qps": round(qps_bb, 1), "recall_vs_exact": recall,
+                    "rounds": [round(x, 1) for x in rounds]}
+                log(f"[matrix] {backend} batch={bb}: {qps_bb:.1f} qps "
+                    f"(recall {recall})")
+        print(json.dumps({
+            "metric": f"hybrid_backend_matrix_{n // 1000}k_1chip",
+            "value": cells["exact_b32"]["qps"],
+            "unit": "queries/sec",
+            "vs_baseline": round(cells["exact_b32"]["qps"] / (1.0 / 1.1), 1),
+            "detail": {"cells": cells, "nprobe": cfg.ivf_nprobe,
+                       "vector_dtype": cfg.vector_dtype},
+        }))
+        return
+
+    qps, rounds = measure(engine, reqs)
     # sanity on the VECTOR ARM with tag gating off (the gate correctly
     # filters this synthetic corpus's random tags; the reranker correctly
     # reorders by authority — neither invalidates the cosine math): each
@@ -218,6 +275,9 @@ def main():
                     help="int8-only packed-IVF regime (config 5)")
     ap.add_argument("--hybrid", action="store_true",
                     help="full hybrid pipeline at --n chunks")
+    ap.add_argument("--matrix", action="store_true",
+                    help="with --hybrid: every (backend x batch) cell on "
+                         "one corpus build")
     args = ap.parse_args()
     if args.packed:
         packed_mode(args)

@@ -94,9 +94,11 @@ class AppContext:
 
         queue = JobQueue(os.path.join(
             get_config().data_dir, f"jobs-{_uuid.uuid4().hex[:8]}.sqlite"))
+        from mobius_rag_tpu.ingest.worker import FileDocumentStore
+
         pipeline = IngestPipeline(store, lexicon, embed_fn, llm=llm,
                                   candidate_sink=candidates.record,
-                                  queue=queue)
+                                  queue=queue, docs=FileDocumentStore())
         ctx = cls(store=store, engine=engine, agent=agent, pipeline=pipeline,
                   telemetry=telemetry, eval_db=EvalDB(),
                   llm_configs=LLMConfigRegistry(), prompts=PromptRegistry(),
@@ -121,7 +123,8 @@ def _err(msg: str, status: int = 400) -> web.Response:
 async def admin_auth_middleware(request: web.Request, handler):
     key = os.getenv("MRAG_ADMIN_KEY", "")
     path = request.path
-    if path.startswith("/admin") or path.startswith("/config"):
+    if (path.startswith("/admin") or path.startswith("/config")
+            or path.startswith("/internal")):
         if key:
             if request.headers.get("X-Admin-Key") != key:
                 return _err("admin key required", 401)
@@ -932,6 +935,51 @@ def build_app(ctx: AppContext) -> web.Application:
     async def cleanup_stale(request):
         return _json({"cleaned": ctx.pipeline.queue.cleanup_stale()})
 
+    # ---- internal index RPC (durable index serving — no snapshot hop) -----
+
+    async def internal_publish(request):
+        """Remote publish from a worker process straight into the LIVE
+        device index (index/service.py wire format). Replaces the
+        snapshot+reload hop; an attached sharded engine refreshes via the
+        store's mutation listeners."""
+        from mobius_rag_tpu.index.service import record_from_wire
+
+        body = await request.json()
+        doc_id = body.get("doc_id")
+        if not doc_id or not isinstance(body.get("records"), list):
+            return _err("need doc_id and records")
+        try:
+            recs = [record_from_wire(d) for d in body["records"]]
+            rows = ctx.store.publish_document(doc_id, recs)
+        except (KeyError, ValueError, RuntimeError) as e:
+            return _err(f"publish failed: {e}", 409)
+        return _json({"rows": rows})
+
+    async def internal_add_chunks(request):
+        from mobius_rag_tpu.index.service import record_from_wire
+
+        body = await request.json()
+        if not isinstance(body.get("records"), list):
+            return _err("need records")
+        try:
+            recs = [record_from_wire(d) for d in body["records"]]
+            rows = ctx.store.add_chunks(recs)
+        except (KeyError, ValueError) as e:
+            return _err(f"add failed: {e}", 409)
+        return _json({"rows": rows})
+
+    async def internal_delete(request):
+        body = await request.json()
+        if not body.get("doc_id"):
+            return _err("need doc_id")
+        return _json({"deleted_chunks":
+                      ctx.store.delete_by_document(body["doc_id"])})
+
+    async def internal_source_ids(request):
+        doc_id = request.match_info["doc_id"]
+        return _json({"source_ids":
+                      sorted(ctx.store.embedded_source_ids(doc_id))})
+
     async def vector_backend(request):
         """Select the vector-arm scan backend (exact | ivf | packed) —
         the production-scan switch (reference vector_store.py:306 factory
@@ -1005,6 +1053,10 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_post("/admin/restore", restore)
     r.add_post("/admin/cleanup-stale-jobs", cleanup_stale)
     r.add_post("/admin/vector_backend", vector_backend)
+    r.add_post("/internal/index/publish", internal_publish)
+    r.add_post("/internal/index/add_chunks", internal_add_chunks)
+    r.add_post("/internal/index/delete", internal_delete)
+    r.add_get("/internal/index/source_ids/{doc_id}", internal_source_ids)
     return app
 
 
@@ -1022,7 +1074,11 @@ def main() -> None:
 
     log = setup_logging("mrag-api")
     embed = get_embedding_provider(args.provider)
-    ctx = AppContext.build(embed_fn=embed.embed)
+    from mobius_rag_tpu.clients import get_llm_client
+
+    # generation client: MRAG_LLM_URL → HTTP proxy adapter, else the
+    # offline extractive stub (llm_manager_client.py:211 role)
+    ctx = AppContext.build(embed_fn=embed.embed, llm=get_llm_client())
     # Warm the compiled search pipeline so the first real request doesn't
     # absorb the XLA compile (~30s+ cold on the TPU tunnel).
     try:

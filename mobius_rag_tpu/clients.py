@@ -69,6 +69,82 @@ class OfflineWebStub:
         return ""
 
 
+class LLMHTTPError(RuntimeError):
+    """Unrecoverable LLM-proxy error (llm_manager_client.py:86 parity)."""
+
+
+class HTTPLLMClient:
+    """Concrete JSON-over-HTTP generation adapter — the deployment hook
+    for an LLM-manager-style proxy (reference llm_manager_client.py:211:
+    all generation goes through one POST endpoint carrying prompt/system/
+    stage, with a transient-retry ladder).
+
+    Request:  POST {url} {"prompt", "system", "stage", "max_tokens",
+                          "temperature", "model"}
+    Response: {"text": "..."} (or {"completion"/"output"/"content"}).
+    Retries transient failures (HTTP 5xx/429, socket errors) with
+    exponential backoff; 4xx raises immediately."""
+
+    def __init__(self, url: str, *, model: str = "",
+                 headers: dict[str, str] | None = None,
+                 timeout_s: float = 120.0, max_retries: int = 3,
+                 backoff_s: float = 1.0):
+        if not url:
+            raise ValueError("HTTPLLMClient requires a URL (MRAG_LLM_URL)")
+        self.url = url
+        self.model = model
+        self.headers = headers or {}
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+
+    def generate(self, prompt: str, *, system: str = "", max_tokens: int = 1024,
+                 temperature: float = 0.0, stage: str = "") -> str:
+        import json
+        import time
+        import urllib.error
+        import urllib.request
+
+        payload = json.dumps({
+            "prompt": prompt, "system": system, "stage": stage,
+            "max_tokens": max_tokens, "temperature": temperature,
+            "model": self.model,
+        }).encode()
+        last: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    self.url, method="POST", data=payload,
+                    headers={"Content-Type": "application/json", **self.headers})
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    body = json.loads(resp.read())
+                for key in ("text", "completion", "output", "content"):
+                    if isinstance(body.get(key), str):
+                        return body[key]
+                raise LLMHTTPError(f"no text field in response: {list(body)[:8]}")
+            except urllib.error.HTTPError as e:
+                if e.code < 500 and e.code != 429:
+                    raise LLMHTTPError(f"LLM proxy HTTP {e.code}") from e
+                last = e
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last = e
+            if attempt < self.max_retries:
+                time.sleep(self.backoff_s * (2 ** attempt))
+        raise LLMHTTPError(f"LLM proxy unreachable after "
+                           f"{self.max_retries + 1} attempts: {last}")
+
+
+def get_llm_client(url: str | None = None, **kw) -> LLMClient:
+    """Env-selected generation client: MRAG_LLM_URL set → HTTP adapter,
+    else the offline extractive stub (zero-egress default)."""
+    import os
+
+    url = url if url is not None else os.getenv("MRAG_LLM_URL", "")
+    if url:
+        return HTTPLLMClient(url, model=os.getenv("MRAG_LLM_MODEL", ""), **kw)
+    return OfflineLLMStub()
+
+
 class StaticFactStore:
     """In-memory fact store for tests / air-gapped deployments: exact-ish
     lookup over seeded (pattern → fact) rows (the reference's payor fact

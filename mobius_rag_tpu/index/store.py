@@ -789,10 +789,33 @@ class ChunkStore:
         with open(os.path.join(path, "store.json"), "w") as f:
             json.dump(state, f)
 
+    # Snapshot format versions this build can read. Older versions get an
+    # in-place upgrade ladder at restore (the reference's 64 idempotent
+    # migrations collapse to this because snapshots are self-contained —
+    # there is no shared live schema to migrate, only files to upgrade).
+    SNAPSHOT_VERSION = 1
+    # version → fn(state) -> state; v0 = pre-versioned snapshots whose
+    # layout is identical to v1 (the field was merely absent)
+    _SNAPSHOT_UPGRADES: dict[int, Any] = {
+        0: staticmethod(lambda state: {**state, "version": 1}),
+    }
+
     @classmethod
     def restore(cls, path: str, cfg: Config | None = None) -> "ChunkStore":
         with open(os.path.join(path, "store.json")) as f:
             state = json.load(f)
+        version = int(state.get("version", 0))
+        if version > cls.SNAPSHOT_VERSION:
+            raise ValueError(
+                f"snapshot version {version} is newer than this build "
+                f"supports ({cls.SNAPSHOT_VERSION}) — upgrade the framework")
+        while version < cls.SNAPSHOT_VERSION:
+            upgrade = cls._SNAPSHOT_UPGRADES.get(version)
+            if upgrade is None:
+                raise ValueError(f"no upgrade path from snapshot version "
+                                 f"{version}")
+            state = upgrade(state)
+            version = int(state["version"])
         cfg = cfg or get_config()
         for key, val in state["config"].items():
             if key == "lexical_format" and getattr(cfg, key, "dense") != val:

@@ -19,7 +19,8 @@ from mobius_rag_tpu.config import get_config
 from mobius_rag_tpu.index.store import ChunkStore
 from mobius_rag_tpu.ingest import shutdown
 from mobius_rag_tpu.ingest.queue import JobQueue
-from mobius_rag_tpu.ingest.worker import ChunkingWorker, DocumentStore, EmbeddingWorker
+from mobius_rag_tpu.ingest.worker import (ChunkingWorker, EmbeddingWorker,
+                                          FileDocumentStore)
 from mobius_rag_tpu.observability import setup_logging
 from mobius_rag_tpu.providers import get_embedding_provider
 from mobius_rag_tpu.query.lexicon import Lexicon
@@ -65,6 +66,9 @@ def main() -> None:
     ap.add_argument("--kind", choices=["chunking", "embedding"], required=True)
     ap.add_argument("--queue", default=None, help="job queue sqlite path")
     ap.add_argument("--snapshot", default=None, help="index snapshot dir")
+    ap.add_argument("--index-url", default=os.getenv("MRAG_INDEX_URL", ""),
+                    help="serving process base URL: publish into the LIVE "
+                         "index over RPC instead of snapshot+reload")
     ap.add_argument("--provider", default=None)
     ap.add_argument("--once", action="store_true", help="drain and exit")
     ap.add_argument("--health-port", type=int, default=0,
@@ -84,7 +88,9 @@ def main() -> None:
         log.info("health endpoint on :%d", args.health_port)
 
     if args.kind == "chunking":
-        worker = ChunkingWorker(queue, DocumentStore(), lexicon)
+        # durable blob store: a chunking worker process must see blobs the
+        # API process uploaded (the GCS-bucket role)
+        worker = ChunkingWorker(queue, FileDocumentStore(), lexicon)
         log.info("chunking worker up")
         n = 0
         while not shutdown.is_shutting_down():
@@ -95,11 +101,27 @@ def main() -> None:
         log.info("chunking worker done, jobs=%d", n)
         return
 
+    embed = get_embedding_provider(args.provider)
+    if args.index_url:
+        # durable index service: publishes go straight to the serving
+        # process's live index — no snapshot hop (index/service.py)
+        from mobius_rag_tpu.index.service import RemoteIndexClient
+
+        store = RemoteIndexClient(args.index_url,
+                                  admin_key=os.getenv("MRAG_ADMIN_KEY", ""))
+        worker = EmbeddingWorker(queue, store, lexicon, embed.embed)
+        log.info("embedding worker up (remote index %s)", args.index_url)
+        while not shutdown.is_shutting_down():
+            worker.run_loop(max_jobs=100)
+            tick()
+            if args.once or shutdown.sleep_or_shutdown(1.0):
+                break
+        return
+
     snap = args.snapshot or os.path.join(get_config().data_dir, "snapshot")
     store = (ChunkStore.restore(snap)
              if os.path.exists(os.path.join(snap, "store.json"))
              else ChunkStore())
-    embed = get_embedding_provider(args.provider)
     worker = EmbeddingWorker(queue, store, lexicon, embed.embed)
     log.info("embedding worker up (index %d chunks)", store.size)
     while not shutdown.is_shutting_down():

@@ -19,6 +19,7 @@ reclaimed while alive.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 import uuid
 from typing import Any, Callable
@@ -58,8 +59,8 @@ class DocumentBlob:
 
 
 class DocumentStore:
-    """In-memory/document-dir registry of uploaded originals (GCS's role
-    in the reference). Pluggable: anything with get/put."""
+    """In-memory registry of uploaded originals (GCS's role in the
+    reference). Pluggable: anything with get/put."""
 
     def __init__(self):
         self.docs: dict[str, DocumentBlob] = {}
@@ -69,6 +70,48 @@ class DocumentStore:
 
     def get(self, doc_id: str) -> DocumentBlob | None:
         return self.docs.get(doc_id)
+
+
+class FileDocumentStore(DocumentStore):
+    """Durable blob store: originals + metadata persist under a
+    directory (the GCS-bucket role, reference main.py /upload GCS write).
+    Blobs survive process restarts; the in-memory map is a read cache
+    rebuilt lazily from disk."""
+
+    def __init__(self, root: str | None = None):
+        import json
+
+        from mobius_rag_tpu.config import get_config
+
+        super().__init__()
+        self.root = root or os.path.join(get_config().data_dir, "documents")
+        os.makedirs(self.root, exist_ok=True)
+        self._json = json
+        for name in os.listdir(self.root):
+            if name.endswith(".meta.json"):
+                with open(os.path.join(self.root, name)) as f:
+                    meta = json.load(f)
+                blob_path = os.path.join(self.root, meta["doc_id"] + ".bin")
+                if os.path.exists(blob_path):
+                    with open(blob_path, "rb") as f:
+                        data = f.read()
+                    self.docs[meta["doc_id"]] = DocumentBlob(data=data, **{
+                        k: meta[k] for k in ("doc_id", "filename", "payer",
+                                             "state", "program",
+                                             "authority_level", "summary")})
+
+    def put(self, blob: DocumentBlob) -> None:
+        super().put(blob)
+        safe = blob.doc_id.replace("/", "_")
+        with open(os.path.join(self.root, safe + ".bin"), "wb") as f:
+            f.write(blob.data)
+        meta = {k: getattr(blob, k) for k in
+                ("doc_id", "filename", "payer", "state", "program",
+                 "authority_level", "summary")}
+        tmp = os.path.join(self.root, safe + ".meta.json.tmp")
+        with open(tmp, "w") as f:
+            self._json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.root, safe + ".meta.json"))
 
 
 class ChunkingWorker:

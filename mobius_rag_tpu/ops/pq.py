@@ -1,0 +1,253 @@
+"""Product quantization (PQ) for the ≥4M-rows/chip regime.
+
+BASELINE.md build-target config 5 ("10M chunks int8 PQ + fused scan"):
+int8 symmetric quantization carries to ~8M rows/chip (1536 B/row);
+past that the vector payload itself must shrink. PQ splits each D-dim
+row into M subvectors and stores one codebook index per subvector —
+M bytes/row (16× smaller than int8 at M = D/16), with scoring done
+against per-query lookup tables (ADC, asymmetric distance computation).
+
+TPU-first design:
+- codebook training is M independent k-means problems — vmapped Lloyd
+  iterations over the subvector axis, all on device (seconds for a
+  100k-row sample).
+- encoding is blockwise: per block, one [block, M, K] distance einsum +
+  argmin. No host loops over rows.
+- search reuses the IVF cluster layout (PackedPQ mirrors PackedIVF's
+  cluster-contiguous blocks): per query build the [M, K] dot-product
+  LUT (one einsum), then each probed cluster block scores as a flat
+  gather-sum over its codes — VPU work linear in (probed rows × M)
+  instead of MXU/HBM work linear in (probed rows × D).
+
+Scoring uses inner-product ADC: score(x, q) ≈ Σ_m LUT[m, code_m(x)]
+where LUT[m, j] = q_m · C[m, j]. Codebooks are trained with L2 Lloyd
+(the IP-optimal quantizer for unit-norm full vectors decomposed into
+subvectors).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobius_rag_tpu.ops.topk import NEG_INF
+from mobius_rag_tpu.utils import round_up
+
+K_CODES = 256  # one byte per subvector
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _pq_kmeans(sub: jnp.ndarray, init: jnp.ndarray, iters: int):
+    """Vmapped Lloyd over the subvector axis.
+    sub [M, S, ds] training subvectors; init [M, K, ds] → [M, K, ds]."""
+
+    def one_space(x, c0):
+        def step(c, _):
+            # [S, K] L2 distances via the dot trick
+            dots = x @ c.T  # [S, K]
+            c2 = (c * c).sum(axis=1)[None, :]
+            assign = jnp.argmin(c2 - 2.0 * dots, axis=1)  # [S]
+            sums = jax.ops.segment_sum(x, assign, num_segments=c.shape[0])
+            counts = jax.ops.segment_sum(
+                jnp.ones(assign.shape, jnp.float32), assign,
+                num_segments=c.shape[0])
+            new = jnp.where(counts[:, None] > 0,
+                            sums / jnp.maximum(counts[:, None], 1.0), c)
+            return new, None
+
+        c, _ = jax.lax.scan(step, c0, None, length=iters)
+        return c
+
+    return jax.vmap(one_space)(sub, init)
+
+
+def train_pq(vectors, m: int, *, iters: int = 12, sample: int = 100_000,
+             seed: int = 0) -> jnp.ndarray:
+    """Train PQ codebooks [M, K, ds] on a row sample of `vectors` [N, D].
+    D must divide evenly into m subvectors."""
+    n, d = vectors.shape
+    if d % m:
+        raise ValueError(f"D={d} not divisible by M={m}")
+    ds = d // m
+    rng = np.random.default_rng(seed)
+    rows = rng.choice(n, size=min(sample, n), replace=False)
+    x = jnp.asarray(vectors)[jnp.asarray(np.sort(rows))].astype(jnp.float32)
+    sub = x.reshape(-1, m, ds).transpose(1, 0, 2)  # [M, S, ds]
+    init_rows = rng.choice(sub.shape[1], size=K_CODES,
+                           replace=sub.shape[1] < K_CODES)
+    init = sub[:, jnp.asarray(init_rows)]  # [M, K, ds]
+    return _pq_kmeans(sub, init, iters)
+
+
+@jax.jit
+def _encode_block(block: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
+    """block [B, D] f32 → codes [B, M] uint8 (argmin L2 per subvector)."""
+    b, d = block.shape
+    m, k, ds = codebooks.shape
+    sub = block.reshape(b, m, ds)
+    dots = jnp.einsum("bmd,mkd->bmk", sub, codebooks)
+    c2 = (codebooks * codebooks).sum(axis=2)[None]  # [1, M, K]
+    return jnp.argmin(c2 - 2.0 * dots, axis=2).astype(jnp.uint8)
+
+
+def encode_pq(vectors, codebooks, *, block: int = 65536) -> np.ndarray:
+    """Encode [N, D] → [N, M] uint8, blockwise on device, assembled on
+    host (one transfer per block; no N-sized f32 transient)."""
+    n = vectors.shape[0]
+    m = codebooks.shape[0]
+    out = np.empty((n, m), np.uint8)
+    v = jnp.asarray(vectors)
+    for off in range(0, n, block):
+        blk = v[off:off + block].astype(jnp.float32)
+        out[off:off + blk.shape[0]] = np.asarray(
+            jax.device_get(_encode_block(blk, codebooks)))
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedPQ:
+    """Cluster-contiguous PQ codes over an IVF layout (PackedIVF's
+    block shape, with M-byte codes instead of D-byte int8 rows)."""
+
+    FIELDS = ("centroids", "codes", "codebooks", "valid", "rowids")
+
+    def __init__(self, centroids, codes, codebooks, valid, rowids,
+                 nlist: int, pad: int, base_nlist: int | None = None):
+        self.centroids = centroids  # [nlist, D] f32
+        self.codes = codes  # [nlist, pad, M] uint8
+        self.codebooks = codebooks  # [M, K, ds] f32
+        self.valid = valid  # [nlist, pad] f32
+        self.rowids = rowids  # [nlist, pad] i32
+        self.nlist = nlist
+        self.pad = pad
+        self.base_nlist = base_nlist if base_nlist is not None else nlist
+
+    def tree_flatten(self):
+        return (tuple(getattr(self, f) for f in self.FIELDS),
+                (self.nlist, self.pad, self.base_nlist))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, nlist=aux[0], pad=aux[1], base_nlist=aux[2])
+
+    @property
+    def bytes_per_row(self) -> int:
+        return int(self.codes.shape[-1])
+
+    @classmethod
+    def from_ivf(cls, ivf, vectors, *, m: int = 96, iters: int = 12,
+                 row_scales=None, seed: int = 0,
+                 block: int = 65536) -> "PackedPQ":
+        """Train codebooks + pack codes cluster-contiguously. Mirrors
+        PackedIVF.from_ivf (spill rows fold into synthetic clusters).
+        When `vectors` is an int8 store, pass `row_scales` so training/
+        encoding sees the dequantized values."""
+        d = vectors.shape[1]
+        v = jnp.asarray(vectors)
+        if row_scales is not None:
+            scales = jnp.asarray(row_scales)
+
+        def rows_f32(idx: jnp.ndarray) -> jnp.ndarray:
+            out = jnp.take(v, idx, axis=0).astype(jnp.float32)
+            if row_scales is not None:
+                out = out * jnp.take(scales, idx)[:, None]
+            return out
+
+        # training sample drawn from live member rows
+        members = np.asarray(ivf.members)
+        mvalid = np.asarray(ivf.member_valid)
+        spill = np.asarray(ivf.spill)[np.asarray(ivf.spill_valid) > 0]
+        live = np.concatenate([members[mvalid > 0].reshape(-1), spill])
+        rng = np.random.default_rng(seed)
+        sample_rows = rng.choice(live, size=min(100_000, len(live)),
+                                 replace=False)
+        sample = jax.device_get(rows_f32(jnp.asarray(np.sort(sample_rows))))
+        codebooks = train_pq(sample, m, iters=iters, sample=len(sample_rows),
+                             seed=seed)
+
+        pad = ivf.pad
+        extra = int(np.ceil(len(spill) / pad)) if len(spill) else 0
+        nlist = ivf.nlist + extra
+        rowids = np.zeros((nlist, pad), np.int32)
+        valid = np.zeros((nlist, pad), np.float32)
+        rowids[: ivf.nlist] = members
+        valid[: ivf.nlist] = mvalid
+        for e in range(extra):
+            seg = spill[e * pad:(e + 1) * pad]
+            rowids[ivf.nlist + e, : len(seg)] = seg
+            valid[ivf.nlist + e, : len(seg)] = 1.0
+
+        flat = rowids.reshape(-1)
+        codes_host = np.empty((len(flat), m), np.uint8)
+        for off in range(0, len(flat), block):
+            blk = rows_f32(jnp.asarray(flat[off:off + block]))
+            codes_host[off:off + blk.shape[0]] = np.asarray(
+                jax.device_get(_encode_block(blk, codebooks)))
+        codes = jnp.asarray(codes_host.reshape(nlist, pad, m))
+
+        cents = np.asarray(ivf.centroids, np.float32)
+        if extra:
+            extra_cents = []
+            for e in range(extra):
+                seg = spill[e * pad:(e + 1) * pad]
+                mvec = np.asarray(jax.device_get(
+                    rows_f32(jnp.asarray(seg)))).mean(axis=0)
+                extra_cents.append(mvec / max(np.linalg.norm(mvec), 1e-6))
+            cents = np.concatenate([cents, np.stack(extra_cents)], axis=0)
+        return cls(jnp.asarray(cents), codes, codebooks, jnp.asarray(valid),
+                   jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def pq_search_packed(ppq: PackedPQ, queries: jnp.ndarray,
+                     penalty: jnp.ndarray, k: int, nprobe: int):
+    """Probed masked top-k over PQ codes (ADC). penalty indexes global
+    row ids; [C] shared or [B, C] per-query."""
+    b = queries.shape[0]
+    q32 = queries.astype(jnp.float32)
+    if penalty.ndim == 1:
+        penalty = jnp.broadcast_to(penalty[None, :], (b, penalty.shape[0]))
+    m, kk, ds = ppq.codebooks.shape
+
+    cscores = jnp.dot(q32, ppq.centroids.T, preferred_element_type=jnp.float32)
+    p_eff = min(nprobe, ppq.base_nlist)
+    _, probe = jax.lax.top_k(cscores[:, : ppq.base_nlist], p_eff)
+    n_spill = ppq.nlist - ppq.base_nlist
+    if n_spill:  # synthetic spill slabs are always probed
+        spill_cells = jnp.broadcast_to(
+            jnp.arange(ppq.base_nlist, ppq.nlist, dtype=probe.dtype)[None, :],
+            (b, n_spill))
+        probe = jnp.concatenate([probe, spill_cells], axis=1)
+
+    # per-query ADC lookup table [M, K], flattened for one-gather scoring
+    luts = jnp.einsum("bmd,mkd->bmk", q32.reshape(b, m, ds), ppq.codebooks)
+    lut_flat = luts.reshape(b, m * kk)
+    code_base = (jnp.arange(m, dtype=jnp.int32) * kk)[None, :]  # [1, M]
+
+    def per_query(args):
+        lut, probes, pen = args
+
+        def scan_probe(carry, c):
+            best_v, best_i = carry
+            codes = jax.lax.dynamic_index_in_dim(ppq.codes, c, 0,
+                                                 keepdims=False)  # [pad, M]
+            ok = jax.lax.dynamic_index_in_dim(ppq.valid, c, 0, keepdims=False)
+            rid = jax.lax.dynamic_index_in_dim(ppq.rowids, c, 0, keepdims=False)
+            idx = codes.astype(jnp.int32) + code_base  # [pad, M]
+            s = jnp.take(lut, idx.reshape(-1)).reshape(codes.shape).sum(axis=1)
+            s = s + jnp.take(pen, rid) + (1.0 - ok) * NEG_INF
+            vals = jnp.concatenate([best_v, s])
+            ids = jnp.concatenate([best_i, rid])
+            nv, pos = jax.lax.top_k(vals, k)
+            return (nv, jnp.take(ids, pos)), None
+
+        init = (jnp.full((k,), NEG_INF, jnp.float32),
+                jnp.zeros((k,), jnp.int32))
+        (vals, ids), _ = jax.lax.scan(scan_probe, init, probes)
+        return vals, ids
+
+    vals, idx = jax.lax.map(per_query, (lut_flat, probe, penalty))
+    return vals, idx.astype(jnp.int32)
