@@ -23,6 +23,17 @@ Scoring uses inner-product ADC: score(x, q) ≈ Σ_m LUT[m, code_m(x)]
 where LUT[m, j] = q_m · C[m, j]. Codebooks are trained with L2 Lloyd
 (the IP-optimal quantizer for unit-norm full vectors decomposed into
 subvectors).
+
+RESIDUAL encoding (IVFADC): codes quantize x − centroid(x) instead of x,
+and search adds the q·centroid term per probed cluster. The cluster-
+center component is the bulk of each row's energy but carries ZERO
+within-cluster ranking information — encoding the residual spends the
+code bits on what actually ranks neighbors. Measured on the adversarial
+isotropic-noise substrate: plain ADC recall@10 0.35 → residual 0.60 →
+residual + exact re-rank of the ADC top-100 = 1.00 (the two-stage
+production shape: PQ codes in HBM for candidate generation, int8 rows in
+host RAM for re-rank — host→device traffic is k·over_fetch rows/query,
+a few hundred KB).
 """
 from __future__ import annotations
 
@@ -115,7 +126,8 @@ class PackedPQ:
     FIELDS = ("centroids", "codes", "codebooks", "valid", "rowids")
 
     def __init__(self, centroids, codes, codebooks, valid, rowids,
-                 nlist: int, pad: int, base_nlist: int | None = None):
+                 nlist: int, pad: int, base_nlist: int | None = None,
+                 residual: bool = True):
         self.centroids = centroids  # [nlist, D] f32
         self.codes = codes  # [nlist, pad, M] uint8
         self.codebooks = codebooks  # [M, K, ds] f32
@@ -124,14 +136,16 @@ class PackedPQ:
         self.nlist = nlist
         self.pad = pad
         self.base_nlist = base_nlist if base_nlist is not None else nlist
+        self.residual = residual  # codes quantize x − centroid(x)
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self.FIELDS),
-                (self.nlist, self.pad, self.base_nlist))
+                (self.nlist, self.pad, self.base_nlist, self.residual))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, nlist=aux[0], pad=aux[1], base_nlist=aux[2])
+        return cls(*children, nlist=aux[0], pad=aux[1], base_nlist=aux[2],
+                   residual=aux[3])
 
     @property
     def bytes_per_row(self) -> int:
@@ -139,13 +153,13 @@ class PackedPQ:
 
     @classmethod
     def from_ivf(cls, ivf, vectors, *, m: int = 96, iters: int = 12,
-                 row_scales=None, seed: int = 0,
+                 row_scales=None, seed: int = 0, residual: bool = True,
                  block: int = 65536) -> "PackedPQ":
         """Train codebooks + pack codes cluster-contiguously. Mirrors
         PackedIVF.from_ivf (spill rows fold into synthetic clusters).
         When `vectors` is an int8 store, pass `row_scales` so training/
-        encoding sees the dequantized values."""
-        d = vectors.shape[1]
+        encoding sees the dequantized values. residual=True (IVFADC)
+        quantizes x − centroid(x)."""
         v = jnp.asarray(vectors)
         if row_scales is not None:
             scales = jnp.asarray(row_scales)
@@ -156,18 +170,9 @@ class PackedPQ:
                 out = out * jnp.take(scales, idx)[:, None]
             return out
 
-        # training sample drawn from live member rows
         members = np.asarray(ivf.members)
         mvalid = np.asarray(ivf.member_valid)
         spill = np.asarray(ivf.spill)[np.asarray(ivf.spill_valid) > 0]
-        live = np.concatenate([members[mvalid > 0].reshape(-1), spill])
-        rng = np.random.default_rng(seed)
-        sample_rows = rng.choice(live, size=min(100_000, len(live)),
-                                 replace=False)
-        sample = jax.device_get(rows_f32(jnp.asarray(np.sort(sample_rows))))
-        codebooks = train_pq(sample, m, iters=iters, sample=len(sample_rows),
-                             seed=seed)
-
         pad = ivf.pad
         extra = int(np.ceil(len(spill) / pad)) if len(spill) else 0
         nlist = ivf.nlist + extra
@@ -180,14 +185,8 @@ class PackedPQ:
             rowids[ivf.nlist + e, : len(seg)] = seg
             valid[ivf.nlist + e, : len(seg)] = 1.0
 
-        flat = rowids.reshape(-1)
-        codes_host = np.empty((len(flat), m), np.uint8)
-        for off in range(0, len(flat), block):
-            blk = rows_f32(jnp.asarray(flat[off:off + block]))
-            codes_host[off:off + blk.shape[0]] = np.asarray(
-                jax.device_get(_encode_block(blk, codebooks)))
-        codes = jnp.asarray(codes_host.reshape(nlist, pad, m))
-
+        # full centroid table (incl. synthetic spill slabs) BEFORE
+        # encoding — residual codes need every row's owning centroid
         cents = np.asarray(ivf.centroids, np.float32)
         if extra:
             extra_cents = []
@@ -197,8 +196,35 @@ class PackedPQ:
                     rows_f32(jnp.asarray(seg)))).mean(axis=0)
                 extra_cents.append(mvec / max(np.linalg.norm(mvec), 1e-6))
             cents = np.concatenate([cents, np.stack(extra_cents)], axis=0)
+
+        flat = rowids.reshape(-1)
+        flat_cell = np.repeat(np.arange(nlist), pad)
+        flat_valid = valid.reshape(-1) > 0
+
+        def encode_src(slots: np.ndarray) -> np.ndarray:
+            rows = jax.device_get(rows_f32(jnp.asarray(flat[slots])))
+            if residual:
+                rows = rows - cents[flat_cell[slots]]
+            return rows
+
+        rng = np.random.default_rng(seed)
+        live_slots = np.flatnonzero(flat_valid)
+        pick = np.sort(rng.choice(live_slots,
+                                  size=min(100_000, len(live_slots)),
+                                  replace=False))
+        sample = encode_src(pick)
+        codebooks = train_pq(sample, m, iters=iters, sample=len(pick),
+                             seed=seed)
+
+        codes_host = np.empty((len(flat), m), np.uint8)
+        for off in range(0, len(flat), block):
+            slots = np.arange(off, min(off + block, len(flat)))
+            codes_host[off:off + len(slots)] = np.asarray(jax.device_get(
+                _encode_block(jnp.asarray(encode_src(slots)), codebooks)))
+        codes = jnp.asarray(codes_host.reshape(nlist, pad, m))
         return cls(jnp.asarray(cents), codes, codebooks, jnp.asarray(valid),
-                   jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist)
+                   jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist,
+                   residual=residual)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
@@ -227,8 +253,13 @@ def pq_search_packed(ppq: PackedPQ, queries: jnp.ndarray,
     lut_flat = luts.reshape(b, m * kk)
     code_base = (jnp.arange(m, dtype=jnp.int32) * kk)[None, :]  # [1, M]
 
+    # full centroid scores [B, nlist] (base cells computed above only up
+    # to base_nlist; residual scoring needs spill slabs too)
+    cscores_all = jnp.dot(q32, ppq.centroids.T,
+                          preferred_element_type=jnp.float32)
+
     def per_query(args):
-        lut, probes, pen = args
+        lut, probes, pen, cs = args
 
         def scan_probe(carry, c):
             best_v, best_i = carry
@@ -238,6 +269,8 @@ def pq_search_packed(ppq: PackedPQ, queries: jnp.ndarray,
             rid = jax.lax.dynamic_index_in_dim(ppq.rowids, c, 0, keepdims=False)
             idx = codes.astype(jnp.int32) + code_base  # [pad, M]
             s = jnp.take(lut, idx.reshape(-1)).reshape(codes.shape).sum(axis=1)
+            if ppq.residual:  # IVFADC: q·x ≈ q·centroid + q·residual
+                s = s + cs[c]
             s = s + jnp.take(pen, rid) + (1.0 - ok) * NEG_INF
             vals = jnp.concatenate([best_v, s])
             ids = jnp.concatenate([best_i, rid])
@@ -249,5 +282,39 @@ def pq_search_packed(ppq: PackedPQ, queries: jnp.ndarray,
         (vals, ids), _ = jax.lax.scan(scan_probe, init, probes)
         return vals, ids
 
-    vals, idx = jax.lax.map(per_query, (lut_flat, probe, penalty))
+    vals, idx = jax.lax.map(per_query, (lut_flat, probe, penalty, cscores_all))
+    return vals, idx.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _rerank_scores(cand_vecs: jnp.ndarray, cand_scales: jnp.ndarray,
+                   queries: jnp.ndarray) -> jnp.ndarray:
+    """[B, R, D] candidate rows (any dtype) × [B, D] queries → [B, R]."""
+    s = jnp.einsum("brd,bd->br", cand_vecs.astype(jnp.float32),
+                   queries.astype(jnp.float32))
+    return s * cand_scales
+
+
+def pq_search_reranked(ppq: PackedPQ, queries, penalty, k: int, nprobe: int,
+                       host_vectors: np.ndarray,
+                       host_scales: np.ndarray | None = None,
+                       over_fetch: int = 10):
+    """Two-stage PQ search: ADC candidate generation on device (top
+    k·over_fetch), then EXACT re-rank of the candidates against rows
+    gathered from HOST memory (the int8 matrix lives in host RAM at the
+    ≥4M regime — HBM holds only the codes). Host→device traffic is
+    B·k·over_fetch rows/query batch (~a few MB)."""
+    r = k * over_fetch
+    cand_vals, cand_idx = pq_search_packed(ppq, queries, penalty, r, nprobe)
+    idx_np = np.asarray(jax.device_get(cand_idx))  # [B, R]
+    vals_np = np.asarray(jax.device_get(cand_vals))
+    gathered = host_vectors[idx_np]  # [B, R, D] host fancy-index
+    scales = (host_scales[idx_np] if host_scales is not None
+              else np.ones(idx_np.shape, np.float32))
+    scores = _rerank_scores(jnp.asarray(gathered), jnp.asarray(scales),
+                            jnp.asarray(queries))
+    # dead ADC candidates stay dead through the re-rank
+    scores = jnp.where(jnp.asarray(vals_np) > NEG_INF / 2, scores, NEG_INF)
+    vals, pos = jax.lax.top_k(scores, k)
+    idx = jnp.take_along_axis(jnp.asarray(idx_np), pos, axis=1)
     return vals, idx.astype(jnp.int32)

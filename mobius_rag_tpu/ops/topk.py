@@ -207,11 +207,57 @@ def cosine_topk_pallas(vectors, queries, penalty, k: int):
     return _cosine_topk_pallas(vectors, queries, penalty, k, interpret=not _on_tpu())
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def cosine_topk_blocked(vectors: jax.Array, queries: jax.Array,
+                        penalty: jax.Array, k: int, block: int = 131072):
+    """Hierarchical two-phase masked top-k: per-block matmul + per-block
+    top-k under lax.map, then one final merge over [B, nb·k].
+
+    Rationale: `lax.top_k` over the full [B, N] score row is the hidden
+    cost of cosine_topk_xla at large N (the matmul itself is HBM-bound
+    and near speed-of-light; the global sort is not). Blocking keeps the
+    HBM traffic identical — one pass over the chunk matrix — while each
+    sort only spans `block` columns, and it never materializes the full
+    [B, N] score matrix. Returns the exact same results.
+    """
+    n, d = vectors.shape
+    b = queries.shape[0]
+    n_pad = round_up(n, block)
+    nb = n_pad // block
+    v = jnp.pad(vectors, ((0, n_pad - n), (0, 0)))
+    pen = jnp.pad(penalty, (0, n_pad - n), constant_values=NEG_INF)
+    q32 = queries.astype(jnp.float32)
+    vb = v.reshape(nb, block, d)
+    pb = pen.reshape(nb, block)
+    kk = min(k, block)
+
+    def per_block(args):
+        vblk, pblk = args
+        scores = jnp.dot(q32, vblk.astype(jnp.float32).T,
+                         preferred_element_type=jnp.float32) + pblk[None, :]
+        vals, idx = jax.lax.top_k(scores, kk)  # [B, kk] block-local
+        return vals, idx
+
+    vals, idx = jax.lax.map(per_block, (vb, pb))  # [nb, B, kk]
+    offsets = (jnp.arange(nb, dtype=jnp.int32) * block)[:, None, None]
+    gidx = idx.astype(jnp.int32) + offsets
+    all_vals = vals.transpose(1, 0, 2).reshape(b, nb * kk)
+    all_idx = gidx.transpose(1, 0, 2).reshape(b, nb * kk)
+    out_vals, pos = jax.lax.top_k(all_vals, k)
+    out_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+    return out_vals, out_idx
+
+
 def cosine_topk(vectors, queries, penalty, k: int, *, use_pallas: bool | None = None):
-    """Dispatch: Pallas fused kernel on TPU, XLA elsewhere (or forced).
-    Falls back to XLA for k beyond the kernel's merge width."""
-    if use_pallas is None:
-        use_pallas = _on_tpu() and k <= _K_PAD
-    if use_pallas:
+    """Dispatch. The XLA path is the production scan: measured at
+    1M×1536 bf16 on a v5e chip (pipelined dispatch, 20 reps), XLA's
+    fused matmul+top_k runs 11.6 ms/32-query batch vs 21 ms for the
+    hierarchical blocked variant and 34.7 ms for the fused Pallas kernel
+    (eval_artifacts/BENCH_r2_topk_1m.json) — the Pallas kernel's
+    iterative per-tile merge costs more than the [B, N] score
+    materialization it avoids. The kernel stays available behind
+    `use_pallas=True` as a correctness-tested reference, not a prod
+    path."""
+    if use_pallas and k <= _K_PAD:
         return cosine_topk_pallas(vectors, queries, penalty, k)
     return cosine_topk_xla(vectors, queries, penalty, k)

@@ -41,7 +41,21 @@ from mobius_rag_tpu.ingest.featurize import query_lexical_weights
 from mobius_rag_tpu.ops.topk import NEG_INF
 from mobius_rag_tpu.query.lexicon import Lexicon, LexiconExpansion
 
-# Rerank weights — reranker v1.3 (corpus_search.py:2013-2018).
+# Rerank weights — reranker v1.3. The reference's 6-weight split
+# (corpus_search.py:1917-1921) is sim .25 + authority .10 + length .05 +
+# jpd .20 + tag_coverage .40 + meta_boost .15. Here tag_coverage and
+# meta_boost FOLD into one coverage signal (W_COV = .40 + .15 = .55):
+# the reference computes them as two substring scans over two haystacks
+# (body vs metadata), but its v1.3 unified coverage already credits a
+# phrase found in EITHER haystack — so this build precomputes phrase
+# bits over the ENRICHED haystack (body + neighbors + metadata,
+# featurize.enriched_haystack) and scores one selectivity-weighted
+# coverage term. Consequences (pinned by tests/test_engine_edges.py::
+# test_meta_only_coverage_credit): a phrase present only in a chunk's
+# METADATA earns the same coverage credit as one in the body — exactly
+# the meta_boost behavior — and a chunk carrying the phrase nowhere
+# earns none. Total weight mass and [0,1] normalization match the
+# reference's.
 W_SIM, W_AUTH, W_LEN, W_JPD, W_COV = 0.25, 0.10, 0.05, 0.20, 0.55
 
 # Max coverage-phrase slots per query (12 lexicon entries × a few phrases
@@ -49,9 +63,16 @@ W_SIM, W_AUTH, W_LEN, W_JPD, W_COV = 0.25, 0.10, 0.05, 0.20, 0.55
 MAX_PHRASE_SLOTS = 64
 
 _MODES = ("corpus", "precision", "recall")
-# Per-mode arm weights in RRF (vector, lexical, dtag). precision is the
-# BM25-dominant mode, recall the vector-dominant one (corpus_search.py
-# mode semantics: modes pick arm emphasis, not different code paths).
+# Per-mode arm weights in RRF (vector, lexical, dtag). The reference's
+# modes alter SQL behavior (precision tightens the FTS/tag side, recall
+# widens the vector side); here ONE compiled program serves all modes
+# and the mode picks arm emphasis in the fusion instead. The observable
+# contract (pinned by tests/test_engine_edges.py::test_mode_semantics):
+#   precision — lexical-dominant: exact-term matches outrank
+#               semantically-near-but-wrong-term chunks;
+#   recall    — vector-dominant AND no confidence floor (abstain-grade
+#               hits are kept, _MODE_MIN semantics below);
+#   corpus    — the balanced default.
 _MODE_ARM_WEIGHTS = {
     "corpus": (1.0, 1.0, 0.5),
     "precision": (0.5, 1.0, 0.7),

@@ -81,3 +81,19 @@ def test_topk_bf16_vectors_close(rng):
     ])
     assert r >= 0.9
     np.testing.assert_allclose(np.asarray(vals16), np.asarray(vals32), atol=2e-2)
+
+
+def test_topk_blocked_matches_xla(rng):
+    from mobius_rag_tpu.ops.topk import cosine_topk_blocked
+
+    n, d, b, k = 5000, 256, 4, 10
+    v = rng.standard_normal((n, d)).astype("float32")
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype("float32")
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    pen = np.zeros(n, np.float32)
+    pen[100:200] = NEG_INF  # gated range
+    ev, ei = cosine_topk_xla(v, q, pen, k)
+    bv, bi = cosine_topk_blocked(v, q, pen, k, block=512)
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(ev), atol=1e-5)
+    assert (np.asarray(bi) == np.asarray(ei)).all()
