@@ -61,6 +61,8 @@ class AppContext:
     curator: Any = None  # curator.Curator
     nightly: Any = None  # nightly.NightlyOrchestrator
     candidates: Any = None  # candidates.CandidateStore
+    # scratch for ops endpoints (vacuum status, etc.)
+    extra_state: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def build(cls, *, embed_fn=None, lexicon=None, llm=None) -> "AppContext":
@@ -1057,6 +1059,10 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_post("/internal/index/add_chunks", internal_add_chunks)
     r.add_post("/internal/index/delete", internal_delete)
     r.add_get("/internal/index/source_ids/{doc_id}", internal_source_ids)
+
+    from mobius_rag_tpu.api.extended import register_extended_routes
+
+    register_extended_routes(r, ctx)
     return app
 
 

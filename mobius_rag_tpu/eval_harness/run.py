@@ -86,6 +86,19 @@ def lexicon_revision(agent: CorpusSearchAgent) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:12]
 
 
+def _check_rate(results: list[dict[str, Any]], name: str) -> float | None:
+    """Pass-rate over queries that carry the named deterministic check.
+
+    None (not 0.0) when no query in the bank declares an expectation —
+    a bank without contour fields has no contour-match rate at all.
+    """
+    with_check = [r for r in results if name in r["checks"]]
+    if not with_check:
+        return None
+    passed = sum(1 for r in with_check if r["checks"][name].get("ok"))
+    return round(passed / len(with_check), 4)
+
+
 @dataclasses.dataclass
 class EvalRunResult:
     run_id: str
@@ -157,15 +170,9 @@ def run_eval(
         "answer_rate": round(sum(1 for r in results if r["checks"]["answered"]["ok"]) / n, 4) if n else 0,
         "mean_chunk_recall": round(sum(r["chunk_recall"] for r in results) / n, 4) if n else 0,
         "mean_grounding": round(sum(r["grounding"] for r in results) / n, 4) if n else 0,
-        "citation_rate": round(
-            sum(1 for r in results if r["checks"].get("citation", {}).get("ok")) /
-            max(1, sum(1 for r in results if "citation" in r["checks"])), 4),
-        "routing_match_rate": round(
-            sum(1 for r in results if r["checks"].get("routing", {}).get("ok")) /
-            max(1, sum(1 for r in results if "routing" in r["checks"])), 4),
-        "contour_match_rate": round(
-            sum(1 for r in results if r["checks"].get("contour", {}).get("ok")) /
-            max(1, sum(1 for r in results if "contour" in r["checks"])), 4),
+        "citation_rate": _check_rate(results, "citation"),
+        "routing_match_rate": _check_rate(results, "routing"),
+        "contour_match_rate": _check_rate(results, "contour"),
         "latency_ms_median": round(statistics.median(lat), 2) if lat else 0,
         "latency_ms_p95": round(sorted(lat)[max(0, int(0.95 * len(lat)) - 1)], 2) if lat else 0,
     }

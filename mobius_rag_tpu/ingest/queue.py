@@ -217,6 +217,32 @@ class JobQueue:
         return {"job_id": job_id, "kind": row[0], "status": row[1],
                 "attempts": row[2], "error": row[3], "payload": json.loads(row[4])}
 
+    def jobs_for_doc(self, doc_id: str) -> list[dict[str, Any]]:
+        """All jobs whose payload targets this document, newest first —
+        the per-document status feed (the reference's
+        /documents/{id}/chunking/status + /embedding surfaces)."""
+        with self._lock:
+            rows = self.conn.execute(
+                "SELECT job_id, kind, status, attempts, error, created_at "
+                "FROM jobs WHERE payload LIKE ? ORDER BY created_at DESC",
+                (f'%"doc_id": "{doc_id}"%',)).fetchall()
+        return [{"job_id": r[0], "kind": r[1], "status": r[2],
+                 "attempts": r[3], "error": r[4], "created_at": r[5]}
+                for r in rows]
+
+    def retry_job(self, job_id: str) -> bool:
+        """Re-queue a failed job with a fresh attempt budget (the
+        reference's /documents/{id}/retry)."""
+        with self._lock, self.conn:
+            cur = self.conn.execute(
+                "UPDATE jobs SET status='queued', attempts=0, error=NULL, "
+                "updated_at=? WHERE job_id=? AND status='failed'",
+                (time.time(), job_id))
+        if cur.rowcount > 0:
+            self.emit(job_id, "retried", {})
+            return True
+        return False
+
     def depths(self) -> dict[str, dict[str, int]]:
         """Queue depths by kind × status (the pipeline_health feed)."""
         with self._lock:

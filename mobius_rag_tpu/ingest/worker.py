@@ -302,6 +302,10 @@ class EmbeddingWorker:
                     j_tags=sorted(set(u.get("j_tags", [])) | set(doc_tags.get("j", []))),
                     d_tags=list(u.get("d_tags", [])),
                     p_tags=list(u.get("p_tags", [])),
+                    # unit provenance rides along so the facts surface can
+                    # find Path-A fact rows (reference reader_facts tables)
+                    extra={k: u[k] for k in ("kind", "critique_score")
+                           if k in u},
                 )
                 recs.append(featurize_chunk(rec, self.lexicon, cfg))
             embedded += len(batch)

@@ -88,8 +88,11 @@ class CrossEncoderModel:
     def __init__(self, cfg: CrossEncoderConfig | None = None,
                  params: dict | None = None, seed: int = 0):
         self.cfg = cfg or CrossEncoderConfig(EncoderConfig.from_env())
-        self.params = params if params is not None else init_cross_params(
-            self.cfg, jax.random.PRNGKey(seed))
+        if params is None:
+            params = init_cross_params(self.cfg, jax.random.PRNGKey(seed))
+        # Commit once — host-resident checkpoint trees would otherwise be
+        # re-uploaded on every score_pairs_jit dispatch (see encoder.py).
+        self.params = jax.device_put(params)
         self.tokenizer = HashTokenizer(self.cfg.base.vocab_size,
                                        self.cfg.base.max_seq)
 

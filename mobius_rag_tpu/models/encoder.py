@@ -172,9 +172,12 @@ class EncoderModel:
         from mobius_rag_tpu.models.tokenizer import HashTokenizer
 
         self.cfg = cfg or EncoderConfig.from_env()
-        self.params = params if params is not None else init_params(
-            self.cfg, jax.random.PRNGKey(seed)
-        )
+        if params is None:
+            params = init_params(self.cfg, jax.random.PRNGKey(seed))
+        # Commit params to device ONCE. Host-resident trees (checkpoint
+        # loads, post-train device_get) would otherwise be re-uploaded on
+        # every encode_jit dispatch — ~88 MB per call through the tunnel.
+        self.params = jax.device_put(params)
         self.tokenizer = HashTokenizer(self.cfg.vocab_size, self.cfg.max_seq)
 
     def _bucket(self, n: int) -> int:

@@ -109,7 +109,7 @@ CREATE TABLE IF NOT EXISTS query_traces (
 );
 CREATE TABLE IF NOT EXISTS processing_errors (
   error_id TEXT PRIMARY KEY, ts REAL, service TEXT, severity TEXT,
-  message TEXT, context TEXT
+  message TEXT, context TEXT, resolved INTEGER DEFAULT 0
 );
 """
 
@@ -134,6 +134,15 @@ class TelemetryStore:
         self._read_lock = threading.Lock()
         with self._read_lock:
             self._read_conn.executescript(_SCHEMA)
+            # schema migration for pre-`resolved` telemetry files (the
+            # reference's 64-migration ladder collapses to additive
+            # ALTERs on the host stores)
+            cols = [r[1] for r in self._read_conn.execute(
+                "PRAGMA table_info(processing_errors)")]
+            if "resolved" not in cols:
+                self._read_conn.execute(
+                    "ALTER TABLE processing_errors "
+                    "ADD COLUMN resolved INTEGER DEFAULT 0")
             self._read_conn.commit()
         self._thread = threading.Thread(target=self._writer, daemon=True)
         self._thread.start()
@@ -231,7 +240,7 @@ class TelemetryStore:
     def record_error(self, service: str, exc: BaseException | str,
                      context: dict | None = None) -> None:
         self._submit(
-            "INSERT INTO processing_errors VALUES (?,?,?,?,?,?)",
+            "INSERT INTO processing_errors VALUES (?,?,?,?,?,?,0)",
             (uuid.uuid4().hex, time.time(), service, classify_severity(exc),
              str(exc)[:2000], json.dumps(context or {})),
         )
@@ -295,16 +304,60 @@ class TelemetryStore:
                            (agent_id,))
         return json.loads(rows[0][0]) if rows else None
 
-    def recent_errors(self, limit: int = 50, severity: str | None = None) -> list[dict]:
-        sql = "SELECT ts, service, severity, message, context FROM processing_errors"
+    def recent_errors(self, limit: int = 50, severity: str | None = None,
+                      *, include_resolved: bool = True,
+                      doc_id: str | None = None) -> list[dict]:
+        sql = ("SELECT error_id, ts, service, severity, message, context, "
+               "resolved FROM processing_errors WHERE 1=1")
         args: tuple = ()
         if severity:
-            sql += " WHERE severity=?"
-            args = (severity,)
+            sql += " AND severity=?"
+            args += (severity,)
+        if not include_resolved:
+            sql += " AND resolved=0"
+        if doc_id:
+            # context is a JSON blob; doc linkage rides its doc_id field
+            sql += " AND context LIKE ?"
+            args += (f'%"doc_id": "{doc_id}"%',)
         sql += " ORDER BY ts DESC LIMIT ?"
         rows = self._query(sql, args + (limit,))
-        return [{"ts": r[0], "service": r[1], "severity": r[2], "message": r[3],
-                 "context": json.loads(r[4])} for r in rows]
+        return [{"error_id": r[0], "ts": r[1], "service": r[2],
+                 "severity": r[3], "message": r[4],
+                 "context": json.loads(r[5]), "resolved": bool(r[6])}
+                for r in rows]
+
+    def error_stats(self) -> dict[str, Any]:
+        """Counts by service × severity + unresolved total (the
+        reference's GET /errors/stats rollup, main.py errors surface)."""
+        rows = self._query(
+            "SELECT service, severity, COUNT(*), SUM(1-resolved) "
+            "FROM processing_errors GROUP BY service, severity")
+        by_service: dict[str, dict] = {}
+        total = unresolved = 0
+        for svc, sev, n, unres in rows:
+            by_service.setdefault(svc, {})[sev] = {
+                "count": n, "unresolved": unres or 0}
+            total += n
+            unresolved += unres or 0
+        return {"total": total, "unresolved": unresolved,
+                "by_service": by_service}
+
+    def resolve_error(self, error_id: str) -> bool:
+        with self._read_lock:
+            cur = self._read_conn.execute(
+                "UPDATE processing_errors SET resolved=1 WHERE error_id=?",
+                (error_id,))
+            self._read_conn.commit()
+        return cur.rowcount > 0
+
+    def resolve_errors_for_doc(self, doc_id: str) -> int:
+        with self._read_lock:
+            cur = self._read_conn.execute(
+                "UPDATE processing_errors SET resolved=1 "
+                "WHERE resolved=0 AND context LIKE ?",
+                (f'%"doc_id": "{doc_id}"%',))
+            self._read_conn.commit()
+        return cur.rowcount
 
 
 # ---------------------------------------------------------------------------

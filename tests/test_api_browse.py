@@ -1,0 +1,259 @@
+"""Extended operator-API tests: DB browser, vacuum, per-document job
+control, facts CRUD, policy/lexicon browse, manual text-tags, candidate
+bulk review, errors ops (reference app/main.py browse surface)."""
+import asyncio
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from mobius_rag_tpu.api.server import AppContext, build_app
+from mobius_rag_tpu.index.store import ChunkRecord
+from mobius_rag_tpu.ingest.featurize import featurize_chunk
+from mobius_rag_tpu.testing import hash_embed, sample_lexicon
+
+_DOC = (b"SUNSHINE HEALTH MANUAL\n\nTIMELY FILING\n"
+        b"Participating providers must submit claims within 180 days.\n\n"
+        b"PRIOR AUTHORIZATION\nH0019 requires prior authorization for "
+        b"residential treatment.")
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return AppContext.build(embed_fn=hash_embed, lexicon=sample_lexicon())
+
+
+def _fact_record(doc_id: str, i: int, text: str, lexicon) -> ChunkRecord:
+    rec = ChunkRecord(
+        chunk_id=f"{doc_id}-f{i}", doc_id=doc_id, source_id=f"{doc_id}-f{i}",
+        text=text, embedding=hash_embed([text])[0].astype(np.float32),
+        filename=f"{doc_id}.txt",
+        extra={"kind": "fact", "critique_score": 0.9},
+    )
+    return featurize_chunk(rec, lexicon)
+
+
+def test_browse_surface_end_to_end(ctx):
+    async def scenario():
+        client = TestClient(TestServer(build_app(ctx)))
+        await client.start_server()
+        try:
+            # ---- version / deep health / recent queries -------------------
+            r = await client.get("/version")
+            assert r.status == 200
+            assert (await r.json())["version"]
+
+            r = await client.get("/health/deep")
+            body = await r.json()
+            assert r.status == 200 and body["status"] == "ok"
+            assert body["checks"]["device"]["ok"]
+            assert body["checks"]["queue"]["ok"]
+
+            # ---- upload + per-document job control -------------------------
+            r = await client.post(
+                "/upload?filename=browse_manual.txt&payer=Sunshine%20Health"
+                "&state=FL&instant=1", data=_DOC)
+            doc_id = (await r.json())["doc_id"]
+
+            r = await client.get(f"/documents/{doc_id}/status")
+            body = await r.json()
+            assert r.status == 200, body
+            assert body["uploaded"] and body["published_chunks"] >= 2
+            kinds = {j["kind"] for j in body["jobs"]}
+            assert "chunking" in kinds and "embedding" in kinds
+
+            r = await client.get(f"/documents/{doc_id}/chunking/events")
+            events = (await r.json())["events"]
+            assert any(e["stage"] == "enqueued" for e in events)
+
+            # reset embeddings, then restart chunking with inline drain
+            r = await client.post(f"/documents/{doc_id}/embedding/reset")
+            assert (await r.json())["deleted_rows"] >= 2
+            r = await client.get(f"/documents/{doc_id}/status")
+            assert (await r.json())["published_chunks"] == 0
+
+            r = await client.post(f"/documents/{doc_id}/chunking/restart",
+                                  json={"drain": True})
+            body = await r.json()
+            assert body["chunking_job"] and body["drained"]
+            r = await client.get(f"/documents/{doc_id}/status")
+            assert (await r.json())["published_chunks"] >= 2
+
+            # retry with nothing failed is a no-op
+            r = await client.post(f"/documents/{doc_id}/retry")
+            assert (await r.json())["retried_jobs"] == []
+
+            # unknown doc 404s
+            r = await client.get("/documents/not-a-doc/status")
+            assert r.status == 404
+
+            # ---- facts CRUD -------------------------------------------------
+            fact_doc = "facts_doc"
+            lex = ctx.engine.lexicon
+            recs = [
+                _fact_record(fact_doc, 0,
+                             "Claims must be submitted within 180 days.", lex),
+                _fact_record(fact_doc, 1,
+                             "H0019 requires prior authorization.", lex),
+            ]
+            ctx.store.publish_document(fact_doc, recs)
+
+            r = await client.get(f"/documents/{fact_doc}/facts")
+            facts = (await r.json())["facts"]
+            assert len(facts) == 2
+            assert facts[0]["critique_score"] == 0.9
+
+            # edit a fact → device row re-embedded and searchable
+            fid = facts[0]["fact_id"]
+            r = await client.put(
+                f"/documents/{fact_doc}/facts/{fid}",
+                json={"text": "Corrected: claims window is 365 days."})
+            assert r.status == 200, await r.json()
+            r = await client.post("/api/query", json={
+                "query": "corrected claims window 365", "k": 3})
+            texts = [x["text"] for x in (await r.json())["results"]]
+            assert any("365 days" in t for t in texts)
+
+            # delete the other fact
+            r = await client.delete(f"/documents/{fact_doc}/facts/{fact_doc}-f1")
+            assert r.status == 200
+            r = await client.get(f"/documents/{fact_doc}/facts")
+            assert len((await r.json())["facts"]) == 1
+
+            r = await client.get("/facts")
+            body = await r.json()
+            assert body["total"] >= 1
+            r = await client.get("/facts/sections")
+            assert r.status == 200
+
+            # ---- policy / lexicon browse ------------------------------------
+            r = await client.get("/policy/lexicon/overview")
+            body = await r.json()
+            assert body["entries"] > 0 and body["by_kind"].get("j")
+
+            r = await client.get("/policy/lexicon/stats")
+            assert (await r.json())["selectivity"]["max"] <= 1.0
+
+            r = await client.get("/policy/lexicon/doc-stats")
+            body = await r.json()
+            assert body["n_docs"] >= 1
+
+            r = await client.get(
+                "/policy/lexicon/tags/j/payor.sunshine_health")
+            body = await r.json()
+            assert r.status == 200, body
+            assert body["doc_count"] >= 1 and body["phrases"]
+
+            r = await client.get("/policy/lexicon/tags/j/no.such.code")
+            assert r.status == 404
+
+            r = await client.get(f"/documents/{doc_id}/policy/summary")
+            body = await r.json()
+            assert body["chunks"] >= 2 and body["tag_chunk_counts"]
+
+            r = await client.get(f"/documents/{doc_id}/policy/paragraphs")
+            paras = (await r.json())["paragraphs"]
+            assert paras and "tags" in paras[0]
+
+            # ---- manual text-tags --------------------------------------------
+            r = await client.post(
+                f"/documents/{fact_doc}/text-tags",
+                json={"kind": "j", "code": "payor.molina"})
+            assert r.status == 200, await r.json()
+            r = await client.get(f"/documents/{fact_doc}/text-tags")
+            assert "j:payor.molina" in (await r.json())["manual_tags"]
+            r = await client.get("/policy/lexicon/tags/j/payor.molina")
+            assert (await r.json())["doc_count"] >= 1
+
+            r = await client.delete(
+                f"/documents/{fact_doc}/text-tags/j:payor.molina")
+            assert r.status == 200
+            r = await client.get(f"/documents/{fact_doc}/text-tags")
+            assert (await r.json())["manual_tags"] == []
+
+            # ---- candidates bulk ---------------------------------------------
+            ctx.candidates.record(
+                [{"phrase": "step therapy protocol", "count": 3},
+                 {"phrase": "junk phrase", "count": 2}], doc_id=doc_id)
+            r = await client.get("/policy/candidates/catalog")
+            pend = (await r.json())["pending"]
+            assert any(c["phrase"] == "step therapy protocol" for c in pend)
+
+            r = await client.post("/policy/candidates/review-bulk", json={
+                "items": [{"phrase": "junk phrase", "approve": False}]})
+            assert (await r.json())["reviewed"][0]["status"] == "rejected"
+
+            r = await client.post(
+                "/policy/candidates/aggregate/classify-bulk", json={
+                    "items": [{"phrase": "step therapy protocol",
+                               "kind": "p", "code": "process.step_therapy"}]})
+            body = await r.json()
+            assert body["classified"][0]["promoted_code"] == "p:process.step_therapy"
+            assert ctx.engine.lexicon.entry_by_code("p:process.step_therapy")
+
+            # ---- errors surface ----------------------------------------------
+            ctx.telemetry.record_error(
+                "chunking", RuntimeError("boom"), {"doc_id": doc_id})
+            ctx.telemetry.flush()
+            r = await client.get("/errors?unresolved=1")
+            errs = (await r.json())["errors"]
+            assert any(e["message"] == "boom" for e in errs)
+            eid = next(e["error_id"] for e in errs if e["message"] == "boom")
+
+            r = await client.get("/errors/stats")
+            body = await r.json()
+            assert body["unresolved"] >= 1 and "chunking" in body["by_service"]
+
+            r = await client.post(f"/errors/{eid}/resolve")
+            assert (await r.json())["resolved"]
+
+            ctx.telemetry.record_error(
+                "embedding", RuntimeError("doc scoped"), {"doc_id": doc_id})
+            ctx.telemetry.flush()
+            r = await client.get(f"/documents/{doc_id}/errors")
+            assert (await r.json())["errors"]
+            r = await client.post(f"/documents/{doc_id}/errors/resolve-all")
+            assert (await r.json())["resolved"] >= 1
+
+            # ---- DB browser ---------------------------------------------------
+            r = await client.get("/admin/db/tables")
+            tables = await r.json()
+            assert "processing_errors" in tables["telemetry"]
+            assert "jobs" in tables["jobs"]
+
+            r = await client.get("/admin/db/telemetry/processing_errors/schema")
+            cols = {c["name"] for c in (await r.json())["columns"]}
+            assert {"error_id", "resolved"} <= cols
+
+            r = await client.get(
+                "/admin/db/telemetry/processing_errors/records?limit=10")
+            body = await r.json()
+            assert body["total"] >= 2 and body["rows"]
+            rowid = body["rows"][0][0]
+
+            r = await client.delete(
+                f"/admin/db/telemetry/processing_errors/records/{rowid}")
+            assert (await r.json())["deleted"] == 1
+
+            # injection-shaped table names 404 cleanly
+            r = await client.get(
+                "/admin/db/telemetry/processing_errors;%20DROP/schema")
+            assert r.status == 404
+
+            # ---- vacuum -------------------------------------------------------
+            r = await client.get("/admin/vacuum/status")
+            assert (await r.json()) == {"ran": False}
+            r = await client.post("/admin/vacuum")
+            body = await r.json()
+            assert "telemetry" in body["databases"]
+            assert body["databases"]["telemetry"]["bytes_after"] > 0
+            r = await client.get("/admin/vacuum/status")
+            assert "databases" in (await r.json())
+        finally:
+            await client.close()
+
+    _run(scenario())
