@@ -79,6 +79,14 @@ class AppContext:
         telemetry = TelemetryStore()
         engine = SearchEngine(store, lexicon, embed_fn=embed_fn,
                               telemetry=telemetry)
+        if get_config().cross_encoder_ckpt:
+            from mobius_rag_tpu.models.checkpoint import load_encoder
+            from mobius_rag_tpu.models.cross_encoder import (
+                CrossEncoderConfig, CrossEncoderModel)
+
+            ce_params, ce_cfg = load_encoder(get_config().cross_encoder_ckpt)
+            engine.cross_encoder = CrossEncoderModel(
+                CrossEncoderConfig(ce_cfg), ce_params)
         from mobius_rag_tpu.candidates import CandidateStore
 
         curator = Curator()

@@ -123,6 +123,10 @@ class Config:
     lexicon_path: str = _env_str(
         "MRAG_LEXICON_PATH",
         os.path.join(os.path.dirname(__file__), "data", "lexicon_full.yaml"))
+    # Optional cross-encoder reranker checkpoint dir; when set, serving
+    # entrypoints attach it to the engine (rescores the hybrid top-k —
+    # the reference's rerank-v1.3 "joint scoring" upgrade path).
+    cross_encoder_ckpt: str = _env_str("MRAG_CROSS_ENCODER_CKPT", "")
 
     def validate(self) -> list[str]:
         """Collect-all validation (mirrors the reference's
