@@ -550,6 +550,99 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
         n = _republish(doc_id, recs)
         return _json({"doc_id": doc_id, "tag": tag, "published_chunks": n})
 
+    # ---- document browse extras ----------------------------------------------
+
+    async def documents_search(request):
+        """Registry search over id/filename/payer/state + chunk text
+        (reference GET /documents/search)."""
+        qstr = (request.query.get("q") or "").strip().lower()
+        if not qstr:
+            return _err("missing 'q'")
+        limit = int(request.query.get("limit", 50))
+        meta_hits, text_hits = [], set()
+        for doc_id, blob in ctx.pipeline.docs.docs.items():
+            hay = " ".join((doc_id, blob.filename, blob.payer, blob.state,
+                            blob.program, blob.summary)).lower()
+            if qstr in hay:
+                meta_hits.append(doc_id)
+        for rec in ctx.store.records:
+            if rec is not None and qstr in rec.text.lower():
+                text_hits.add(rec.doc_id)
+        out = []
+        for doc_id in dict.fromkeys(meta_hits + sorted(text_hits)):
+            out.append({"doc_id": doc_id,
+                        "matched": "metadata" if doc_id in meta_hits else "text",
+                        "chunks": len(ctx.store.rows_for_document(doc_id))})
+            if len(out) >= limit:
+                break
+        return _json({"q": qstr, "documents": out})
+
+    async def doc_pages(request):
+        """Re-extract the stored original into pages (reference
+        /documents/{id}/pages view)."""
+        from mobius_rag_tpu.ingest.extract import extract_text_from_bytes
+
+        doc_id = request.match_info["doc_id"]
+        blob = ctx.pipeline.docs.get(doc_id)
+        if blob is None:
+            return _err("document not found", 404)
+        doc = extract_text_from_bytes(blob.data, blob.filename)
+        return _json({"doc_id": doc_id, "kind": doc.kind, "pages": [
+            {"page": p.number, "section": p.section, "text": p.text,
+             "error": p.error} for p in doc.pages]})
+
+    async def doc_download_markdown(request):
+        doc_id = request.match_info["doc_id"]
+        recs = [rec for _, rec in _doc_records(ctx, doc_id)]
+        if not recs:
+            return _err("document not found", 404)
+        md = f"# {doc_id}\n\n" + "\n\n".join(
+            (f"## {r.section_path}\n\n{r.text}" if r.section_path else r.text)
+            for r in recs)
+        return web.Response(text=md, content_type="text/markdown")
+
+    async def publish_unpublished(request):
+        """Enqueue chunking for uploaded docs with no live index rows and
+        no active job (reference POST /admin/publish_unpublished)."""
+        import uuid as _uuid
+
+        enqueued = []
+        for doc_id in list(ctx.pipeline.docs.docs):
+            if ctx.store.rows_for_document(doc_id):
+                continue
+            jobs = ctx.pipeline.queue.jobs_for_doc(doc_id)
+            if any(j["status"] in ("queued", "running") for j in jobs):
+                continue
+            jid = ctx.pipeline.queue.enqueue(
+                CHUNKING_KIND, {"doc_id": doc_id},
+                dedupe_key=f"pub-unpub-{doc_id}-{_uuid.uuid4().hex[:8]}")
+            enqueued.append({"doc_id": doc_id, "job_id": jid})
+        body = await request.json() if request.can_read_body else {}
+        drained = ctx.pipeline.drain() if body.get("drain") else None
+        return _json({"enqueued": enqueued, "drained": drained})
+
+    async def cleanup_expired(request):
+        """TTL sweep of uploaded originals (reference
+        /admin/cleanup_expired_documents). Docs without a recorded
+        upload time are never swept."""
+        import time
+
+        body = await request.json()
+        max_age_days = float(body.get("max_age_days", 0))
+        if max_age_days <= 0:
+            return _err("need max_age_days > 0")
+        cutoff = time.time() - max_age_days * 86400
+        removed = []
+        for doc_id in list(ctx.pipeline.docs.docs):
+            ts = ctx.pipeline.docs.mtime(doc_id)
+            if ts is not None and ts < cutoff:
+                ctx.pipeline.docs.delete(doc_id)
+                n = ctx.store.delete_by_document(doc_id)
+                removed.append({"doc_id": doc_id, "index_rows": n})
+        if removed and getattr(ctx.engine, "sharded", None) is not None:
+            ctx.engine.sharded.refresh()
+        return _json({"removed": removed})
+
     # ---- candidates bulk ------------------------------------------------------
 
     async def candidates_catalog(request):
@@ -620,6 +713,11 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
     r.add_get("/documents/{doc_id}/text-tags", doc_text_tags_get)
     r.add_post("/documents/{doc_id}/text-tags", doc_text_tags_post)
     r.add_delete("/documents/{doc_id}/text-tags/{tag}", doc_text_tags_delete)
+    r.add_get("/documents/search", documents_search)
+    r.add_get("/documents/{doc_id}/pages", doc_pages)
+    r.add_get("/documents/{doc_id}/download/markdown", doc_download_markdown)
+    r.add_post("/admin/publish_unpublished", publish_unpublished)
+    r.add_post("/admin/cleanup_expired_documents", cleanup_expired)
     r.add_get("/policy/candidates/catalog", candidates_catalog)
     r.add_post("/policy/candidates/review-bulk", candidates_review_bulk)
     r.add_post("/policy/candidates/aggregate/classify-bulk",

@@ -170,6 +170,12 @@ def build_app(ctx: AppContext) -> web.Application:
                           client_max_size=110 * 1024 * 1024)
     r = app.router
 
+    # Extended surface FIRST: aiohttp resolves in registration order, and
+    # fixed paths like /documents/search must win over /documents/{doc_id}.
+    from mobius_rag_tpu.api.extended import register_extended_routes
+
+    register_extended_routes(r, ctx)
+
     # ---- health / ops ---------------------------------------------------
 
     async def console(request):
@@ -1067,10 +1073,6 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_post("/internal/index/add_chunks", internal_add_chunks)
     r.add_post("/internal/index/delete", internal_delete)
     r.add_get("/internal/index/source_ids/{doc_id}", internal_source_ids)
-
-    from mobius_rag_tpu.api.extended import register_extended_routes
-
-    register_extended_routes(r, ctx)
     return app
 
 

@@ -71,6 +71,14 @@ class DocumentStore:
     def get(self, doc_id: str) -> DocumentBlob | None:
         return self.docs.get(doc_id)
 
+    def delete(self, doc_id: str) -> bool:
+        return self.docs.pop(doc_id, None) is not None
+
+    def mtime(self, doc_id: str) -> float | None:
+        """Upload timestamp where the backing store records one (file
+        store: blob mtime). None = unknown — TTL sweeps skip the doc."""
+        return None
+
 
 class FileDocumentStore(DocumentStore):
     """Durable blob store: originals + metadata persist under a
@@ -112,6 +120,20 @@ class FileDocumentStore(DocumentStore):
         with open(tmp, "w") as f:
             self._json.dump(meta, f)
         os.replace(tmp, os.path.join(self.root, safe + ".meta.json"))
+
+    def delete(self, doc_id: str) -> bool:
+        found = super().delete(doc_id)
+        safe = doc_id.replace("/", "_")
+        for suffix in (".bin", ".meta.json"):
+            path = os.path.join(self.root, safe + suffix)
+            if os.path.exists(path):
+                os.remove(path)
+                found = True
+        return found
+
+    def mtime(self, doc_id: str) -> float | None:
+        path = os.path.join(self.root, doc_id.replace("/", "_") + ".bin")
+        return os.path.getmtime(path) if os.path.exists(path) else None
 
 
 class ChunkingWorker:

@@ -175,6 +175,46 @@ def test_browse_surface_end_to_end(ctx):
             r = await client.get(f"/documents/{fact_doc}/text-tags")
             assert (await r.json())["manual_tags"] == []
 
+            # ---- document browse extras ---------------------------------------
+            r = await client.get("/documents/search?q=sunshine")
+            body = await r.json()
+            assert r.status == 200, body
+            assert any(d["doc_id"] == doc_id for d in body["documents"])
+            r = await client.get("/documents/search?q=prior%20authorization")
+            assert any(d["matched"] == "text"
+                       for d in (await r.json())["documents"])
+
+            r = await client.get(f"/documents/{doc_id}/pages")
+            body = await r.json()
+            assert body["pages"] and "180 days" in body["pages"][0]["text"]
+
+            r = await client.get(f"/documents/{doc_id}/download/markdown")
+            assert r.status == 200
+            assert "180 days" in (await r.text())
+
+            # publish_unpublished: wipe the doc's rows, then sweep
+            await client.post(f"/documents/{doc_id}/embedding/reset")
+            r = await client.post("/admin/publish_unpublished",
+                                  json={"drain": True})
+            body = await r.json()
+            assert any(e["doc_id"] == doc_id for e in body["enqueued"])
+            r = await client.get(f"/documents/{doc_id}/status")
+            assert (await r.json())["published_chunks"] >= 2
+
+            # cleanup: huge TTL sweeps nothing; tiny TTL removes the doc
+            # (AppContext uses FileDocumentStore, which records mtimes)
+            r = await client.post("/admin/cleanup_expired_documents",
+                                  json={"max_age_days": 3650})
+            assert (await r.json())["removed"] == []
+            r = await client.post("/admin/cleanup_expired_documents",
+                                  json={"max_age_days": 0.00001})
+            removed = (await r.json())["removed"]
+            assert any(d["doc_id"] == doc_id for d in removed)
+            r = await client.get(f"/documents/{doc_id}/status")
+            assert (await r.json())["published_chunks"] == 0
+            r = await client.post("/admin/cleanup_expired_documents", json={})
+            assert r.status == 400
+
             # ---- candidates bulk ---------------------------------------------
             ctx.candidates.record(
                 [{"phrase": "step therapy protocol", "count": 3},
