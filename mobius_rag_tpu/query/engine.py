@@ -536,6 +536,13 @@ def _search_compiled(
 
     vals, gidx, sigs, strict_total = arm_candidates(index, q, k, m,
                                                     ann=ann, nprobe=nprobe)
+    # Materialize the arm outputs ONCE. They have two consumers (the
+    # fusion path and the raw per-arm telemetry outputs below), and
+    # without the barrier XLA rematerializes the full [B, C] arm scan
+    # per consumer — measured 3x48 ms of duplicated corpus scans at 1M
+    # rows (189 ms/batch -> 45 ms with the barrier).
+    vals, gidx, sigs, strict_total = jax.lax.optimization_barrier(
+        (vals, gidx, sigs, strict_total))
     out = fuse_and_rerank(vals[:, None], gidx[:, None], sigs[:, None],
                           q, k, rrf_k, m)
     out.update({
