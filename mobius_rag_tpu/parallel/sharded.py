@@ -60,6 +60,8 @@ def _local_candidates(index: DeviceIndex, q: dict, k: int, m: int, axis: str):
     arm_candidates with the mesh axis (strict counts psum so every shard
     takes the same auto-relax branch; indices offset to global).
     Returns (vals [3,B,m], gidx [3,B,m], sigs [3,B,m,_N_SIG])."""
+    # queries arrive bf16 over the wire (engine.prepare_batch); widen once
+    q = dict(q, vec=q["vec"].astype(jnp.float32))
     vals, gidx, sigs, _ = eng.arm_candidates(index, q, k, m, axis=axis)
     return vals, gidx, sigs
 

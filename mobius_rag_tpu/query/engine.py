@@ -33,6 +33,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from mobius_rag_tpu.config import Config, get_config
@@ -534,6 +535,9 @@ def _search_compiled(
     c = index.valid.shape[0]
     m = min(k * over_fetch, c)
 
+    # Queries arrive bf16 over the wire (see prepare_batch); widen once
+    # on device so every downstream consumer sees f32.
+    q = dict(q, vec=q["vec"].astype(jnp.float32))
     vals, gidx, sigs, strict_total = arm_candidates(index, q, k, m,
                                                     ann=ann, nprobe=nprobe)
     # Materialize the arm outputs ONCE. They have two consumers (the
@@ -700,7 +704,13 @@ class SearchEngine:
         [U] + per-query weights [B, U])."""
         vecs = self._embeddings(reqs)
         prepared = [self.prepare_query(r) for r in reqs]
-        q: dict = {"vec": jnp.asarray(vecs)}
+        # Ship query vectors as bf16: the tunnel/client serializes f32 at
+        # ~10 MB/s (measured ~20 ms just to enqueue a 32x1536 f32 batch)
+        # but bf16 at wire speed. The corpus matrix is bf16 and the dot
+        # accumulates in f32 (preferred_element_type), so query-side bf16
+        # rounding is within the index's own quantization noise
+        # (recall@10 vs exact fp64 pinned by bench.py / the oracle tests).
+        q: dict = {"vec": jnp.asarray(vecs.astype(ml_dtypes.bfloat16))}
         for key in prepared[0][0]:
             q[key] = jnp.asarray(np.stack([p[0][key] for p in prepared]))
 
