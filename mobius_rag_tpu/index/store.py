@@ -592,6 +592,15 @@ class ChunkStore:
             qv, qs = quantize_rows(jnp.asarray(vectors))
             vec_arr = jnp.zeros((cap, cfg.embed_dim), jnp.int8).at[:n].set(qv[:n])
             scales_arr = scales_arr.at[:n].set(qs[:n])
+        elif isinstance(vectors, jax.Array):
+            # DEVICE-resident ingest fast path: vectors produced on-chip
+            # (the TPU encoder's own output) stay on device — no
+            # device→host→device round-trip through the interconnect.
+            # Pad + cast on device; the transient is 2x the array, not
+            # the 5x of the zeros+at[].set form.
+            vec_arr = jnp.zeros((cap, cfg.embed_dim), vec_dtype)
+            vec_arr = jax.lax.dynamic_update_slice(
+                vec_arr, vectors[:n].astype(vec_dtype), (0, 0))
         else:
             # Cast + pad on HOST, one device_put: the zeros+at[].set form
             # put ~5x the array size in flight on device (f32 source cast

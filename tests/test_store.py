@@ -159,3 +159,31 @@ def test_mutation_generation_and_listeners(rng):
     assert store.generation > g0 and events[-1] == ("add", 3)
     store.delete_by_document("docA")
     assert events[-1] == ("delete", 3)
+
+
+def test_bulk_load_device_vectors_parity():
+    """bulk_load's device-resident fast path (jax.Array vectors — the
+    on-chip encoder's output staying on device) must build the same
+    index as the host-numpy path."""
+    import jax.numpy as jnp
+
+    from mobius_rag_tpu.testing import hash_embed
+
+    texts = [f"chunk {i} timely filing" for i in range(20)]
+    vecs = hash_embed(texts)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    def recs():
+        return [ChunkRecord(chunk_id=f"c{i}", doc_id=f"d{i%4}",
+                            source_id=f"s{i}", text=texts[i],
+                            embedding=vecs[i]) for i in range(20)]
+
+    host_store = ChunkStore()
+    host_store.bulk_load(recs(), vectors=vecs)
+    dev_store = ChunkStore()
+    dev_store.bulk_load(recs(), vectors=jnp.asarray(vecs))
+    np.testing.assert_allclose(
+        np.asarray(host_store.index.vectors, np.float32),
+        np.asarray(dev_store.index.vectors, np.float32), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(host_store.index.valid),
+                                  np.asarray(dev_store.index.valid))
