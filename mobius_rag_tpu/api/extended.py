@@ -601,6 +601,25 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
             for r in recs)
         return web.Response(text=md, content_type="text/markdown")
 
+    async def blobs_list(request):
+        """Blob-store listing (reference GET /gcs/files): doc id, name,
+        size, upload time for every stored original."""
+        out = []
+        for doc_id, blob in ctx.pipeline.docs.docs.items():
+            out.append({"doc_id": doc_id, "filename": blob.filename,
+                        "bytes": len(blob.data),
+                        "mtime": ctx.pipeline.docs.mtime(doc_id)})
+        return _json({"files": sorted(out, key=lambda x: x["doc_id"])})
+
+    async def blob_check(request):
+        """Existence probe by filename (reference GET /check/{filename})."""
+        name = request.match_info["filename"]
+        for doc_id, blob in ctx.pipeline.docs.docs.items():
+            if blob.filename == name or doc_id == name:
+                return _json({"exists": True, "doc_id": doc_id,
+                              "bytes": len(blob.data)})
+        return _json({"exists": False}, 404)
+
     async def publish_unpublished(request):
         """Enqueue chunking for uploaded docs with no live index rows and
         no active job (reference POST /admin/publish_unpublished)."""
@@ -716,6 +735,8 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
     r.add_get("/documents/search", documents_search)
     r.add_get("/documents/{doc_id}/pages", doc_pages)
     r.add_get("/documents/{doc_id}/download/markdown", doc_download_markdown)
+    r.add_get("/admin/blobs", blobs_list)
+    r.add_get("/admin/blobs/check/{filename:.+}", blob_check)
     r.add_post("/admin/publish_unpublished", publish_unpublished)
     r.add_post("/admin/cleanup_expired_documents", cleanup_expired)
     r.add_get("/policy/candidates/catalog", candidates_catalog)

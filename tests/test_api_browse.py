@@ -215,6 +215,18 @@ def test_browse_surface_end_to_end(ctx):
             r = await client.post("/admin/cleanup_expired_documents", json={})
             assert r.status == 400
 
+            # ---- blob store (fresh upload; TTL sweep removed the first) -------
+            await client.post("/upload?filename=blob_probe.txt&instant=0",
+                              data=b"blob store probe")
+            r = await client.get("/admin/blobs")
+            files = (await r.json())["files"]
+            assert any(f["filename"] == "blob_probe.txt" and f["bytes"] > 0
+                       for f in files)
+            r = await client.get("/admin/blobs/check/blob_probe.txt")
+            assert (await r.json())["exists"]
+            r = await client.get("/admin/blobs/check/nope.txt")
+            assert r.status == 404
+
             # ---- candidates bulk ---------------------------------------------
             ctx.candidates.record(
                 [{"phrase": "step therapy protocol", "count": 3},
