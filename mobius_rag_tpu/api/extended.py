@@ -601,6 +601,31 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
             for r in recs)
         return web.Response(text=md, content_type="text/markdown")
 
+    async def backfill_metadata(request):
+        """Re-canonicalize payer/state/program across all published docs
+        and republish rows whose canonical form changed (reference
+        POST /admin/backfill_metadata + fix_payer_canonical)."""
+        from mobius_rag_tpu.ingest.metadata import canonicalize_metadata
+
+        changed = []
+        for doc_id in list(ctx.pipeline.docs.docs):
+            recs = [rec for _, rec in _doc_records(ctx, doc_id)]
+            if not recs:
+                continue
+            meta = canonicalize_metadata(
+                payer=recs[0].payer, state=recs[0].state,
+                program=recs[0].program)
+            if (meta["payer"], meta["state"], meta["program"]) == (
+                    recs[0].payer, recs[0].state, recs[0].program):
+                continue
+            for rec in recs:
+                rec.payer = meta["payer"]
+                rec.state = meta["state"]
+                rec.program = meta["program"]
+            _republish(doc_id, recs)
+            changed.append({"doc_id": doc_id, **meta})
+        return _json({"backfilled": changed})
+
     async def blobs_list(request):
         """Blob-store listing (reference GET /gcs/files): doc id, name,
         size, upload time for every stored original."""
@@ -735,6 +760,7 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
     r.add_get("/documents/search", documents_search)
     r.add_get("/documents/{doc_id}/pages", doc_pages)
     r.add_get("/documents/{doc_id}/download/markdown", doc_download_markdown)
+    r.add_post("/admin/backfill_metadata", backfill_metadata)
     r.add_get("/admin/blobs", blobs_list)
     r.add_get("/admin/blobs/check/{filename:.+}", blob_check)
     r.add_post("/admin/publish_unpublished", publish_unpublished)

@@ -32,7 +32,10 @@ _PROGRAM_ALIASES = {
 
 
 def _norm(s: str) -> str:
-    return re.sub(r"[^a-z0-9 ]+", " ", (s or "").lower()).strip()
+    # collapse runs of separators: "Sunshine  Health" and "sunshine-health"
+    # must converge to one canonical key, not sprout double underscores
+    cleaned = re.sub(r"[^a-z0-9 ]+", " ", (s or "").lower())
+    return re.sub(r"\s+", " ", cleaned).strip()
 
 
 def canonical_payer(raw: str) -> str:

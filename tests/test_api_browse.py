@@ -215,6 +215,26 @@ def test_browse_surface_end_to_end(ctx):
             r = await client.post("/admin/cleanup_expired_documents", json={})
             assert r.status == 400
 
+            # ---- metadata backfill --------------------------------------------
+            # publish a doc with a non-canonical payer, then sweep
+            raw = _fact_record("backfill_doc", 0, "Backfill probe text.",
+                               ctx.engine.lexicon)
+            raw.extra = {}
+            raw.payer = "Sunshine  Health"  # non-canonical spacing/case
+            ctx.store.publish_document("backfill_doc", [raw])
+            ctx.pipeline.docs.put(__import__(
+                "mobius_rag_tpu.ingest.worker", fromlist=["DocumentBlob"]
+            ).DocumentBlob(doc_id="backfill_doc", filename="bf.txt",
+                           data=b"x"))
+            r = await client.post("/admin/backfill_metadata")
+            body = await r.json()
+            assert any(d["doc_id"] == "backfill_doc" and
+                       d["payer"] == "sunshine_health"
+                       for d in body["backfilled"]), body
+            # idempotent: second sweep changes nothing
+            r = await client.post("/admin/backfill_metadata")
+            assert (await r.json())["backfilled"] == []
+
             # ---- blob store (fresh upload; TTL sweep removed the first) -------
             await client.post("/upload?filename=blob_probe.txt&instant=0",
                               data=b"blob store probe")
