@@ -133,15 +133,18 @@ def query_lexical_weights(
     corpus document frequencies."""
     cfg = get_config()
     h = num_buckets or cfg.lexical_buckets
-    from mobius_rag_tpu.query.text import normalize_query
+    from mobius_rag_tpu.query.text import normalize_query, tokenize_terms
 
-    terms: set[str] = set(tokenize(normalize_query(query), drop_stopwords=True))
+    terms: set[str] = set(tokenize_terms(normalize_query(query), drop_stopwords=True))
     for p in expansion_phrases:
-        terms.update(tokenize(p, drop_stopwords=True))
+        terms.update(tokenize_terms(p, drop_stopwords=True))
     out: dict[int, float] = {}
+    nd = max(n_docs, 1)
+    dfm = df or {}
     for t in terms:
         b = hash_bucket(t, h)
-        dfb = (df or {}).get(b, 0)
-        idf = math.log(1.0 + (max(n_docs, 1) - dfb + 0.5) / (dfb + 0.5))
-        out[b] = max(out.get(b, 0.0), idf)
+        dfb = dfm.get(b, 0)
+        idf = math.log(1.0 + (nd - dfb + 0.5) / (dfb + 0.5))
+        if idf > out.get(b, 0.0):
+            out[b] = idf
     return out

@@ -86,6 +86,14 @@ class Lexicon:
         self.phrase_ids: dict[str, int] = {}
         self._by_kind_count = {k: 0 for k in _KINDS}
         self._phrase_index: list[tuple[re.Pattern, LexiconEntry, str]] = []
+        # Serving-hot-path expansion LRU (same role as the reference's
+        # 5-min in-process lexicon cache, corpus_search_lexicon.py:362):
+        # the lexicon is static at serving time, so expansion is a pure
+        # function of the query string. Invalidated on any entry or
+        # selectivity change. Expansions are returned SHARED — they are
+        # read-only by contract (no caller mutates a LexiconExpansion).
+        self._expand_cache: "dict[str, LexiconExpansion]" = {}
+        self._expand_cache_max = 4096
         for e in entries:
             self.add_entry(e)
 
@@ -101,6 +109,7 @@ class Lexicon:
             if np_ and np_ not in bag:
                 bag.append(np_)
         e = dataclasses.replace(e, phrases=bag)
+        self._expand_cache.clear()
         if e.tag_id < 0:
             e.tag_id = self._by_kind_count[e.kind]
         self._by_kind_count[e.kind] = max(self._by_kind_count[e.kind], e.tag_id + 1)
@@ -189,6 +198,7 @@ class Lexicon:
 
         if n_docs <= 0:
             return
+        self._expand_cache.clear()
         for e in self.entries:
             df = counts.get(e.full_code, 0)
             if df > 0:
@@ -203,6 +213,9 @@ class Lexicon:
         this runs per query on the serving hot path); aggregate
         expansion. Entry order and the 12-entry cap follow the
         reference's iterate-in-curation-order semantics."""
+        cached = self._expand_cache.get(query)
+        if cached is not None:
+            return cached
         out = LexiconExpansion()
         hit_ids = self.matcher.match_set(query)
         ordered, _ = self.phrase_table()
@@ -237,4 +250,7 @@ class Lexicon:
                     phrase_bag.append(p)
                     out.phrase_slots.append((self.phrase_ids[p], entry.selectivity, jtag))
         out.expansion_phrases = phrase_bag
+        if len(self._expand_cache) >= self._expand_cache_max:
+            self._expand_cache.pop(next(iter(self._expand_cache)))
+        self._expand_cache[query] = out
         return out
