@@ -63,6 +63,16 @@ W_SIM, W_AUTH, W_LEN, W_JPD, W_COV = 0.25, 0.10, 0.05, 0.20, 0.55
 # each; 64 covers the reference's expansion cap comfortably).
 MAX_PHRASE_SLOTS = 64
 
+
+def to_bf16(x: np.ndarray) -> np.ndarray:
+    """f32 → bf16 with round-to-nearest-even, via vectorized uint bit math.
+    numpy's ``astype(ml_dtypes.bfloat16)`` runs a scalar conversion loop —
+    measured 12 ms for one [32, 1536] query batch, i.e. a third of the
+    whole host prep budget; this runs at memory bandwidth."""
+    u = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    rounded = u + (np.uint32(0x7FFF) + ((u >> np.uint32(16)) & np.uint32(1)))
+    return (rounded >> np.uint32(16)).astype(np.uint16).view(ml_dtypes.bfloat16)
+
 _MODES = ("corpus", "precision", "recall")
 # Per-mode arm weights in RRF (vector, lexical, dtag). The reference's
 # modes alter SQL behavior (precision tightens the FTS/tag side, recall
@@ -394,10 +404,19 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
             + (1.0 - valid[None, :]) * NEG_INF
             + (1.0 - meta_ok) * NEG_INF
         )
+        from mobius_rag_tpu.ops.pq import PackedPQ, pq_search_packed
+
         if isinstance(ann, IVFIndex):
             vec_vals, vec_idx = ivf_search(
                 ann, index.vectors, q["vec"], penalty, m, nprobe,
                 index.vec_scales)
+        elif isinstance(ann, PackedPQ):
+            # ADC candidate generation (config-5 regime); the signal
+            # gather below re-scores candidates with EXACT cosine, so
+            # fusion/rerank see true similarities — two-stage IVFADC in
+            # one compiled program
+            vec_vals, vec_idx = pq_search_packed(
+                ann, q["vec"], penalty, m, nprobe)
         else:
             vec_vals, vec_idx = ivf_search_packed(
                 ann, q["vec"], penalty, m, nprobe)
@@ -586,8 +605,16 @@ class SearchEngine:
         self._ann_generation = -1
         # parallel.ShardedEngine over the SAME store: when attached, the
         # compiled stage runs sharded over the mesh and the whole host
-        # stack (agent, strategies, API) serves multi-chip transparently
+        # stack (agent, strategies, API) serves multi-chip transparently.
+        # The vector backend propagates INTO the sharded engine (it
+        # builds per-shard ANN tables) — round 2 silently served exact
+        # when a mesh was attached with MRAG_VECTOR_BACKEND=ivf.
         self.sharded = sharded
+        if sharded is not None:
+            if vector_backend is not None:
+                sharded.set_vector_backend(vector_backend)
+            else:  # inherit the sharded engine's configured backend
+                self.vector_backend = sharded.vector_backend
         # optional models.cross_encoder.CrossEncoderModel: jointly rescores
         # the hybrid top-k as a final stage (beyond the reference's linear
         # signal blend)
@@ -597,16 +624,26 @@ class SearchEngine:
         # with an on-chip encoder it's cheaper but still worth skipping)
         self._embed_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
         self._embed_cache_max = 256
+        # prepared-query LRU: prepare_query is a pure function of the
+        # request's string fields given a fixed (store stats, lexicon)
+        # state, so repeated queries skip expansion/tokenization/IDF
+        # entirely (the serving analogue of the reference's lexicon TTL
+        # cache + embed LRU). Invalidated by store writes (generation)
+        # and lexicon growth (phrase count) via the cache token.
+        self._prep_cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._prep_cache_max = 1024
 
     # -- vector-arm backend -------------------------------------------------
 
     def set_vector_backend(self, backend: str) -> None:
-        if backend not in ("exact", "ivf", "packed"):
-            raise ValueError(f"backend {backend!r} must be exact|ivf|packed")
+        if backend not in ("exact", "ivf", "packed", "pq"):
+            raise ValueError(f"backend {backend!r} must be exact|ivf|packed|pq")
         if backend != self.vector_backend:
             self.vector_backend = backend
             self._ann = None
             self._ann_generation = -1
+        if self.sharded is not None:
+            self.sharded.set_vector_backend(backend)
 
     def ensure_ann(self):
         """Build (or rebuild after store mutations) the ANN tables for
@@ -622,11 +659,16 @@ class SearchEngine:
         ivf = IVFIndex.build(
             index.vectors, np.asarray(index.valid),
             nlist=cfg.ivf_nlist or None)
+        scales = (index.vec_scales if cfg.vector_dtype == "int8" else None)
         if self.vector_backend == "packed":
-            scales = (index.vec_scales
-                      if cfg.vector_dtype == "int8" else None)
             self._ann = PackedIVF.from_ivf(ivf, index.vectors,
                                            row_scales=scales)
+        elif self.vector_backend == "pq":
+            from mobius_rag_tpu.ops.pq import PackedPQ, effective_m
+
+            self._ann = PackedPQ.from_ivf(
+                ivf, index.vectors, m=effective_m(cfg.embed_dim, cfg.pq_m),
+                row_scales=scales)
         else:
             self._ann = ivf
         self._ann_generation = self.store.generation
@@ -640,6 +682,17 @@ class SearchEngine:
             raise ValueError(f"mode {req.mode!r} must be one of {_MODES}")
         if req.tag_mode not in ("strict", "relaxed", "none"):
             raise ValueError(f"tag_mode {req.tag_mode!r} must be strict|relaxed|none")
+        # LRU on the string-derived prep: key is every request field that
+        # feeds the arrays below (embedding excluded — handled separately
+        # in _embeddings), token is the mutable state it reads.
+        cache_key = (req.query, req.mode, req.payer, req.state, req.program,
+                     float(req.min_similarity), req.tag_mode, req.inherit_authority)
+        token = (self.store.generation,
+                 self.lexicon.num_phrases if self.lexicon else 0)
+        hit = self._prep_cache.get(cache_key)
+        if hit is not None and hit[0] == token:
+            self._prep_cache.move_to_end(cache_key)
+            return hit[1], hit[2], hit[3]
         exp = self.lexicon.expand(req.query) if self.lexicon else LexiconExpansion()
 
         df, n_live = self.store.lexical_stats()
@@ -692,6 +745,9 @@ class SearchEngine:
             "slot_isj": s_isj,
             "slot_weight": s_weight,
         }
+        if len(self._prep_cache) >= self._prep_cache_max:
+            self._prep_cache.popitem(last=False)
+        self._prep_cache[cache_key] = (token, q, exp, lex_w)
         return q, exp, lex_w
 
     # Static pads for the batch bucket union — each distinct pad is one
@@ -701,7 +757,11 @@ class SearchEngine:
     def prepare_batch(self, reqs: Sequence[QueryRequest]):
         """Assemble the batched device-query dict: per-query arrays
         stacked + the sparse lexical contraction (union bucket list
-        [U] + per-query weights [B, U])."""
+        [U] + per-query weights [B, U]).
+
+        The entire batch ships in ONE ``jax.device_put`` of the finished
+        numpy pytree — 19 separate ``jnp.asarray`` enqueues were 43% of
+        host prep time (per-transfer dispatch overhead, not bytes)."""
         vecs = self._embeddings(reqs)
         prepared = [self.prepare_query(r) for r in reqs]
         # Ship query vectors as bf16: the tunnel/client serializes f32 at
@@ -710,9 +770,9 @@ class SearchEngine:
         # accumulates in f32 (preferred_element_type), so query-side bf16
         # rounding is within the index's own quantization noise
         # (recall@10 vs exact fp64 pinned by bench.py / the oracle tests).
-        q: dict = {"vec": jnp.asarray(vecs.astype(ml_dtypes.bfloat16))}
+        q: dict = {"vec": to_bf16(vecs)}
         for key in prepared[0][0]:
-            q[key] = jnp.asarray(np.stack([p[0][key] for p in prepared]))
+            q[key] = np.stack([p[0][key] for p in prepared])
 
         union: list[int] = []
         seen: dict[int, int] = {}
@@ -733,9 +793,9 @@ class SearchEngine:
             for b, w in lex_w.items():
                 if b in seen:
                     weights[bi, seen[b]] = w
-        q["lex_buckets"] = jnp.asarray(buckets)
-        q["lex_weights"] = jnp.asarray(weights)
-        return q, [p[1] for p in prepared]
+        q["lex_buckets"] = buckets
+        q["lex_weights"] = weights
+        return jax.device_put(q), [p[1] for p in prepared]
 
     def _embeddings(self, reqs: Sequence[QueryRequest]) -> np.ndarray:
         def cache_key(q: str) -> str:
@@ -855,9 +915,20 @@ class SearchEngine:
                 })
                 per_doc[h.doc_id] = per_doc.get(h.doc_id, 0) + 1
 
+    # Signal channels materialized per hit, in out-dict key order.
+    _SIGNAL_KEYS = (("sim", "sim"), ("cos", "cosine"), ("auth", "authority"),
+                    ("len", "length"), ("jpd", "jpd"), ("cov", "coverage"),
+                    ("rrf", "rrf"))
+
     def _assemble(self, reqs: list[QueryRequest], exps, out, k: int,
                   timings: dict | None = None) -> list[SearchResult]:
         cfg = self.cfg
+        # Bulk-convert every device output to nested Python lists ONCE:
+        # numpy's tolist() is a single C pass, vs the previous per-element
+        # float()/int() calls (7 signals × k × B plus arm traces ≈ 4,000
+        # scalar conversions per batch32 — measured ~8 ms of the host
+        # budget, corpus-size-independent).
+        cols = {key: np.asarray(v).tolist() for key, v in out.items()}
         results = []
         for bi, req in enumerate(reqs):
             # mode-default minimum confidence floor (corpus_search.py
@@ -865,12 +936,15 @@ class SearchEngine:
             # recall keeps everything.
             floor = 0.0 if MODE_MIN_LABEL.get(req.mode) == "abstain" \
                 else cfg.confidence_low
+            rerank_b = cols["rerank"][bi]
+            idx_b = cols["idx"][bi]
+            sig_b = [cols[src][bi] for src, _ in self._SIGNAL_KEYS]
             hits = []
             for j in range(k):
-                score = float(out["rerank"][bi, j])
+                score = rerank_b[j]
                 if score <= NEG_INF / 2 or score < floor:
                     continue
-                row = int(out["idx"][bi, j])
+                row = idx_b[j]
                 rec = self.store.record(row)
                 if rec is None:
                     continue
@@ -880,16 +954,9 @@ class SearchEngine:
                     doc_id=rec.doc_id,
                     text=rec.text,
                     score=score,
-                    similarity=float(out["sim"][bi, j]),
-                    signals={
-                        "sim": float(out["sim"][bi, j]),
-                        "cosine": float(out["cos"][bi, j]),
-                        "authority": float(out["auth"][bi, j]),
-                        "length": float(out["len"][bi, j]),
-                        "jpd": float(out["jpd"][bi, j]),
-                        "coverage": float(out["cov"][bi, j]),
-                        "rrf": float(out["rrf"][bi, j]),
-                    },
+                    similarity=sig_b[0][j],
+                    signals={name: col[j] for (_, name), col
+                             in zip(self._SIGNAL_KEYS, sig_b)},
                     metadata={
                         "payer": rec.payer, "state": rec.state,
                         "program": rec.program, "filename": rec.filename,
@@ -911,12 +978,12 @@ class SearchEngine:
 
             def _arm_trace(name):
                 # the sharded merge path reports no per-arm traces
-                if f"{name}_idx" not in out:
+                if f"{name}_idx" not in cols:
                     return []
-                idxs = out[f"{name}_idx"][bi]
-                vals = out[f"{name}_vals"][bi]
+                idxs = cols[f"{name}_idx"][bi]
+                vals = cols[f"{name}_vals"][bi]
                 return [
-                    {"row": int(i), "score": float(v)}
+                    {"row": i, "score": v}
                     for i, v in zip(idxs, vals) if v > NEG_INF / 2
                 ][: k]
 
@@ -932,8 +999,8 @@ class SearchEngine:
                         "lexical": _arm_trace("lex"),
                         "dtag": _arm_trace("dtag"),
                     },
-                    "strict_count": int(out["strict_count"][bi])
-                    if "strict_count" in out else -1,
+                    "strict_count": int(cols["strict_count"][bi])
+                    if "strict_count" in cols else -1,
                     "expansion_log": exp.log,
                     "mode": req.mode,
                 },
