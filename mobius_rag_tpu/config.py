@@ -79,6 +79,11 @@ class Config:
     # IVF knobs: clusters (0 = sqrt(N) auto) and probed clusters/query.
     ivf_nlist: int = _env_int("MRAG_IVF_NLIST", 0)
     ivf_nprobe: int = _env_int("MRAG_IVF_NPROBE", 32)
+    # "pq" backend (the 10M-rows/chip config-5 regime): residual product-
+    # quantized codes as the vector-arm candidate generator — pq_m bytes
+    # per row in HBM — with the engine's signal gather doing the exact
+    # cosine re-rank of the over-fetched candidates.
+    pq_m: int = _env_int("MRAG_PQ_M", 96)
 
     # ---- search tunables (semantics mirrored from the reference) ------
     # RRF k constant (Cormack 2009) — app/services/corpus_search.py:397.
@@ -152,7 +157,7 @@ class Config:
                 f"MRAG_LEXICAL_FORMAT={self.lexical_format!r} must be "
                 "dense|sparse"
             )
-        if self.vector_backend not in ("exact", "ivf", "packed"):
+        if self.vector_backend not in ("exact", "ivf", "packed", "pq"):
             problems.append(
                 f"MRAG_VECTOR_BACKEND={self.vector_backend!r} must be "
                 "exact|ivf|packed"

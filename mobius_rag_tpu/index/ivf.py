@@ -117,10 +117,24 @@ class IVFIndex:
               nlist: int | None = None, iters: int = 10, pad_factor: float = 2.0,
               seed: int = 0) -> "IVFIndex":
         v = jnp.asarray(vectors)
-        n = v.shape[0]
+        n, d = v.shape
         valid_np = (np.asarray(valid) > 0) if valid is not None else np.ones(n, bool)
         n_live = int(valid_np.sum())
         nlist = nlist or max(16, int(np.sqrt(max(n_live, 1)) ))
+        if n_live == 0:
+            # empty (sub)corpus — e.g. one shard of a tiny sharded store.
+            # Zero centroids score 0 against every query; no members, no
+            # spill: the probed scan returns all-NEG_INF, like an empty
+            # exact scan.
+            nlist = max(int(nlist), 1)
+            return cls(
+                centroids=jnp.zeros((nlist, d), jnp.float32),
+                members=jnp.zeros((nlist, 8), jnp.int32),
+                member_valid=jnp.zeros((nlist, 8), jnp.float32),
+                spill=jnp.zeros(8, jnp.int32),
+                spill_valid=jnp.zeros(8, jnp.float32),
+                nlist=nlist, pad=8,
+            )
         nlist = min(nlist, max(n_live, 1))
 
         rng = np.random.default_rng(seed)
@@ -258,6 +272,67 @@ class PackedIVF:
                    jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist)
 
 
+def stack_shard_ivf(shards: "list[IVFIndex]") -> IVFIndex:
+    """Stack per-shard IVF tables into arrays with a leading shard axis
+    (the sharded engine device_puts the result with the shard axis
+    partitioned over the mesh; inside shard_map each device unwraps its
+    own [1, ...] slice). Shards are first padded to the max (nlist, pad,
+    spill-length) so shapes are uniform — padded centroids are zero
+    (score 0 against any unit query) and padded member cells invalid, so
+    probing them returns NEG_INF, never a wrong row."""
+    nlist = max(s.nlist for s in shards)
+    pad = max(s.pad for s in shards)
+    n_spill = max(s.spill.shape[0] for s in shards)
+    d = shards[0].centroids.shape[1]
+    cols = {f: [] for f in IVFIndex.FIELDS}
+    for sh in shards:
+        c = np.zeros((nlist, d), np.float32)
+        c[: sh.nlist] = np.asarray(sh.centroids)
+        m = np.zeros((nlist, pad), np.int32)
+        m[: sh.nlist, : sh.pad] = np.asarray(sh.members)
+        mv = np.zeros((nlist, pad), np.float32)
+        mv[: sh.nlist, : sh.pad] = np.asarray(sh.member_valid)
+        sp = np.zeros(n_spill, np.int32)
+        sp[: sh.spill.shape[0]] = np.asarray(sh.spill)
+        sv = np.zeros(n_spill, np.float32)
+        sv[: sh.spill_valid.shape[0]] = np.asarray(sh.spill_valid)
+        for f, a in zip(IVFIndex.FIELDS, (c, m, mv, sp, sv)):
+            cols[f].append(a)
+    return IVFIndex(**{f: np.stack(v) for f, v in cols.items()},
+                    nlist=nlist, pad=pad)
+
+
+def stack_shard_packed(shards: "list[PackedIVF]") -> PackedIVF:
+    """Leading-shard-axis stack of per-shard packed tables (see
+    stack_shard_ivf). base_nlist unifies to the max — a shard whose real
+    base is smaller exposes zero-score centroids there, whose cells are
+    entirely invalid."""
+    base = max(s.base_nlist for s in shards)
+    extra = max(s.nlist - s.base_nlist for s in shards)
+    nlist, pad = base + extra, max(s.pad for s in shards)
+    d = shards[0].values.shape[-1]
+    cols = {f: [] for f in PackedIVF.FIELDS}
+    for sh in shards:
+        c = np.zeros((nlist, d), np.float32)
+        vals = np.zeros((nlist, pad, d), np.int8)
+        sc = np.zeros((nlist, pad), np.float32)
+        ok = np.zeros((nlist, pad), np.float32)
+        rid = np.zeros((nlist, pad), np.int32)
+        nb, ne = sh.base_nlist, sh.nlist - sh.base_nlist
+        src = {f: np.asarray(getattr(sh, f)) for f in PackedIVF.FIELDS}
+        # base cells at [0, nb), spill slabs re-homed at [base, base+ne)
+        for dst_lo, src_lo, n in ((0, 0, nb), (base, nb, ne)):
+            c[dst_lo:dst_lo + n] = src["centroids"][src_lo:src_lo + n]
+            vals[dst_lo:dst_lo + n, : sh.pad] = src["values"][src_lo:src_lo + n]
+            sc[dst_lo:dst_lo + n, : sh.pad] = src["scales"][src_lo:src_lo + n]
+            ok[dst_lo:dst_lo + n, : sh.pad] = src["valid"][src_lo:src_lo + n]
+            rid[dst_lo:dst_lo + n, : sh.pad] = src["rowids"][src_lo:src_lo + n]
+        for f, a in zip(PackedIVF.FIELDS, (c, vals, sc, ok, rid)):
+            cols[f].append(a)
+    return PackedIVF(**{f: np.stack(v) for f, v in cols.items()},
+                     nlist=nlist, pad=pad, base_nlist=base)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
                       penalty: jnp.ndarray, k: int, nprobe: int):
@@ -305,7 +380,13 @@ def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
             nv, pos = jax.lax.top_k(vals, k)
             return (nv, jnp.take(ids, pos)), None
 
-        init = (jnp.full((k,), NEG_INF, jnp.float32), jnp.zeros((k,), jnp.int32))
+        # Carry seeded from a varying operand (pen comes from the
+        # shard-local filter masks): under shard_map the loop body's
+        # outputs are axis-varying, and a constant init would make the
+        # scan carry types mismatch ("varying manual axes do not match").
+        veps = pen[0] * 0.0
+        init = (jnp.full((k,), NEG_INF, jnp.float32) + veps,
+                jnp.zeros((k,), jnp.int32) + veps.astype(jnp.int32))
         (vals, ids), _ = jax.lax.scan(scan_probe, init, probes)
         return vals, ids
 

@@ -50,6 +50,18 @@ from mobius_rag_tpu.utils import round_up
 K_CODES = 256  # one byte per subvector
 
 
+def effective_m(d: int, m_requested: int) -> int:
+    """Largest usable subvector count ≤ the requested M that divides D
+    (config knob MRAG_PQ_M assumes D=1536; other dims — e.g. the test
+    env's 256 — fall back to 16-dim subvectors)."""
+    if d % m_requested == 0:
+        return m_requested
+    for ds in (16, 8, 4, 32, 2):
+        if d % ds == 0:
+            return d // ds
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def _pq_kmeans(sub: jnp.ndarray, init: jnp.ndarray, iters: int):
     """Vmapped Lloyd over the subvector axis.
@@ -200,6 +212,14 @@ class PackedPQ:
         flat = rowids.reshape(-1)
         flat_cell = np.repeat(np.arange(nlist), pad)
         flat_valid = valid.reshape(-1) > 0
+        if not flat_valid.any():
+            # empty (sub)corpus — e.g. one shard of a tiny sharded store
+            ds = vectors.shape[1] // m
+            return cls(jnp.asarray(cents),
+                       jnp.zeros((nlist, pad, m), jnp.uint8),
+                       jnp.zeros((m, K_CODES, ds), jnp.float32),
+                       jnp.asarray(valid), jnp.asarray(rowids),
+                       nlist, pad, base_nlist=ivf.nlist, residual=residual)
 
         def encode_src(slots: np.ndarray) -> np.ndarray:
             rows = jax.device_get(rows_f32(jnp.asarray(flat[slots])))
@@ -225,6 +245,39 @@ class PackedPQ:
         return cls(jnp.asarray(cents), codes, codebooks, jnp.asarray(valid),
                    jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist,
                    residual=residual)
+
+
+def stack_shard_pq(shards: "list[PackedPQ]") -> PackedPQ:
+    """Leading-shard-axis stack of per-shard PackedPQ tables (the pq
+    analogue of index.ivf.stack_shard_packed — see its invariants).
+    Every shard trains its OWN codebooks; they stack along the shard
+    axis like every other leaf. base_nlist unifies to the max; cells a
+    shard doesn't really have are fully invalid."""
+    base = max(s.base_nlist for s in shards)
+    extra = max(s.nlist - s.base_nlist for s in shards)
+    nlist, pad = base + extra, max(s.pad for s in shards)
+    m = shards[0].codes.shape[-1]
+    d = shards[0].centroids.shape[-1]
+    residual = shards[0].residual
+    cols = {f: [] for f in PackedPQ.FIELDS}
+    for sh in shards:
+        assert sh.residual == residual and sh.codes.shape[-1] == m
+        c = np.zeros((nlist, d), np.float32)
+        codes = np.zeros((nlist, pad, m), np.uint8)
+        ok = np.zeros((nlist, pad), np.float32)
+        rid = np.zeros((nlist, pad), np.int32)
+        nb, ne = sh.base_nlist, sh.nlist - sh.base_nlist
+        src = {f: np.asarray(getattr(sh, f)) for f in PackedPQ.FIELDS}
+        for dst_lo, src_lo, n in ((0, 0, nb), (base, nb, ne)):
+            c[dst_lo:dst_lo + n] = src["centroids"][src_lo:src_lo + n]
+            codes[dst_lo:dst_lo + n, : sh.pad] = src["codes"][src_lo:src_lo + n]
+            ok[dst_lo:dst_lo + n, : sh.pad] = src["valid"][src_lo:src_lo + n]
+            rid[dst_lo:dst_lo + n, : sh.pad] = src["rowids"][src_lo:src_lo + n]
+        for f, a in zip(PackedPQ.FIELDS,
+                        (c, codes, src["codebooks"], ok, rid)):
+            cols[f].append(a)
+    return PackedPQ(**{f: np.stack(v) for f, v in cols.items()},
+                    nlist=nlist, pad=pad, base_nlist=base, residual=residual)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
@@ -277,8 +330,12 @@ def pq_search_packed(ppq: PackedPQ, queries: jnp.ndarray,
             nv, pos = jax.lax.top_k(vals, k)
             return (nv, jnp.take(ids, pos)), None
 
-        init = (jnp.full((k,), NEG_INF, jnp.float32),
-                jnp.zeros((k,), jnp.int32))
+        # carry seeded from the shard-varying penalty — see
+        # index.ivf.ivf_search_packed for why a constant init fails
+        # under shard_map
+        veps = pen[0] * 0.0
+        init = (jnp.full((k,), NEG_INF, jnp.float32) + veps,
+                jnp.zeros((k,), jnp.int32) + veps.astype(jnp.int32))
         (vals, ids), _ = jax.lax.scan(scan_probe, init, probes)
         return vals, ids
 

@@ -55,14 +55,21 @@ _N_SIG = eng.N_SIG  # cos, lex_raw, auth, len, jpd, cov
 _ROW_PADS = (256, 1024, 4096)
 
 
-def _local_candidates(index: DeviceIndex, q: dict, k: int, m: int, axis: str):
+def _local_candidates(index: DeviceIndex, q: dict, ann, k: int, m: int,
+                      axis: str, nprobe: int):
     """Per-shard arm scan: delegates to the engine's shared
     arm_candidates with the mesh axis (strict counts psum so every shard
     takes the same auto-relax branch; indices offset to global).
+    `ann` is the per-shard ANN table slice ([1, ...] leaves under
+    shard_map — each device's own IVF/packed tables over its LOCAL rows,
+    built by ShardedEngine.ensure_ann) or None for the exact scan.
     Returns (vals [3,B,m], gidx [3,B,m], sigs [3,B,m,_N_SIG])."""
     # queries arrive bf16 over the wire (engine.prepare_batch); widen once
     q = dict(q, vec=q["vec"].astype(jnp.float32))
-    vals, gidx, sigs, _ = eng.arm_candidates(index, q, k, m, axis=axis)
+    if ann is not None:
+        ann = jax.tree.map(lambda x: x[0], ann)  # drop the shard axis
+    vals, gidx, sigs, _ = eng.arm_candidates(index, q, k, m, axis=axis,
+                                             ann=ann, nprobe=nprobe)
     return vals, gidx, sigs
 
 
@@ -89,20 +96,26 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
             specs[f] = P(*spec)
         return DeviceIndex(**specs)
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def run(index: DeviceIndex, q: dict, k: int):
+    @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+    def run(index: DeviceIndex, q: dict, k: int, ann=None, nprobe: int = 32):
         c_total = index.valid.shape[0]
         c_local = c_total // s
         # Per-shard over-fetch: the global top-(k*over_fetch) of an arm
         # can in the worst case live entirely on one shard.
         m = min(k * over_fetch, c_local)
         m_global = min(k * over_fetch, c_total)
+        # ANN tables enter with a leading shard axis (stack_shard_ivf);
+        # every leaf shards on that axis so each device scans its own
+        # local tables.
+        ann_specs = jax.tree.map(
+            lambda x: P(axis, *([None] * (x.ndim - 1))), ann)
         vals, gidx, sigs = shard_map(
-            functools.partial(_local_candidates, k=k, m=m, axis=axis),
+            functools.partial(_local_candidates, k=k, m=m, axis=axis,
+                              nprobe=nprobe),
             mesh=mesh,
-            in_specs=(index_specs(index), P()),  # queries replicated
+            in_specs=(index_specs(index), P(), ann_specs),
             out_specs=(P(None, axis), P(None, axis), P(None, axis)),
-        )(index, q)
+        )(index, q, ann)
         b = q["vec"].shape[0]
         # locally [3, B, m] → gathered along axis 1 → [3, S*B, m]
         vals = vals.reshape(3, s, b, m)
@@ -143,7 +156,8 @@ class ShardedEngine:
     remain valid global ids for record lookup."""
 
     def __init__(self, store: ChunkStore, mesh: Mesh | None = None,
-                 cfg: Config | None = None, axis: str | None = None):
+                 cfg: Config | None = None, axis: str | None = None,
+                 vector_backend: str | None = None):
         from mobius_rag_tpu.parallel.mesh import make_mesh
 
         self.cfg = cfg or get_config()
@@ -158,6 +172,14 @@ class ShardedEngine:
         store.listeners.append(self._on_store_event)
         self.index = self._shard_index(store.index)
         self._synced_generation = store.generation
+        # Vector-arm backend under sharding: per-shard ANN tables (each
+        # shard k-means-clusters its OWN rows; probe happens inside
+        # shard_map). Rebuilt whenever the store's write generation moves
+        # — cluster membership can't be incrementally patched safely.
+        self.vector_backend = vector_backend or self.cfg.vector_backend
+        self._ann = None
+        self._ann_generation = -1
+        self._ann_backend = None
 
     # -- liveness ----------------------------------------------------------
 
@@ -273,10 +295,71 @@ class ShardedEngine:
         out_wts[ks, slot] = wts_np[hh, pp][order]
         return out_cols, out_wts
 
+    # -- vector-arm ANN backend ---------------------------------------------
+
+    def set_vector_backend(self, backend: str) -> None:
+        if backend not in ("exact", "ivf", "packed", "pq"):
+            raise ValueError(f"backend {backend!r} must be exact|ivf|packed|pq")
+        self.vector_backend = backend
+
+    def ensure_ann(self):
+        """Per-shard ANN tables for the configured backend, stacked along
+        a leading shard axis and laid out so shard s's tables live on
+        shard s's device. Local row ids: shard s clusters rows
+        [s*Cs, (s+1)*Cs) of the store, ids are shard-local (the per-shard
+        scan offsets them to global, like the exact path)."""
+        if self.vector_backend == "exact":
+            return None
+        if (self._ann is not None
+                and self._ann_generation == self.store.generation
+                and self._ann_backend == self.vector_backend):
+            return self._ann
+        from mobius_rag_tpu.index.ivf import (IVFIndex, PackedIVF,
+                                              stack_shard_ivf,
+                                              stack_shard_packed)
+        from mobius_rag_tpu.ops.pq import (PackedPQ, effective_m,
+                                            stack_shard_pq)
+
+        src = self.store.index
+        s = self.mesh.shape[self.axis]
+        c_pad = round_up(src.capacity, s)
+        cs = c_pad // s
+        valid = np.asarray(jax.device_get(src.valid))
+        n_live = int((valid > 0).sum())
+        # uniform nlist across shards (shapes must match when stacked)
+        nlist = self.cfg.ivf_nlist or max(16, int(np.sqrt(max(n_live // s, 1))))
+        shards: list = []
+        for si in range(s):
+            lo, hi = si * cs, min((si + 1) * cs, src.capacity)
+            vec_local = src.vectors[lo:hi]  # device slice; k-means on device
+            ivf = IVFIndex.build(vec_local, valid[lo:hi], nlist=nlist)
+            scales = (src.vec_scales[lo:hi]
+                      if self.cfg.vector_dtype == "int8" else None)
+            if self.vector_backend == "packed":
+                shards.append(PackedIVF.from_ivf(ivf, vec_local,
+                                                 row_scales=scales))
+            elif self.vector_backend == "pq":
+                shards.append(PackedPQ.from_ivf(
+                    ivf, vec_local,
+                    m=effective_m(self.cfg.embed_dim, self.cfg.pq_m),
+                    row_scales=scales))
+            else:
+                shards.append(ivf)
+        stacked = {"packed": stack_shard_packed, "pq": stack_shard_pq,
+                   "ivf": stack_shard_ivf}[self.vector_backend](shards)
+        # lay the stacked tables out over the mesh: shard axis partitioned
+        put = lambda x: jax.device_put(
+            x, NamedSharding(self.mesh, P(self.axis, *([None] * (x.ndim - 1)))))
+        self._ann = jax.tree.map(put, stacked)
+        self._ann_generation = self.store.generation
+        self._ann_backend = self.vector_backend
+        return self._ann
+
     # -- query ---------------------------------------------------------------
 
     def _run(self, q: dict, k: int):
-        return self._run_fn(self.index, q, k)
+        return self._run_fn(self.index, q, k, self.ensure_ann(),
+                            self.cfg.ivf_nprobe)
 
     def search_arrays(self, q_host: dict[str, np.ndarray], k: int):
         """Run the sharded pipeline on prepared query arrays (schema =
@@ -298,4 +381,4 @@ class ShardedEngine:
         self.refresh()
         q, exps = engine.prepare_batch(reqs)
         out = jax.device_get(self._run(q, k))
-        return engine._assemble(list(reqs), exps, out, out["idx"].shape[1])
+        return engine._assemble(list(reqs), exps, out, k)

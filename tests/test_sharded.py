@@ -147,3 +147,139 @@ def test_sharded_pipelined_routes_through_mesh():
     for mb, sb in zip(mono, shrd):
         for mr, sr in zip(mb, sb):
             assert [h.chunk_id for h in mr.hits] == [h.chunk_id for h in sr.hits]
+
+
+# ---------------------------------------------------------------------------
+# ANN backends under sharding (round 3): per-shard IVF/packed tables built
+# by ShardedEngine.ensure_ann, probed inside shard_map.
+# ---------------------------------------------------------------------------
+
+def test_sharded_ivf_full_probe_matches_exact(setup):
+    """With nprobe >= nlist every cluster (plus spill) is probed, so the
+    per-shard IVF scan covers exactly the shard's rows — results must
+    equal the sharded exact scan (same live sets, same scores)."""
+    import dataclasses
+
+    lex, store, single, sharded = setup
+    k = 10
+    q = _prepared_batch(single, QUERIES)
+    exact = sharded.search_arrays(q, k)
+
+    cfg = dataclasses.replace(sharded.cfg, ivf_nprobe=100_000)
+    ann_eng = ShardedEngine(store, mesh=sharded.mesh, cfg=cfg,
+                            vector_backend="ivf")
+    out = ann_eng.search_arrays(q, k)
+    assert ann_eng._ann is not None  # the probe path actually built tables
+
+    from mobius_rag_tpu.ops.topk import NEG_INF
+    for bi in range(len(QUERIES)):
+        e_live = exact["rerank"][bi] > NEG_INF / 2
+        a_live = out["rerank"][bi] > NEG_INF / 2
+        assert e_live.sum() == a_live.sum(), f"query {bi} live-count"
+        assert (set(map(int, exact["idx"][bi][e_live]))
+                == set(map(int, out["idx"][bi][a_live]))), f"query {bi}"
+        np.testing.assert_allclose(
+            np.sort(out["rerank"][bi][a_live]),
+            np.sort(exact["rerank"][bi][e_live]), atol=1e-4)
+
+
+def test_sharded_packed_backend_serves(setup):
+    """Packed int8 per-shard backend: full-probe recall vs the exact
+    sharded scan stays high (int8 quantization noise only)."""
+    import dataclasses
+
+    lex, store, single, sharded = setup
+    k = 10
+    q = _prepared_batch(single, QUERIES)
+    exact = sharded.search_arrays(q, k)
+    cfg = dataclasses.replace(sharded.cfg, ivf_nprobe=100_000)
+    ann_eng = ShardedEngine(store, mesh=sharded.mesh, cfg=cfg,
+                            vector_backend="packed")
+    out = ann_eng.search_arrays(q, k)
+
+    from mobius_rag_tpu.ops.topk import NEG_INF
+    recalls = []
+    for bi in range(len(QUERIES)):
+        e_ids = set(map(int, exact["idx"][bi][exact["rerank"][bi] > NEG_INF / 2]))
+        a_ids = set(map(int, out["idx"][bi][out["rerank"][bi] > NEG_INF / 2]))
+        if e_ids:
+            recalls.append(len(e_ids & a_ids) / len(e_ids))
+    assert recalls and float(np.mean(recalls)) >= 0.8, recalls
+
+
+def test_engine_backend_propagates_to_sharded():
+    """MRAG_VECTOR_BACKEND=ivf with a mesh attached must actually serve
+    IVF (round 2 silently fell back to exact)."""
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=64))
+    se = ShardedEngine(store, mesh=make_mesh(8))
+    serving = SearchEngine(store, lex, embed_fn=hash_embed, sharded=se,
+                           vector_backend="ivf")
+    assert se.vector_backend == "ivf"
+    res = serving.search(QueryRequest(query="timely filing deadline"), k=5)[0]
+    assert res.hits
+    assert se._ann is not None, "sharded search did not build ANN tables"
+    # runtime switch propagates too
+    serving.set_vector_backend("exact")
+    assert se.vector_backend == "exact"
+
+
+def test_sharded_ann_rebuilds_after_publish():
+    """Store writes invalidate the per-shard ANN tables (generation
+    check) — a republished document must be findable through the probed
+    path."""
+    from mobius_rag_tpu.index.store import ChunkRecord
+    from mobius_rag_tpu.ingest.featurize import featurize_chunk
+    import dataclasses
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=64))
+    cfg = dataclasses.replace(get_config_for_tests(), ivf_nprobe=100_000)
+    se = ShardedEngine(store, mesh=make_mesh(8), cfg=cfg,
+                       vector_backend="ivf")
+    serving = SearchEngine(store, lex, embed_fn=hash_embed, sharded=se)
+    serving.search(QueryRequest(query="warm up"), k=5)
+    gen0 = se._ann_generation
+
+    text = ("Quixotic Plan florilegium benefit needs review before the "
+            "first antiquarian consult.")
+    rec = featurize_chunk(ChunkRecord(
+        chunk_id="qx-c0", doc_id="qx_doc", text=text,
+        embedding=hash_embed([text])[0]), lex)
+    store.publish_document("qx_doc", [rec])
+    res = serving.search(QueryRequest(query="florilegium antiquarian consult"),
+                         k=5)[0]
+    assert se._ann_generation != gen0, "ANN tables were not rebuilt"
+    assert any(h.doc_id == "qx_doc" for h in res.hits)
+
+
+def get_config_for_tests():
+    from mobius_rag_tpu.config import get_config
+    return get_config()
+
+
+def test_sharded_pq_backend_serves(setup):
+    """Per-shard residual-PQ tables under shard_map (config-5 on a
+    mesh): full-probe hybrid recall stays high vs the exact sharded
+    scan."""
+    import dataclasses
+
+    lex, store, single, sharded = setup
+    k = 10
+    q = _prepared_batch(single, QUERIES)
+    exact = sharded.search_arrays(q, k)
+    cfg = dataclasses.replace(sharded.cfg, ivf_nprobe=100_000)
+    ann_eng = ShardedEngine(store, mesh=sharded.mesh, cfg=cfg,
+                            vector_backend="pq")
+    out = ann_eng.search_arrays(q, k)
+
+    from mobius_rag_tpu.ops.topk import NEG_INF
+    recalls = []
+    for bi in range(len(QUERIES)):
+        e_ids = set(map(int, exact["idx"][bi][exact["rerank"][bi] > NEG_INF / 2]))
+        a_ids = set(map(int, out["idx"][bi][out["rerank"][bi] > NEG_INF / 2]))
+        if e_ids:
+            recalls.append(len(e_ids & a_ids) / len(e_ids))
+    assert recalls and float(np.mean(recalls)) >= 0.8, recalls
