@@ -221,6 +221,29 @@ def _write_block(index: DeviceIndex, start: jnp.ndarray, block: dict) -> DeviceI
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(index: DeviceIndex, rows: jnp.ndarray, block: dict) -> DeviceIndex:
+    """Scatter-write a fixed-size row list (donated in-place update).
+    The free-row-recycling counterpart of :func:`_write_block`: targets
+    are arbitrary (recycled) rows, so writes go through `.at[rows].set`.
+    `rows` is padded by REPEATING a real row — the duplicate writes carry
+    identical values, so scatter order cannot corrupt anything. Every
+    written field is fully overwritten, which also clears whatever the
+    row's previous (deleted) occupant left behind."""
+    new = {}
+    for f in index.fields:
+        arr = getattr(index, f)
+        if f not in block:
+            new[f] = arr
+            continue
+        upd = block[f].astype(arr.dtype)
+        if f == "lexical":  # bucket-major [H, C]: column scatter
+            new[f] = arr.at[:, rows].set(upd)
+        else:
+            new[f] = arr.at[rows].set(upd)
+    return DeviceIndex(**new)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _clear_rows(index: DeviceIndex, rows: jnp.ndarray) -> DeviceIndex:
     """Mark a fixed-size padded list of rows invalid (rows < 0 are no-ops)."""
     safe = jnp.where(rows >= 0, rows, 0)
@@ -340,10 +363,17 @@ class ChunkStore:
     # -- writes ------------------------------------------------------------
 
     def add_chunks(self, recs: Sequence[ChunkRecord]) -> list[int]:
-        """Append records; returns assigned device rows. Embeddings are
+        """Insert records; returns assigned device rows. Embeddings are
         L2-normalized here (pgvector cosine ordering is normalization-
         invariant; normalizing once at publish makes query-time scoring a
-        pure dot product)."""
+        pure dot product).
+
+        Rows freed by deletes are RECYCLED before the record list grows
+        (republish-heavy workloads — the reference's DELETE+INSERT
+        steady state, publish.py:27-481 — would otherwise grow the
+        device arrays without bound). Recycled rows are written through
+        the scatter path (:func:`_write_rows`); fresh appends keep the
+        contiguous block path."""
         if not recs:
             return []
         cfg = self.cfg
@@ -355,19 +385,38 @@ class ChunkStore:
                     f"embedding shape {emb.shape} != ({cfg.embed_dim},) "
                     f"for chunk {r.chunk_id!r}"
                 )
-        self._ensure_capacity(len(recs))
+        n_rec = min(len(recs), len(self._free_rows))
+        if n_rec:
+            self._free_rows.sort()
+            recycled, self._free_rows = (self._free_rows[:n_rec],
+                                         self._free_rows[n_rec:])
+            if self._sparse_lexical:
+                # stale postings still reference the freed rows; scrub
+                # them BEFORE the rows get new occupants, or old weights
+                # would score the new content
+                self._sparse_scrub_rows(recycled)
+        else:
+            recycled = []
+        self._ensure_capacity(len(recs) - n_rec)
         rows = []
         start = len(self.records)
-        for r in recs:
-            rows.append(len(self.records))
-            self.records.append(r)
-            self._doc_rows.setdefault(r.doc_id, []).append(rows[-1])
+        for i, r in enumerate(recs):
+            if i < n_rec:
+                row = recycled[i]
+                self.records[row] = r
+            else:
+                row = len(self.records)
+                self.records.append(r)
+            rows.append(row)
+            self._doc_rows.setdefault(r.doc_id, []).append(row)
             if r.source_id:
                 self._source_ids.setdefault(r.doc_id, set()).add(r.source_id)
 
         # Stage host blocks, then write in fixed-size device blocks.
+        # With recycling an extra zero block is staged at the tail so the
+        # append path always has zero (valid=0) rows to pad with.
         n = len(recs)
-        n_pad = round_up(n, _WRITE_BLOCK)
+        n_pad = round_up(n, _WRITE_BLOCK) + (_WRITE_BLOCK if n_rec else 0)
         d = cfg.embed_dim
         vecs = np.zeros((n_pad, d), np.float32)
         vec_scales = np.ones((n_pad,), np.float32)
@@ -417,25 +466,39 @@ class ChunkStore:
                 for bucket, w in r.lexical_weights.items():
                     lexical[bucket % cfg.lexical_buckets, i] += w
 
-        for off in range(0, n_pad, _WRITE_BLOCK):
-            block = {
-                "vectors": jnp.asarray(vecs[off:off + _WRITE_BLOCK]),
-                "vec_scales": jnp.asarray(vec_scales[off:off + _WRITE_BLOCK]),
-                "valid": jnp.asarray(valid[off:off + _WRITE_BLOCK]),
-                "doc_id": jnp.asarray(doc_id[off:off + _WRITE_BLOCK]),
-                "authority": jnp.asarray(authority[off:off + _WRITE_BLOCK]),
-                "length_score": jnp.asarray(length_score[off:off + _WRITE_BLOCK]),
-                "payer": jnp.asarray(payer[off:off + _WRITE_BLOCK]),
-                "state": jnp.asarray(state[off:off + _WRITE_BLOCK]),
-                "program": jnp.asarray(program[off:off + _WRITE_BLOCK]),
-                "j_tags": jnp.asarray(j_tags[off:off + _WRITE_BLOCK]),
-                "d_tags": jnp.asarray(d_tags[off:off + _WRITE_BLOCK]),
-                "p_tags": jnp.asarray(p_tags[off:off + _WRITE_BLOCK]),
-                "phrase_bits": jnp.asarray(phrase_bits[off:off + _WRITE_BLOCK]),
-            }
+        staged = {
+            "vectors": vecs, "vec_scales": vec_scales, "valid": valid,
+            "doc_id": doc_id, "authority": authority,
+            "length_score": length_score, "payer": payer, "state": state,
+            "program": program, "j_tags": j_tags, "d_tags": d_tags,
+            "p_tags": p_tags, "phrase_bits": phrase_bits,
+        }
+
+        def block_of(sel: np.ndarray) -> dict:
+            block = {f: jnp.asarray(a[sel]) for f, a in staged.items()}
             if not self._sparse_lexical:
-                block["lexical"] = jnp.asarray(lexical[:, off:off + _WRITE_BLOCK])
-            self.index = _write_block(self.index, jnp.int32(start + off), block)
+                block["lexical"] = jnp.asarray(lexical[:, sel])
+            return block
+
+        if n_rec:
+            # recycled rows: scatter writes (targets are arbitrary rows);
+            # pads repeat the last real (row, value) pair — harmless
+            r_pad = round_up(n_rec, _WRITE_BLOCK)
+            tgt = np.full(r_pad, rows[n_rec - 1], np.int32)
+            tgt[:n_rec] = rows[:n_rec]
+            sel = np.full(r_pad, n_rec - 1, np.int64)
+            sel[:n_rec] = np.arange(n_rec)
+            for off in range(0, r_pad, _WRITE_BLOCK):
+                self.index = _write_rows(
+                    self.index, jnp.asarray(tgt[off:off + _WRITE_BLOCK]),
+                    block_of(sel[off:off + _WRITE_BLOCK]))
+        n_app = n - n_rec
+        for off in range(0, round_up(n_app, _WRITE_BLOCK) if n_app else 0,
+                         _WRITE_BLOCK):
+            # pads clip into the zero-staged tail (valid=0 rows)
+            sel = np.minimum(n_rec + off + np.arange(_WRITE_BLOCK), n_pad - 1)
+            self.index = _write_block(self.index, jnp.int32(start + off),
+                                      block_of(sel))
         if self._sparse_lexical:
             self._sparse_add(postings)
         self._lexical_stats_cache = None
@@ -444,10 +507,27 @@ class ChunkStore:
 
     # -- sparse-lexical maintenance ---------------------------------------
 
+    def _sparse_scrub_rows(self, rows: Sequence[int]) -> None:
+        """Remove every posting that references `rows` (host mirrors +
+        device sync). Called before deleted rows are RECYCLED: until
+        then dead postings are harmless (the valid mask gates them), but
+        once the row has a new occupant an old posting would score the
+        new content with the old weight."""
+        target = np.asarray(sorted(rows), np.int32)
+        mask = np.isin(self._lex_cols_np, target)
+        touched = np.nonzero(mask.any(axis=1))[0]
+        if len(touched) == 0:
+            return
+        self._lex_cols_np[mask] = -1
+        self._lex_wts_np[mask] = 0.0
+        # fill counts keep the holes (compaction reclaims them lazily)
+        self._sync_sparse_device(list(touched))
+
     def _sparse_compact(self, bucket: int) -> None:
-        """Repack a bucket's postings, dropping rows that were deleted
-        (rows are never reused, so dead postings can only waste slots —
-        the valid-mask penalty already keeps them out of results)."""
+        """Repack a bucket's postings, dropping holes and rows that were
+        deleted (and not yet recycled — recycled rows had their stale
+        postings scrubbed in _sparse_scrub_rows, so a live record here
+        means a live posting)."""
         fill = int(self._lex_fill[bucket])
         cols = self._lex_cols_np[bucket, :fill]
         wts = self._lex_wts_np[bucket, :fill]

@@ -105,7 +105,11 @@ def test_snapshot_restore(tmp_path, rng):
         np.asarray(loaded.index.vectors), np.asarray(store.index.vectors)
     )
     assert loaded.embedded_source_ids("docB") == store.embedded_source_ids("docB")
-    assert loaded.record(12).chunk_id == "docB-c2"
+    # docB recycled docA's freed rows 0..7 (round-3 free-row reuse), and
+    # the snapshot preserves the recycled layout
+    assert store.record(2).chunk_id == "docB-c2"
+    assert loaded.record(2).chunk_id == "docB-c2"
+    assert loaded.free_row_count == store.free_row_count == 2
 
 
 def test_restore_rehydrates_embeddings(tmp_path, rng):
@@ -187,3 +191,95 @@ def test_bulk_load_device_vectors_parity():
         np.asarray(dev_store.index.vectors, np.float32), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(host_store.index.valid),
                                   np.asarray(dev_store.index.valid))
+
+
+# ---------------------------------------------------------------------------
+# Free-row recycling (round 3): republish churn must not grow the index.
+# ---------------------------------------------------------------------------
+
+def test_republish_churn_capacity_stable(rng):
+    """Many DELETE+INSERT republish cycles reuse freed rows: capacity and
+    the host record list stay bounded by the corpus size, not the write
+    count (the reference's steady-state op, publish.py:27-481)."""
+    store = ChunkStore(capacity=256)
+    # a background corpus that stays put
+    store.add_chunks([_rec(rng, "base", i) for i in range(40)])
+    cap0 = store.capacity
+    for cycle in range(200):
+        recs = [_rec(rng, "churn", i) for i in range(5)]
+        rows = store.publish_document("churn", recs)
+        assert len(rows) == 5
+    assert store.capacity == cap0, "republish churn grew the device arrays"
+    assert len(store.records) <= 40 + 5 + 5, (
+        "host record list grew without bound")
+    assert store.size == 45
+    assert store.free_row_count <= 5
+
+
+def test_recycled_rows_serve_new_content(rng):
+    """A recycled row must score ONLY its new occupant: vector, lexical
+    weights, tags and metadata all fully overwritten."""
+    from mobius_rag_tpu.ingest.featurize import featurize_chunk
+    from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+    from mobius_rag_tpu.testing import hash_embed, sample_lexicon
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    old_text = "Aardwolf policy covers nocturnal termite consultations only."
+    new_text = "Zugzwang rider reimburses chess-clock repair within 90 days."
+    old = featurize_chunk(ChunkRecord(
+        chunk_id="v1-c0", doc_id="doc_v", text=old_text,
+        embedding=hash_embed([old_text])[0]), lex)
+    row0 = store.add_chunks([old])[0]
+    store.delete_by_document("doc_v")
+    new = featurize_chunk(ChunkRecord(
+        chunk_id="v2-c0", doc_id="doc_v", text=new_text,
+        embedding=hash_embed([new_text])[0]), lex)
+    row1 = store.add_chunks([new])[0]
+    assert row1 == row0, "freed row was not recycled"
+
+    eng = SearchEngine(store, lex, embed_fn=hash_embed)
+    hit = eng.search(QueryRequest(query="zugzwang chess clock repair"),
+                     k=3)[0].hits
+    assert hit and hit[0].chunk_id == "v2-c0"
+    stale = eng.search(QueryRequest(query="aardwolf nocturnal termite"),
+                       k=3)[0].hits
+    assert not any(h.chunk_id == "v1-c0" for h in stale)
+    assert store.record(row0).text == new_text
+
+
+def test_recycling_sparse_layout_scrubs_postings(rng):
+    """Sparse postings referencing a freed row are scrubbed before the
+    row's reuse — old lexical weights must not score new content."""
+    import dataclasses
+
+    from mobius_rag_tpu.ingest.featurize import featurize_chunk
+    from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+    from mobius_rag_tpu.testing import hash_embed, sample_lexicon
+
+    cfg = dataclasses.replace(get_config(), lexical_format="sparse",
+                              lexical_postings_init=8)
+    lex = sample_lexicon()
+    store = ChunkStore(cfg)
+    old_text = "Quokka benefit includes marsupial wellness screenings."
+    new_text = "Xylophone maintenance billed under percussion therapy codes."
+    old = featurize_chunk(ChunkRecord(
+        chunk_id="s1-c0", doc_id="doc_s", text=old_text,
+        embedding=hash_embed([old_text])[0]), lex)
+    row0 = store.add_chunks([old])[0]
+    store.delete_by_document("doc_s")
+    new = featurize_chunk(ChunkRecord(
+        chunk_id="s2-c0", doc_id="doc_s", text=new_text,
+        embedding=hash_embed([new_text])[0]), lex)
+    row1 = store.add_chunks([new])[0]
+    assert row1 == row0
+
+    eng = SearchEngine(store, lex, cfg=cfg, embed_fn=hash_embed)
+    res = eng.search(QueryRequest(query="quokka marsupial wellness"),
+                     k=3)[0]
+    # lexical arm must NOT credit the recycled row for the old terms
+    assert not any(t["row"] == row0
+                   for t in res.telemetry["arms"]["lexical"])
+    res2 = eng.search(QueryRequest(query="xylophone percussion therapy"),
+                      k=3)[0]
+    assert res2.hits and res2.hits[0].chunk_id == "s2-c0"
