@@ -282,12 +282,18 @@ def build_app(ctx: AppContext) -> web.Application:
         if not body.get("query"):
             return _err("missing 'query'")
         try:
+            # preference fields pass through as None when absent so the
+            # caller-mode preset (router :118-160) supplies the defaults
+            acc = body.get("accuracy_need")
+            rec = body.get("recall_demand")
             res = ctx.agent.run(AgentRequest(
                 query=body["query"], mode=body.get("mode"),
                 payer=body.get("payer", ""), state=body.get("state", ""),
                 program=body.get("program", ""), k=int(body.get("k", 10)),
-                accuracy_need=float(body.get("accuracy_need", 0.5)),
-                recall_demand=float(body.get("recall_demand", 0.5)),
+                caller_mode=body.get("caller_mode"),
+                accuracy_need=None if acc is None else float(acc),
+                recall_demand=None if rec is None else float(rec),
+                speed_budget=body.get("speed_budget"),
                 answer_shape=body.get("answer_shape"),
             ))
         except ValueError as e:
@@ -298,6 +304,7 @@ def build_app(ctx: AppContext) -> web.Application:
             "strategy_chain": res.strategy_chain, "decision": res.decision,
             "gate": res.gate, "profile": res.profile,
             "improvement_hint": res.improvement_hint,
+            "narrative": res.narrative,
             "chunks": [
                 {"chunk_id": h.chunk_id, "doc_id": h.doc_id, "text": h.text,
                  "score": h.score, "metadata": h.metadata}

@@ -231,6 +231,7 @@ class TelemetryStore:
                         "score": c.score, "signals": c.signals} for c in r.chunks],
             "decision": r.decision, "gate": r.gate, "profile": r.profile,
             "telemetry": r.telemetry, "hint": r.improvement_hint,
+            "narrative": getattr(r, "narrative", ""),
         }
         self._submit(
             "INSERT OR REPLACE INTO query_traces VALUES (?,?,?)",

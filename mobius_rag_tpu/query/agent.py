@@ -28,7 +28,8 @@ from mobius_rag_tpu.query.classify import QueryProfile, classify_query
 from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine, SearchHit
 from mobius_rag_tpu.query.gate import (Contour, GateResult, corpus_probe,
                                        doc_tag_index, run_gate)
-from mobius_rag_tpu.query.router import RoutePreferences, Router
+from mobius_rag_tpu.query.router import (RoutePreferences, Router,
+                                         resolve_preferences)
 from mobius_rag_tpu.query.strategies import (StrategyOutcome, run_strategy_a,
                                              run_strategy_b, run_strategy_c,
                                              run_strategy_d, run_strategy_s)
@@ -78,14 +79,21 @@ def partition_terms(profile: QueryProfile, lexicon) -> dict[str, list[str]]:
 @dataclasses.dataclass
 class AgentRequest:
     query: str
-    mode: str | None = None  # forced strategy a|b|c|d|s or None = router
+    # Forced strategy override (agent :3082): a single strategy
+    # ("a"), or an override SET ("a,c" / "a+c") restricting the
+    # adaptive cascade to exactly those strategies in router order;
+    # None = the router picks freely.
+    mode: str | None = None
     payer: str = ""
     state: str = ""
     program: str = ""
     k: int = 10
-    accuracy_need: float = 0.5
-    recall_demand: float = 0.5
-    speed_budget: str = "real_time"
+    # Caller-mode preset (router :118-160): named context resolving to
+    # preference defaults; the explicit fields below override it.
+    caller_mode: str | None = None
+    accuracy_need: float | None = None
+    recall_demand: float | None = None
+    speed_budget: str | None = None
     answer_shape: str | None = None
     embedding: Any = None
 
@@ -104,6 +112,10 @@ class AgentResult:
     improvement_hint: str
     refused: bool
     telemetry: dict[str, Any]
+    # Human-readable strategy-chain narrative for the operator trace UI
+    # (the reference persists one per decision, agent :3402) — how the
+    # query moved through classify → gate → route → strategies.
+    narrative: str = ""
 
 
 class CorpusSearchAgent:
@@ -224,9 +236,10 @@ class CorpusSearchAgent:
 
     # -- strategies ----------------------------------------------------------
 
-    def _run_strategy(self, sid: str, req: QueryRequest, k: int) -> StrategyOutcome:
+    def _run_strategy(self, sid: str, req: QueryRequest, k: int,
+                      literals: tuple[str, ...] = ()) -> StrategyOutcome:
         if sid == "a":
-            return run_strategy_a(self.engine, req, k)
+            return run_strategy_a(self.engine, req, k, literals=literals)
         if sid == "b":
             return run_strategy_b(self.engine, req, k)
         if sid == "c":
@@ -274,13 +287,27 @@ class CorpusSearchAgent:
 
     # -- main --------------------------------------------------------------
 
+    @staticmethod
+    def _parse_mode(mode: str | None) -> list[str]:
+        """Forced-mode override parse: None → [], "a" → ["a"],
+        "a,c"/"a+c" → ["a", "c"] (an override SET, agent :3082)."""
+        if not mode:
+            return []
+        parts = [p.strip() for p in mode.replace("+", ",").split(",") if p.strip()]
+        bad = [p for p in parts if p not in ("a", "b", "c", "d", "s")]
+        if bad or not parts:
+            raise ValueError(
+                f"mode {mode!r} must be strategies from a|b|c|d|s "
+                f"(single or a ','/'+'-joined set)")
+        return list(dict.fromkeys(parts))
+
     def run(self, req: AgentRequest) -> AgentResult:
-        if req.mode not in (None, "a", "b", "c", "d", "s"):
-            raise ValueError(f"mode {req.mode!r} must be one of a|b|c|d|s or None")
+        forced = self._parse_mode(req.mode)
         t0 = time.perf_counter()
         agent_id = uuid.uuid4().hex[:12]
         chain: list[str] = []
         outcomes: list[StrategyOutcome] = []
+        story: list[str] = []  # strategy-chain narrative lines
 
         # classify with a corpus probe behind the matched tags
         pre = classify_query(req.query, self.engine.lexicon)
@@ -294,6 +321,17 @@ class CorpusSearchAgent:
         # selectivity partition + cascading candidate pool (:1343, :1762)
         partition = partition_terms(profile, self.engine.lexicon)
         pool = self.build_candidate_pool(partition, req.payer)
+
+        story.append(
+            f"classified as {profile.query_class} "
+            f"(canonicality {profile.canonicality:.2f}, "
+            f"literals {profile.literals or 'none'}); "
+            f"gate contour {gate.contour.value}")
+        story.append(
+            f"anchors {partition['anchors'] or 'none'}, "
+            f"candidate pool L{pool['level']} ({pool['docs']} docs"
+            + (", inherited-authority augmented" if pool.get("inherited") else "")
+            + ")")
 
         base_req = QueryRequest(
             query=req.query, embedding=req.embedding, payer=req.payer,
@@ -318,6 +356,7 @@ class CorpusSearchAgent:
                          "pool": pool,
                          **profile.features},
                 improvement_hint=hint, refused=refused,
+                narrative=" → ".join(story),
                 telemetry={
                     "elapsed_ms": (time.perf_counter() - t0) * 1e3,
                     "attempts": [
@@ -339,14 +378,16 @@ class CorpusSearchAgent:
         # was just refused skips the cascade entirely (agent :3105)
         signature = " ".join(sorted(set(req.query.lower().split()))) + f"|{req.payer}"
         cached = self._signature_cache.get(signature)
-        if cached is not None and req.mode is None:
+        if cached is not None and not forced:
             chain.append("e")
+            story.append("signature fast-exit (same query shape was just refused)")
             return _result(cached[0], [], "abstain",
                            {"strategy": "e", "reason": "signature fast-exit"},
                            refused=True)
 
         def _refuse(answer, reason):
             chain.append("e")
+            story.append(f"refused by gate e ({reason})")
             if len(self._signature_cache) >= _SIGNATURE_CACHE_MAX:
                 self._signature_cache.clear()
             self._signature_cache[signature] = (answer, gate.contour.value)
@@ -366,22 +407,25 @@ class CorpusSearchAgent:
                 f"gate:{gate.contour.value}")
 
         # strategy s pre-route (payor fact store)
-        if req.mode in (None, "s"):
+        if not forced or "s" in forced:
             s_out = run_strategy_s(base_req, self.fact_store)
             if s_out is not None:
                 chain.append("s")
                 outcomes.append(s_out)
+                story.append("fact-store pre-route (s) hit — answered directly")
                 return _result(s_out.answer or "", s_out.hits, "high",
                                {"strategy": "s", "reason": "fact-store hit"})
-            if req.mode == "s":
+            if forced == ["s"]:
                 chain.append("s")
+                story.append("forced s: no fact-store hit")
                 return _result("", [], "abstain",
                                {"strategy": "s", "reason": "forced s; no fact-store hit"})
+            forced = [f for f in forced if f != "s"]
 
         # multi-literal short-circuit (agent :2091): two+ literal anchors
         # co-occurring verbatim in one chunk is near-certain evidence —
         # skip routing entirely and return the direct lookup.
-        if req.mode is None and len(profile.literals) >= 2:
+        if not forced and len(profile.literals) >= 2:
             t_sc = time.perf_counter()
             sc = self.engine.search(dataclasses.replace(
                 base_req, tag_mode="none", mode="precision"), k=req.k * 2)[0]
@@ -395,15 +439,20 @@ class CorpusSearchAgent:
                     {"short_circuit": "multi_literal",
                      "literals": profile.literals},
                     (time.perf_counter() - t_sc) * 1e3, [sc]))
+                story.append(
+                    f"multi-literal short-circuit: {profile.literals} "
+                    f"co-occur verbatim in {len(sc_hits)} chunk(s)")
                 answer = self._synthesize(req.query, sc_hits)
                 return _result(answer, sc_hits, "high",
                                {"strategy": "a",
                                 "reason": "multi-literal short-circuit"})
 
-        # route
-        prefs = RoutePreferences(
-            accuracy_need=req.accuracy_need, recall_demand=req.recall_demand,
-            speed_budget=req.speed_budget, answer_shape=req.answer_shape,
+        # route — caller-mode preset resolution (router :118-162): the
+        # named preset supplies defaults, explicit request fields win
+        prefs = resolve_preferences(
+            req.caller_mode, accuracy_need=req.accuracy_need,
+            recall_demand=req.recall_demand, speed_budget=req.speed_budget,
+            answer_shape=req.answer_shape,
         )
         # inherited-authority corpus signal for the linear router features
         # (regulator-grade docs exist → corpus_depth counts them)
@@ -417,8 +466,17 @@ class CorpusSearchAgent:
                     # the pool refines the raw probe's union for routing
                     "pool_size": pool["docs"] or profile.pool_size,
                     "pool_level": pool["level"]}
-        if req.mode:
-            decision = self.router.decide_override(req.mode, features, prefs)
+        if len(forced) == 1:
+            decision = self.router.decide_override(forced[0], features, prefs)
+        elif forced:
+            # forced override SET (agent :3082): the router ranks freely
+            # but the cascade may only use strategies from the set
+            decision = self.router.decide(features, prefs)
+            order = [s for s in decision.order if s in forced] or list(forced)
+            decision = dataclasses.replace(
+                decision, order=order, strategy=order[0],
+                multi_invoke=[order[0]],
+                reason=f"forced_set={'+'.join(forced)}; " + decision.reason)
         else:
             decision = self.router.decide(features, prefs)
 
@@ -428,9 +486,17 @@ class CorpusSearchAgent:
             "multi_invoke": decision.multi_invoke,
             "priors_version": decision.priors_version, "reason": decision.reason,
         }
+        score_str = ", ".join(f"{s}:{decision.scores.get(s, 0.0):.2f}"
+                              for s in decision.order)
+        story.append(
+            ("forced to " if forced else "routed to ")
+            + f"{decision.strategy}"
+            + (f" [{score_str}]" if score_str else "")
+            + (f" (caller mode {req.caller_mode})" if req.caller_mode else "")
+            + (f", withdrawn {decision.withdrawn}" if decision.withdrawn else ""))
 
         # v2 multi-invoke: run the near-tied strategies, union, synthesize once
-        if len(decision.multi_invoke) > 1 and not req.mode:
+        if len(decision.multi_invoke) > 1 and not forced:
             merged: dict[str, SearchHit] = {}
             for sid in decision.multi_invoke:
                 chain.append(sid)
@@ -445,6 +511,9 @@ class CorpusSearchAgent:
                         key=["abstain", "low", "medium", "high"].index, default="abstain")
             answer = next((o.answer for o in outcomes if o.answer), None) \
                 or self._synthesize(req.query, hits)
+            story.append(
+                f"v2 multi-invoke {'+'.join(decision.multi_invoke)}: "
+                f"union of {len(merged)} chunks, confidence {label}")
             return _result(answer, hits, label, decision_dict)
 
         # adaptive loop: walk the fallback order until a strategy succeeds
@@ -461,31 +530,44 @@ class CorpusSearchAgent:
             sid = order.pop(0)
             cost = STRATEGY_COST.get(sid, 1.0)
             if cost > budget and best is not None:
+                story.append(f"escalation budget spent before {sid}")
                 break  # escalation budget spent (agent :2321)
             budget -= cost
             attempt += 1
             chain.append(sid)
-            out = self._run_strategy(sid, base_req, req.k)
+            out = self._run_strategy(sid, base_req, req.k,
+                                     literals=tuple(profile.literals))
             est = self._recall_self_estimate(out, partition)
             out.detail["recall_self_estimate"] = est
             outcomes.append(out)
+            story.append(
+                f"strategy {sid}: {len(out.hits)} hits, "
+                f"{out.confidence_label}, self-estimate {est:.2f} — "
+                + ("accepted" if out.success and est >= SELF_ESTIMATE_FLOOR
+                   else "succeeded but low estimate, escalating"
+                   if out.success else "failed"))
             if est > best_est or (out.success and not (best and best.success)):
                 best, best_est = out, est
-            if req.mode:  # forced mode: one attempt only
+            if len(forced) == 1:  # single forced mode: one attempt only
                 break
             if out.success and est >= SELF_ESTIMATE_FLOOR:
                 break
             if out.success and est < SELF_ESTIMATE_FLOOR and order:
-                # re-route with the self-estimate fed back (router hook)
+                # re-route with the self-estimate fed back (router hook);
+                # a forced set also bounds the re-route
                 redecide = self.router.decide(
                     {**features, "recall_self_estimate": est}, prefs,
                     exclude=list(dict.fromkeys(chain)))
-                order = [s for s in redecide.order if s not in chain]
+                order = [s for s in redecide.order if s not in chain
+                         and (not forced or s in forced)]
 
         best = best or StrategyOutcome(decision.strategy, [], None, "abstain",
                                        False, {}, 0.0)
         answer = best.answer or self._synthesize(req.query, best.hits)
         label = self._aggregate_confidence(best, outcomes)
+        if len(outcomes) >= 3 and label != best.confidence_label:
+            story.append(
+                f"confidence downgraded to {label} ({len(outcomes)} attempts)")
         return _result(answer, best.hits, label, decision_dict)
 
     @staticmethod

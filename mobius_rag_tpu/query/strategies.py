@@ -46,17 +46,49 @@ class StrategyOutcome:
     search_results: list[SearchResult] = dataclasses.field(default_factory=list)
 
 
-def _rewrite_for_strategy(query: str, strategy: str) -> str:
-    """Per-strategy query rewrite (agent :884): strip persona/meta lead-ins;
-    strategies that go to the web get payer-context appended upstream."""
+def rewrite_for_strategy(query: str, strategy: str, *, payer: str = "",
+                         state: str = "", program: str = "",
+                         literals: tuple[str, ...] = ()) -> str:
+    """Per-strategy query rewrite (agent :884).
+
+    Every strategy strips persona/meta lead-ins ("as a billing manager,
+    ..."). Beyond that:
+    - c/d (the strategies that leave the pure-retrieval context) get the
+      payer context APPENDED — an LLM grounding pass or a web search for
+      "timely filing deadline" without "sunshine health florida medicaid"
+      answers for the wrong payer (the reference's authoritative-query
+      build, strategy_d.py:286);
+    - a, when the query carries literal anchors (policy/HCPCS codes),
+      LEADS with them — the reference's literal extraction puts the
+      code first so exact-match ranking dominates (the hashed lexical
+      arm is order-invariant, but phrase coverage and the code-fastpath
+      consumers read the rewritten string).
+    """
     q = re.sub(r"^\s*(as a (billing|um|front.?end)\s+\w*\s*,?)", "", query, flags=re.I)
-    return q.strip() or query
+    q = q.strip() or query
+    if strategy in ("c", "d"):
+        qualifiers = " ".join(
+            x for x in (payer.replace("_", " "), state, program) if x)
+        if qualifiers and qualifiers.lower() not in q.lower():
+            q = f"{q} {qualifiers}"
+    elif strategy == "a" and literals:
+        lead = [l for l in literals if l.lower() not in q.lower().split()[:len(literals)]]
+        if lead:
+            q = " ".join(lead) + " " + q
+    return q
 
 
-def run_strategy_a(engine: SearchEngine, req: QueryRequest, k: int) -> StrategyOutcome:
+# Backwards-compatible alias (pre-round-3 name).
+def _rewrite_for_strategy(query: str, strategy: str) -> str:
+    return rewrite_for_strategy(query, strategy)
+
+
+def run_strategy_a(engine: SearchEngine, req: QueryRequest, k: int,
+                   literals: tuple[str, ...] = ()) -> StrategyOutcome:
     t0 = time.perf_counter()
     res = engine.search(dataclasses.replace(
-        req, query=_rewrite_for_strategy(req.query, "a")), k=k)[0]
+        req, query=rewrite_for_strategy(req.query, "a", literals=literals)),
+        k=k)[0]
     ok = bool(res.hits) and res.confidence_label in ("high", "medium")
     return StrategyOutcome(
         "a", res.hits, None, res.confidence_label, ok,
@@ -222,7 +254,12 @@ def run_strategy_c(engine: SearchEngine, req: QueryRequest, k: int,
     citations degrade confidence instead of failing outright (the
     reference surfaces them as caveats)."""
     t0 = time.perf_counter()
-    res = engine.search(dataclasses.replace(req, mode="recall"), k=max(k, 8))[0]
+    # retrieval runs on the payer-contextualized rewrite; the LLM still
+    # answers the caller's original question
+    rewritten = rewrite_for_strategy(req.query, "c", payer=req.payer,
+                                     state=req.state, program=req.program)
+    res = engine.search(dataclasses.replace(req, query=rewritten,
+                                            mode="recall"), k=max(k, 8))[0]
     context = "\n".join(
         f"[passage {i}]\n{h.text}" for i, h in enumerate(res.hits)
     )
@@ -260,9 +297,9 @@ def run_strategy_d(engine: SearchEngine, req: QueryRequest, k: int,
     """External-first: authoritative web query from payer context, fetch
     top URLs, synthesize with passage citations."""
     t0 = time.perf_counter()
-    qualifiers = " ".join(x for x in (req.payer, req.state, "provider manual") if x)
-    serp = web.search(f"{_rewrite_for_strategy(req.query, 'd')} {qualifiers}".strip(),
-                      max_results=5)
+    rewritten = rewrite_for_strategy(req.query, "d", payer=req.payer,
+                                     state=req.state, program=req.program)
+    serp = web.search(f"{rewritten} provider manual", max_results=5)
     passages = []
     for r in serp[:5]:
         body = web.fetch(r.get("url", ""), timeout_s=8.0)

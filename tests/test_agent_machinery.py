@@ -104,3 +104,95 @@ def test_low_self_estimate_boosts_recall_demand():
     boosted = r.decide({**feats, "recall_self_estimate": 0.1})
     # the boost raises recall_demand, so recall-heavy arms gain score
     assert any(boosted.scores[s] > base.scores[s] for s in boosted.scores)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 agent depth: caller-mode presets, per-strategy rewrite,
+# forced-override sets, strategy-chain narrative.
+# ---------------------------------------------------------------------------
+
+def test_caller_mode_presets_resolve():
+    from mobius_rag_tpu.query.router import (CALLER_MODE_PRESETS,
+                                             resolve_preferences)
+
+    hs = resolve_preferences("high_stakes")
+    assert hs.accuracy_need == 0.9 and hs.speed_budget == "interactive"
+    # explicit fields override the preset
+    custom = resolve_preferences("high_stakes", recall_demand=0.2)
+    assert custom.accuracy_need == 0.9 and custom.recall_demand == 0.2
+    # default when nothing given
+    assert resolve_preferences() == CALLER_MODE_PRESETS["default"]
+    with pytest.raises(ValueError):
+        resolve_preferences("no_such_mode")
+
+
+def test_caller_mode_changes_routing(agent):
+    """quick_lookup (real_time, low recall) vs research (batch, high
+    recall) must produce different preference-driven scores."""
+    res_quick = agent.run(AgentRequest(
+        query="what are the prior authorization rules for sunshine health",
+        caller_mode="quick_lookup"))
+    res_research = agent.run(AgentRequest(
+        query="what are the prior authorization rules for sunshine health",
+        caller_mode="research"))
+    assert res_quick.decision["scores"] != res_research.decision["scores"]
+
+
+def test_rewrite_appends_payer_context_for_c_d():
+    from mobius_rag_tpu.query.strategies import rewrite_for_strategy
+
+    q = "timely filing deadline"
+    rc = rewrite_for_strategy(q, "c", payer="sunshine_health", state="FL")
+    assert "sunshine health" in rc and "FL" in rc
+    rd = rewrite_for_strategy(q, "d", payer="molina")
+    assert "molina" in rd
+    # a/b keep the query clean (no web context needed)
+    assert rewrite_for_strategy(q, "a", payer="molina") == q
+    # no duplicate append when the payer is already in the query
+    rq = rewrite_for_strategy("molina timely filing", "d", payer="molina")
+    assert rq.lower().count("molina") == 1
+
+
+def test_rewrite_strips_persona_and_leads_with_literals():
+    from mobius_rag_tpu.query.strategies import rewrite_for_strategy
+
+    r = rewrite_for_strategy(
+        "as a billing manager, when do claims deny?", "a")
+    assert not r.lower().startswith("as a billing")
+    r2 = rewrite_for_strategy("how do I bill code for therapy?", "a",
+                              literals=("H2019",))
+    assert r2.split()[0] == "H2019"
+
+
+def test_forced_mode_set_restricts_cascade(agent):
+    res = agent.run(AgentRequest(
+        query="sunshine health timely filing", mode="a+b"))
+    used = [s for s in res.strategy_chain if s not in ("e", "s")]
+    assert used and set(used) <= {"a", "b"}
+    assert "forced_set=" in res.decision["reason"]
+    # invalid strategy in the set fails loudly
+    with pytest.raises(ValueError):
+        agent.run(AgentRequest(query="x", mode="a+zz"))
+
+
+def test_single_forced_mode_still_single_attempt(agent):
+    res = agent.run(AgentRequest(query="sunshine health timely filing",
+                                 mode="b"))
+    assert res.strategy_chain == ["b"]
+
+
+def test_narrative_present_and_ordered(agent):
+    res = agent.run(AgentRequest(
+        query="what are the prior authorization rules for sunshine health"))
+    n = res.narrative
+    assert "classified as" in n and "candidate pool" in n
+    assert ("routed to" in n) or ("short-circuit" in n)
+    # narrative reaches the persisted trace via record_decision
+    from mobius_rag_tpu.query.agent import AgentResult
+    assert isinstance(res, AgentResult) and n.count("→") >= 2
+
+
+def test_refusal_narrative(agent):
+    res = agent.run(AgentRequest(
+        query="sunshine claim for patient ssn 123-45-6789"))
+    assert res.refused and "refused by gate e" in res.narrative

@@ -98,3 +98,46 @@ def test_set_vector_backend_validation(corpus):
         eng.set_vector_backend("hnsw")
     eng.set_vector_backend("ivf")
     assert eng.vector_backend == "ivf"
+
+
+def test_pq_backend_serves_hybrid(corpus):
+    """backend=pq (config-5 regime): residual-PQ ADC candidate
+    generation + the engine's exact-cosine candidate re-rank. At full
+    probe on a small corpus the hybrid top-k must match exact closely
+    (codebooks nearly memorize a few hundred rows)."""
+    lex, store = corpus
+    cfg = dataclasses.replace(get_config(), vector_backend="pq",
+                              ivf_nprobe=10 ** 6)
+    exact = SearchEngine(store, lex, embed_fn=hash_embed)
+    pq = SearchEngine(store, lex, cfg=cfg, embed_fn=hash_embed)
+    from mobius_rag_tpu.ops.pq import PackedPQ
+    recalls = []
+    for q in QUERIES:
+        a = exact.search(q, k=8)[0]
+        b = pq.search(q, k=8)[0]
+        ids_a = {h.chunk_id for h in a.hits}
+        ids_b = {h.chunk_id for h in b.hits}
+        if ids_a:
+            recalls.append(len(ids_a & ids_b) / len(ids_a))
+    assert isinstance(pq._ann, PackedPQ)
+    assert recalls and float(np.mean(recalls)) >= 0.85, recalls
+
+
+def test_pq_backend_rebuilds_after_publish(corpus):
+    from mobius_rag_tpu.index.store import ChunkRecord
+    from mobius_rag_tpu.ingest.featurize import featurize_chunk
+
+    lex, _ = corpus
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=64))
+    cfg = dataclasses.replace(get_config(), vector_backend="pq",
+                              ivf_nprobe=10 ** 6)
+    eng = SearchEngine(store, lex, cfg=cfg, embed_fn=hash_embed)
+    eng.search(QueryRequest(query="timely filing"), k=5)
+    text = "Umiak rental coverage requires arctic navigation certification."
+    rec = featurize_chunk(ChunkRecord(
+        chunk_id="u-c0", doc_id="u_doc", text=text,
+        embedding=hash_embed([text])[0]), lex)
+    store.publish_document("u_doc", [rec])
+    res = eng.search(QueryRequest(query="umiak arctic navigation"), k=5)[0]
+    assert any(h.doc_id == "u_doc" for h in res.hits)
