@@ -115,6 +115,17 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
             checks["queue"] = {"ok": False, "error": str(e)}
             ok = False
         try:
+            # worker-fleet liveness (worker_server_chunking.py:8-35
+            # parity): any registered worker with a stale tick >120s
+            # degrades the deployment to 503 so the platform reacts
+            live = ctx.pipeline.queue.worker_liveness()
+            checks["workers"] = {"ok": live["ok"], "fleet": live["workers"]}
+            if not live["ok"]:
+                ok = False
+        except Exception as e:
+            checks["workers"] = {"ok": False, "error": str(e)}
+            ok = False
+        try:
             ctx.telemetry.recent_errors(1)
             checks["telemetry"] = {"ok": True}
         except Exception as e:
@@ -724,8 +735,14 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
 
     # ---- route table -----------------------------------------------------------
 
+    async def workers_status(request):
+        """Per-worker liveness roster (tick ages from the queue DB)."""
+        live = ctx.pipeline.queue.worker_liveness()
+        return _json(live, 200 if live["ok"] else 503)
+
     r.add_get("/version", version)
     r.add_get("/health/deep", health_deep)
+    r.add_get("/admin/workers", workers_status)
     r.add_get("/recent_queries", recent_queries)
     r.add_get("/errors", errors_list)
     r.add_get("/errors/stats", errors_stats)

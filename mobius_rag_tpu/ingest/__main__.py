@@ -78,14 +78,29 @@ def main() -> None:
     log = setup_logging(f"mrag-{args.kind}-worker")
     shutdown.install_handlers()
     queue = JobQueue(args.queue)
+    worker_id = f"{args.kind}-{os.getpid()}"
     # Production lexicon (MRAG_LEXICON_PATH; packaged full lexicon by
     # default) — workers must tag with the same lexicon the server
     # expands queries with, or coverage/gate signals drift.
     lexicon = Lexicon.from_yaml(get_config().lexicon_path)
-    tick = lambda: None
+    local_tick = lambda: None
     if args.health_port:
-        tick, _ = _start_health_server(args.health_port)
+        local_tick, _ = _start_health_server(args.health_port)
         log.info("health endpoint on :%d", args.health_port)
+
+    def tick():
+        # both liveness surfaces: the per-process /health shell AND the
+        # shared queue DB (the API's /health/deep watches the fleet)
+        local_tick()
+        queue.worker_tick(worker_id, args.kind)
+
+    tick()
+
+    import atexit
+
+    # clean exits deregister (a deliberately stopped worker must not read
+    # as stale); a crash/freeze leaves the tick to go stale — the signal
+    atexit.register(queue.deregister_worker, worker_id)
 
     if args.kind == "chunking":
         # durable blob store: a chunking worker process must see blobs the

@@ -51,6 +51,11 @@ CREATE TABLE IF NOT EXISTS job_partials (
   job_id TEXT, part_key TEXT, payload TEXT, ts REAL,
   PRIMARY KEY (job_id, part_key)
 );
+CREATE TABLE IF NOT EXISTS worker_ticks (
+  worker_id TEXT PRIMARY KEY,
+  kind TEXT,
+  last_tick REAL
+);
 """
 
 
@@ -137,6 +142,52 @@ class JobQueue:
             )
         self.emit(job_id, "claimed", {"worker": worker_id, "attempt": attempts + 1})
         return Job(job_id, kind, json.loads(payload), "running", attempts + 1, priority)
+
+    # -- worker liveness -------------------------------------------------------
+    # The reference's worker HTTP shells 503 when the in-process tick is
+    # stale >120s so the platform replaces the instance
+    # (worker_server_chunking.py:8-35). Here liveness ALSO lands in the
+    # shared queue DB so the API process's /health/deep sees the whole
+    # worker fleet, not just itself.
+
+    # a worker silent this long is treated as decommissioned, not stale
+    WORKER_EXPIRY_S = 3600.0
+
+    def worker_tick(self, worker_id: str, kind: str) -> None:
+        """Record a liveness heartbeat for a worker process (called once
+        per poll loop, independent of any claimed job)."""
+        with self._lock:
+            self.conn.execute(
+                "INSERT INTO worker_ticks (worker_id, kind, last_tick) "
+                "VALUES (?,?,?) ON CONFLICT(worker_id) DO UPDATE SET "
+                "kind=excluded.kind, last_tick=excluded.last_tick",
+                (worker_id, kind, time.time()))
+            self.conn.commit()
+
+    def worker_liveness(self, stale_after_s: float = 120.0) -> dict[str, Any]:
+        """Fleet liveness: every worker seen within WORKER_EXPIRY_S, with
+        tick age and staleness. `ok` is False when ANY active worker's
+        newest tick is stale (the /health/deep 503 trigger)."""
+        now = time.time()
+        with self._lock:
+            rows = self.conn.execute(
+                "SELECT worker_id, kind, last_tick FROM worker_ticks "
+                "WHERE last_tick > ?", (now - self.WORKER_EXPIRY_S,)).fetchall()
+        workers = {
+            wid: {"kind": kind, "tick_age_s": round(now - t, 1),
+                  "stale": (now - t) > stale_after_s}
+            for wid, kind, t in rows
+        }
+        return {"ok": not any(w["stale"] for w in workers.values()),
+                "workers": workers}
+
+    def deregister_worker(self, worker_id: str) -> None:
+        """Graceful-shutdown path: a worker that exits cleanly removes its
+        tick so it never reads as stale."""
+        with self._lock:
+            self.conn.execute("DELETE FROM worker_ticks WHERE worker_id=?",
+                              (worker_id,))
+            self.conn.commit()
 
     def heartbeat(self, job_id: str) -> None:
         with self._lock:

@@ -107,3 +107,56 @@ def test_integrity_detects_and_remediates(ctx):
     out = integrity_remediate(ctx)
     assert out["after"]["ok"], out["after"]
     ctx.store.records.append(saved)  # restore-ish for other tests (new row)
+
+
+def test_worker_liveness_freeze_503(ctx):
+    """Worker-fleet liveness (worker_server_chunking.py:8-35 parity): a
+    frozen worker's stale tick flips /health/deep and /admin/workers to
+    503; deregistering (clean shutdown) restores 200."""
+    import time
+
+    queue = ctx.pipeline.queue
+
+    async def scenario():
+        client = TestClient(TestServer(build_app(ctx)))
+        await client.start_server()
+        try:
+            # live worker → healthy
+            queue.worker_tick("w-chunk-1", "chunking")
+            r = await client.get("/health/deep")
+            body = await r.json()
+            assert body["checks"]["workers"]["ok"] is True
+            assert "w-chunk-1" in body["checks"]["workers"]["fleet"]
+
+            # freeze: backdate the tick past the 120 s staleness bar
+            with queue._lock:
+                queue.conn.execute(
+                    "UPDATE worker_ticks SET last_tick=? WHERE worker_id=?",
+                    (time.time() - 300.0, "w-chunk-1"))
+                queue.conn.commit()
+            r = await client.get("/health/deep")
+            assert r.status == 503
+            body = await r.json()
+            assert body["checks"]["workers"]["fleet"]["w-chunk-1"]["stale"]
+            r = await client.get("/admin/workers")
+            assert r.status == 503
+
+            # worker silent past expiry = decommissioned, not stale
+            with queue._lock:
+                queue.conn.execute(
+                    "UPDATE worker_ticks SET last_tick=? WHERE worker_id=?",
+                    (time.time() - 7200.0, "w-chunk-1"))
+                queue.conn.commit()
+            r = await client.get("/admin/workers")
+            assert r.status == 200
+
+            # clean shutdown deregisters
+            queue.worker_tick("w-embed-1", "embedding")
+            queue.deregister_worker("w-embed-1")
+            r = await client.get("/admin/workers")
+            body = await r.json()
+            assert "w-embed-1" not in body["workers"]
+        finally:
+            await client.close()
+
+    _run(scenario())
