@@ -740,9 +740,36 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
         live = ctx.pipeline.queue.worker_liveness()
         return _json(live, 200 if live["ok"] else 503)
 
+    async def admin_profile(request):
+        """Per-stage device profiling (SURVEY §5.1 TPU equivalent of the
+        reference's per-arm timings): POST {queries?, k?, iters?, trace?}.
+        Runs the staged sub-program timings (profile_engine) and folds
+        the result into search_events; trace=true additionally captures
+        a jax.profiler trace directory."""
+        from mobius_rag_tpu.profiling import capture_trace, profile_engine
+        from mobius_rag_tpu.query.engine import QueryRequest
+
+        body = await request.json() if request.can_read_body else {}
+        queries = body.get("queries") or [
+            "timely filing deadline for claims",
+            "prior authorization requirements",
+        ]
+        k = int(body.get("k", 10))
+        iters = max(1, min(int(body.get("iters", 5)), 25))
+        reqs = [QueryRequest(query=q) for q in queries]
+        try:
+            profile = profile_engine(ctx.engine, reqs, k=k, iters=iters)
+        except ValueError as e:
+            return _err(str(e))
+        out = {"profile": profile}
+        if body.get("trace"):
+            out["trace"] = capture_trace(ctx.engine, reqs, k=k)
+        return _json(out)
+
     r.add_get("/version", version)
     r.add_get("/health/deep", health_deep)
     r.add_get("/admin/workers", workers_status)
+    r.add_post("/admin/profile", admin_profile)
     r.add_get("/recent_queries", recent_queries)
     r.add_get("/errors", errors_list)
     r.add_get("/errors/stats", errors_stats)
