@@ -1017,6 +1017,8 @@ def build_app(ctx: AppContext) -> web.Application:
     # ---- routes -----------------------------------------------------------------
 
     r.add_get("/", console)
+    r.add_static("/static/",
+                 os.path.join(os.path.dirname(__file__), "static"))
     r.add_get("/health", health)
     r.add_get("/pipeline_health", pipeline_health)
     r.add_post("/upload", upload)

@@ -1,0 +1,115 @@
+/* Repository tabs: corpus dashboard with registry search + per-doc
+   drill-down (status, pages, policy paragraphs, text-tags editor,
+   facts, errors, markdown download) — the console form of the
+   reference's Repository/DocumentDetail/Reader tabs — plus upload and
+   the facts browser. */
+"use strict";
+
+UI.tab("repository", `
+  <div class="row"><input id="rq" placeholder="search documents (id, filename, payer, text)">
+    <button class="go" onclick="searchRepo()">search</button>
+    <button onclick="loadRepo()">all</button></div>
+  <div id="rout">…</div>`, loadRepo);
+
+async function loadRepo() {
+  const r = await UI.get("/documents");
+  renderRepo(r.documents.map((d) => ({ doc_id: d.doc_id, payer: d.payer,
+    state: d.state, chunks: d.chunks })));
+}
+async function searchRepo() {
+  if (!rq.value.trim()) return loadRepo();
+  const r = await UI.get(`/documents/search?q=${encodeURIComponent(rq.value)}`);
+  renderRepo((r.hits || []).map((h) => ({ doc_id: h.doc_id, payer: h.payer || "",
+    state: h.state || "", chunks: h.chunks ?? "" })));
+}
+function renderRepo(docs) {
+  rout.innerHTML = UI.table(["doc (click for detail)", "payer", "state", "chunks"],
+    docs.map((d) => `<tr class=click onclick="loadDocDetail('${UI.esc(d.doc_id)}')">
+      <td>${UI.esc(d.doc_id)}</td><td>${UI.esc(d.payer)}</td>
+      <td>${UI.esc(d.state)}</td><td>${d.chunks}</td></tr>`))
+    + "<div id=docdetail></div>";
+}
+
+async function loadDocDetail(id) {
+  const [st, pol, fx, er, tags] = await Promise.all([
+    UI.get(`/documents/${id}/status`).catch(() => null),
+    UI.get(`/documents/${id}/policy/summary`).catch(() => null),
+    UI.get(`/documents/${id}/facts`).catch(() => null),
+    UI.get(`/documents/${id}/errors`).catch(() => null),
+    UI.get(`/documents/${id}/text-tags`).catch(() => null)]);
+  document.getElementById("docdetail").innerHTML = `
+    <div class=hit><b>${UI.esc(id)}</b>
+      <span class=meta> · <a href="/documents/${id}/download/markdown" style="color:var(--acc)">markdown</a>
+        · <a href="/documents/${id}/file" style="color:var(--acc)">original</a></span>
+      <div class=row style="margin-top:8px">
+        <button onclick="docAct('${id}','chunking/restart',{drain:true})">restart chunking</button>
+        <button onclick="docAct('${id}','embedding/reset')">reset embeddings</button>
+        <button onclick="docAct('${id}','retry')">retry failed</button>
+        <button onclick="docAct('${id}','errors/resolve-all')">resolve errors</button>
+        <button onclick="loadDocPages('${id}')">pages</button>
+        <button onclick="loadDocParagraphs('${id}')">paragraphs</button></div>
+      <div class=row style="margin-top:4px">
+        <input id="ttag" placeholder="add text-tag e.g. d:benefits.dme" style="max-width:280px">
+        <button onclick="addTextTag('${id}')">tag</button>
+        <span class=meta id="ttags">${UI.esc(JSON.stringify(tags && tags.tags))}</span></div>
+      <pre>${UI.esc(JSON.stringify({ status: st, policy: pol && pol.tag_chunk_counts,
+        facts: fx && (fx.facts || []).length, errors: er && (er.errors || []).length }, null, 2))}</pre>
+      <div id="docsub"></div></div>`;
+}
+async function docAct(id, action, body) {
+  const r = await UI.post(`/documents/${id}/${action}`, body || {});
+  document.getElementById("docsub").innerHTML = UI.pre(r);
+  setTimeout(() => loadDocDetail(id), 600);
+}
+async function addTextTag(id) {
+  const v = document.getElementById("ttag").value.trim();
+  if (!v) return;
+  await UI.post(`/documents/${id}/text-tags`, { tags: [v] });
+  loadDocDetail(id);
+}
+async function loadDocPages(id) {
+  const r = await UI.get(`/documents/${id}/pages`);
+  document.getElementById("docsub").innerHTML = UI.pre(r);
+}
+async function loadDocParagraphs(id) {
+  const r = await UI.get(`/documents/${id}/policy/paragraphs`);
+  const rows = (r.paragraphs || []).map((p) => `<tr>
+    <td class=meta>${p.page ?? ""}</td><td>${UI.esc((p.text || "").slice(0, 90))}</td>
+    <td class=meta>${UI.esc(JSON.stringify(p.tags || p.d_tags || []))}</td></tr>`);
+  document.getElementById("docsub").innerHTML =
+    UI.table(["page", "text", "tags"], rows);
+}
+
+UI.tab("upload", `
+  <div class="row"><input id="ufn" placeholder="filename.txt" style="max-width:220px">
+    <input id="upayer" placeholder="payer" style="max-width:160px">
+    <input id="ustate" placeholder="state" style="max-width:90px">
+    <input id="uprog" placeholder="program" style="max-width:140px">
+    <button class="go" onclick="doUpload()">upload (instant)</button></div>
+  <textarea id="utext" rows="10" placeholder="document text"></textarea>
+  <div id="uout"></div>`);
+
+async function doUpload() {
+  const qs = new URLSearchParams({ filename: ufn.value || "upload.txt",
+    payer: upayer.value || "", state: ustate.value || "",
+    program: uprog.value || "", instant: "1" });
+  const r = await fetch("/upload?" + qs, { method: "POST", body: utext.value }).then(UI.J);
+  uout.innerHTML = UI.pre(r);
+}
+
+UI.tab("facts", `
+  <p class=meta>Path-A extracted facts (fact-kind chunks; edit republishes)</p>
+  <div id="fout">…</div>`, loadFacts);
+
+async function loadFacts() {
+  const r = await UI.get("/facts?limit=200");
+  fout.innerHTML = UI.table(["doc", "fact", "critique", ""],
+    (r.facts || []).map((f) => `<tr><td class=meta>${UI.esc(f.doc_id)}</td>
+      <td>${UI.esc((f.text || "").slice(0, 90))}</td>
+      <td>${f.critique_score ?? ""}</td>
+      <td><button onclick="delFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}')">delete</button></td></tr>`));
+}
+async function delFact(doc, fid) {
+  await UI.post(`/documents/${doc}/facts/${fid}`, undefined, "DELETE");
+  loadFacts();
+}

@@ -329,3 +329,23 @@ def test_browse_surface_end_to_end(ctx):
             await client.close()
 
     _run(scenario())
+
+
+def test_console_static_modules_exist():
+    """The console shell's script tags must resolve to packaged files
+    (modular JS views, round 3)."""
+    import os
+    import re
+
+    api_dir = os.path.join(os.path.dirname(__file__), "..", "mobius_rag_tpu", "api")
+    html = open(os.path.join(api_dir, "console.html")).read()
+    srcs = re.findall(r'src="/static/([\w.]+)"', html)
+    assert len(srcs) >= 5, srcs
+    for s in srcs:
+        path = os.path.join(api_dir, "static", s)
+        assert os.path.exists(path), path
+        # every referenced onclick handler must be defined somewhere
+    all_js = "".join(open(os.path.join(api_dir, "static", s)).read() for s in srcs)
+    defined = set(re.findall(r"(?:function|async function)\s+(\w+)", all_js))
+    called = set(re.findall(r'onclick="(\w+)\(', all_js + html))
+    assert called <= defined, called - defined
