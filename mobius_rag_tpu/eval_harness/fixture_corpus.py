@@ -163,6 +163,111 @@ def distractor_corpus(n_docs: int, lexicon: Lexicon | None = None,
     return recs
 
 
+# payer mentions in bank query text → (payer code, state) of the
+# authored corpus; traps inherit the SAME payer/state so strict filters
+# admit them (a trap the filter rejects tests nothing)
+_QUERY_PAYERS = [
+    ("sunshine health", ("sunshine_health", "FL", "Sunshine Health")),
+    ("aetna", ("aetna", "FL", "Aetna Better Health")),
+    ("simply healthcare", ("simply_healthcare", "FL", "Simply Healthcare")),
+    ("molina", ("molina", "FL", "Molina Healthcare")),
+]
+
+_NUM_RE = None  # lazy compiled
+
+
+def _perturb_numbers(text: str, rng) -> str | None:
+    """Replace every standalone number with a different plausible policy
+    value; None when the text has no numbers to perturb."""
+    import re
+    global _NUM_RE
+    if _NUM_RE is None:
+        _NUM_RE = re.compile(r"\b(\d{1,4})\b")
+    pool = [24, 30, 45, 48, 60, 72, 90, 120, 180, 240, 365]
+    hit = {"n": 0}
+
+    def sub(m):
+        hit["n"] += 1
+        orig = int(m.group(1))
+        alts = [p for p in pool if p != orig] or [orig + 30]
+        return str(alts[int(rng.integers(len(alts)))])
+
+    out = _NUM_RE.sub(sub, text)
+    return out if hit["n"] else None
+
+
+def adversarial_corpus(bank, lexicon: Lexicon | None = None,
+                       cfg: Config | None = None,
+                       embed_fn: Callable[[list[str]], np.ndarray] | None = None,
+                       seed: int = 13) -> list:
+    """Blind-eval trap documents derived from a bank's rubric surface
+    (VERDICT r2 item 5 — make the quality claim falsifiable):
+
+    - NEAR-MISS negatives: each numeric must/bonus fact re-appears with
+      every number perturbed, in a document carrying the query's OWN
+      payer/state and policy phrasing (``trap_nearmiss_*``). A pipeline
+      that ranks by topical similarity alone surfaces these over the
+      golden chunk; a synthesis that ingests one reports a wrong number.
+    - FORBIDDEN traps: each forbidden fact stated as policy text in the
+      same payer context (``trap_forbidden_*``). Any of these in the
+      retrieved top-k is a scored miss (run_eval's forbidden_hit_rate).
+
+    The corpus rows are ordinary published chunks — same featurization,
+    same tags — distinguishable ONLY by doc_id prefix, which the eval
+    harness uses for scoring and the engine never sees."""
+    from mobius_rag_tpu.index.store import ChunkRecord
+    from mobius_rag_tpu.ingest.featurize import featurize_chunk
+    from mobius_rag_tpu.eval_harness.bank import load_bank
+
+    if isinstance(bank, str):
+        bank = load_bank(bank)
+    cfg = cfg or get_config()
+    if embed_fn is None:
+        from mobius_rag_tpu.testing import hash_embed
+
+        embed_fn = hash_embed
+    rng = np.random.default_rng(seed)
+    texts, metas = [], []
+    for q in bank.queries:
+        ql = q.query.lower()
+        payer, state, payer_name = "", "FL", "Florida Medicaid"
+        for needle, (p, s, name) in _QUERY_PAYERS:
+            if needle in ql:
+                payer, state, payer_name = p, s, name
+                break
+        near = []
+        for fact in (q.must_facts + q.bonus_facts):
+            perturbed = _perturb_numbers(fact, rng)
+            if perturbed:
+                near.append(perturbed)
+        for pi, text in enumerate(near):
+            texts.append(f"{payer_name} {state} Medicaid provider policy: "
+                         f"{text}.")
+            metas.append((f"trap_nearmiss_{q.id}", pi, payer, state,
+                          payer_name, "near_miss"))
+        for pi, fact in enumerate(q.forbidden_facts):
+            texts.append(f"{payer_name} {state} Medicaid provider policy: "
+                         f"{fact}.")
+            metas.append((f"trap_forbidden_{q.id}", pi, payer, state,
+                          payer_name, "forbidden"))
+    if not texts:
+        return []
+    embs = embed_fn(texts)
+    recs = []
+    for (doc_id, pi, payer, state, payer_name, kind), text, emb in zip(
+            metas, texts, embs):
+        rec = ChunkRecord(
+            chunk_id=f"{doc_id}-c{pi}", doc_id=doc_id,
+            source_id=f"{doc_id}-s{pi}", text=text, embedding=emb,
+            payer=payer, state=state, program="medicaid",
+            authority_level=2,
+            filename=f"{payer_name} Policy Bulletin.pdf",
+            section_path="Provider Policies", page=pi + 1)
+        rec.extra["trap"] = kind
+        recs.append(featurize_chunk(rec, lexicon, cfg))
+    return recs
+
+
 def build_fixture_stack(*, embed_fn: Callable[[list[str]], np.ndarray] | None = None,
                         lexicon: Lexicon | None = None,
                         cfg: Config | None = None,

@@ -119,9 +119,9 @@ def profile_engine(engine, reqs: Sequence, k: int | None = None,
                                      ann, cfg.ivf_nprobe), iters)
     stages["full_pipeline"] = full
 
-    out = jax.device_get(
+    out = eng.unpack_out(jax.device_get(
         eng._search_compiled(index, q, k, cfg.over_fetch, cfg.rrf_k, ann,
-                             cfg.ivf_nprobe))
+                             cfg.ivf_nprobe)), k)
     t0 = time.perf_counter()
     engine._assemble(list(reqs), exps, out, k)
     assemble_ms = (time.perf_counter() - t0) * 1e3

@@ -577,6 +577,44 @@ def _search_compiled(
         "dtag_vals": vals[2][:, : k * 2],
         "strict_count": strict_total[:, 0],
     })
+    # Pack the ~16 output arrays into TWO (one f32, one i32): the tunnel
+    # charges per-transfer overhead on device→host fetches, and 16 small
+    # arrays × N pipelined batches dominated the 1M end-to-end number
+    # (measured: host prep fell 24→9 ms/batch in round 3 but pipelined
+    # qps barely moved until the fetch count did).
+    return pack_out(out, k)
+
+
+# Output packing layout: (key, width-multiplier-of-k) per dtype class.
+# strict_count rides the int pack as an extra column.
+_OUT_F = (("rerank", 1), ("sim", 1), ("cos", 1), ("auth", 1), ("len", 1),
+          ("jpd", 1), ("cov", 1), ("rrf", 1),
+          ("vec_vals", 2), ("lex_vals", 2), ("dtag_vals", 2))
+_OUT_I = (("idx", 1), ("vec_idx", 2), ("lex_idx", 2), ("dtag_idx", 2))
+
+
+def pack_out(out: dict, k: int):
+    packed_f = jnp.concatenate([out[key] for key, _ in _OUT_F], axis=1)
+    packed_i = jnp.concatenate(
+        [out[key] for key, _ in _OUT_I]
+        + [out["strict_count"][:, None].astype(jnp.int32)], axis=1)
+    return packed_f, packed_i
+
+
+def unpack_out(fetched, k: int) -> dict[str, np.ndarray]:
+    """Host-side inverse of pack_out: numpy views into the two fetched
+    arrays, under the original key schema."""
+    packed_f, packed_i = (np.asarray(fetched[0]), np.asarray(fetched[1]))
+    out: dict[str, np.ndarray] = {}
+    off = 0
+    for key, mult in _OUT_F:
+        out[key] = packed_f[:, off:off + mult * k]
+        off += mult * k
+    off = 0
+    for key, mult in _OUT_I:
+        out[key] = packed_i[:, off:off + mult * k]
+        off += mult * k
+    out["strict_count"] = packed_i[:, off]
     return out
 
 
@@ -835,6 +873,7 @@ class SearchEngine:
         if self.sharded is not None:
             self.sharded.refresh()
             outs = [self.sharded._run(q, k) for q, _ in prepared]
+            fetched = jax.device_get(outs)  # one sync for the whole set
         else:
             ann = self.ensure_ann()
             outs = [
@@ -842,7 +881,8 @@ class SearchEngine:
                                  self.cfg.rrf_k, ann, self.cfg.ivf_nprobe)
                 for q, _ in prepared
             ]
-        fetched = jax.device_get(outs)  # one sync point for the whole set
+            # one sync; 2 packed arrays per batch instead of ~16
+            fetched = [unpack_out(f, k) for f in jax.device_get(outs)]
         return [
             self._assemble(list(batch), exps, out, k)
             for batch, (qq, exps), out in zip(batches, prepared, fetched)
@@ -864,9 +904,9 @@ class SearchEngine:
             out = jax.device_get(self.sharded._run(q, k))
         else:
             ann = self.ensure_ann()
-            out = jax.device_get(
+            out = unpack_out(jax.device_get(
                 _search_compiled(self.store.index, q, k, cfg.over_fetch,
-                                 cfg.rrf_k, ann, cfg.ivf_nprobe))
+                                 cfg.rrf_k, ann, cfg.ivf_nprobe)), k)
         t_dev = time.perf_counter()
         timings = {
             "prepare": (t_prep - t0) * 1e3 / len(reqs),

@@ -47,12 +47,12 @@ def test_sharded_matches_single(setup):
     q = _prepared_batch(single, QUERIES)
 
     import jax.numpy as jnp
-    from mobius_rag_tpu.query.engine import _search_compiled
+    from mobius_rag_tpu.query.engine import _search_compiled, unpack_out
 
-    dense = jax.device_get(_search_compiled(
+    dense = unpack_out(jax.device_get(_search_compiled(
         store.index, {key: jnp.asarray(v) for key, v in q.items()},
         k, single.cfg.over_fetch, single.cfg.rrf_k,
-    ))
+    )), k)
     shard = sharded.search_arrays(q, k)
 
     from mobius_rag_tpu.ops.topk import NEG_INF
