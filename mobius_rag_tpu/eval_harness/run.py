@@ -60,10 +60,14 @@ def deterministic_checks(q: BankQuery, res: AgentResult) -> dict[str, Any]:
             "ok": exp["query_class"] == res.profile.get("query_class"),
         }
     if exp.get("expected_contour"):
+        # a list means "any of these contours is acceptable" (the
+        # quality loop's EXACT-or-VICINITY coverage expectation)
+        want = exp["expected_contour"]
+        accept = want if isinstance(want, (list, tuple)) else [want]
         checks["contour"] = {
-            "expected": exp["expected_contour"],
+            "expected": want,
             "actual": res.gate.get("contour"),
-            "ok": exp["expected_contour"] == res.gate.get("contour"),
+            "ok": res.gate.get("contour") in accept,
         }
     gc = exp.get("golden_citation") or {}
     if gc.get("document"):
@@ -115,10 +119,21 @@ def run_eval(
     db: EvalDB | None = None,
     judge_llm=None,
     request_fn: Callable[[BankQuery], AgentRequest] | None = None,
+    warmup: bool = True,
 ) -> EvalRunResult:
     if isinstance(bank, str):
         bank = load_bank(bank)
     db = db or EvalDB()
+    # Blind-eval traps present? (adversarial_corpus doc-id convention —
+    # precision/forbidden-hit aggregates are only reported when the
+    # corpus actually contains traps, never a vacuous 1.0/0.0.)
+    has_traps = any(d.startswith("trap_")
+                    for d in agent.engine.store._doc_rows)
+    if warmup and bank.queries:
+        # one unmeasured pass: the first query otherwise pays the XLA
+        # compile (r2 artifact recorded a 639 s cold 'latency' — an
+        # artifact of measurement, not serving)
+        agent.run(AgentRequest(query=bank.queries[0].query, k=k))
     fingerprint = {
         "priors_version": agent.router.priors_version,
         "router_version": agent.router.version,
@@ -158,6 +173,19 @@ def run_eval(
             "query_class": res.profile.get("query_class"),
             "contour": res.gate.get("contour"),
         }
+        if has_traps:
+            # retrieval-level trap scoring: near-miss chunks in the
+            # top-k dilute precision; a forbidden-trap hit means the
+            # context handed to synthesis asserts a forbidden fact
+            docs = [c.doc_id for c in res.chunks]
+            n_near = sum(1 for d in docs if d.startswith("trap_nearmiss"))
+            n_forb = sum(1 for d in docs if d.startswith("trap_forbidden"))
+            payload.update({
+                "trap_near_miss_hits": n_near,
+                "trap_forbidden_hit": bool(n_forb),
+                "retrieval_precision": round(
+                    1.0 - (n_near + n_forb) / len(docs), 4) if docs else None,
+            })
         db.insert_result(run_id, q.id, payload)
         results.append({"query_id": q.id, **payload})
 
@@ -175,7 +203,21 @@ def run_eval(
         "contour_match_rate": _check_rate(results, "contour"),
         "latency_ms_median": round(statistics.median(lat), 2) if lat else 0,
         "latency_ms_p95": round(sorted(lat)[max(0, int(0.95 * len(lat)) - 1)], 2) if lat else 0,
+        "warmup_excluded_cold_compile": bool(warmup),
     }
+    if has_traps:
+        prec = [r["retrieval_precision"] for r in results
+                if r.get("retrieval_precision") is not None]
+        agg.update({
+            "retrieval_precision_mean": round(sum(prec) / len(prec), 4)
+            if prec else None,
+            "forbidden_hit_rate": round(
+                sum(1 for r in results if r.get("trap_forbidden_hit")) / n, 4)
+            if n else None,
+            "near_miss_rate": round(
+                sum(1 for r in results if r.get("trap_near_miss_hits")) / n, 4)
+            if n else None,
+        })
     db.finalize_run(run_id, agg)
     return EvalRunResult(run_id=run_id, aggregates=agg, results=results)
 

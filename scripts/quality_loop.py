@@ -108,7 +108,8 @@ def main():
     from mobius_rag_tpu.eval_harness.calibrate import calibrate
     from mobius_rag_tpu.eval_harness.derive_priors import derive_priors
     from mobius_rag_tpu.eval_harness.fixture_corpus import (
-        build_fixture_stack, derive_selectivity, distractor_corpus)
+        adversarial_corpus, build_fixture_stack, derive_selectivity,
+        distractor_corpus)
     from mobius_rag_tpu.eval_harness.matrix import run_gate_on_bank
     from mobius_rag_tpu.eval_harness.run import run_eval
     from mobius_rag_tpu.testing import hash_embed
@@ -117,14 +118,16 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
     artifact: dict = {
-        "round": 2,
+        "round": 3,
         "backend": jax.default_backend(),
         "banks": {},
         "caveats": [
             "Corpus authored from the bank's fact surface (the reference's "
-            "~70k-chunk production corpus is not in its repo); recall is "
-            "therefore an upper-bound demonstration of the retrieval "
-            "machinery on real policy text, not a blind-corpus replication.",
+            "~70k-chunk production corpus is not in its repo). Round 3 adds "
+            "the BLIND pass (cmhc_blind): near-miss number-perturbed and "
+            "forbidden-fact trap documents sharing the queries' payers/tags "
+            "compete inside the same filters, so recall saturation is no "
+            "longer structural and precision/forbidden-hit-rate are scored.",
             "Judge + fact-checker run OFFLINE (token-overlap matcher with "
             "frame-vocabulary normalization), not the reference's locked "
             "gemini-2.5-pro judge.",
@@ -141,6 +144,15 @@ def main():
     lexicon = engine.lexicon
     artifact["corpus_core"] = info
     bank_cmhc = load_bank("cmhc")
+
+    # Contour expectations for the core bank (round-3 item: populate
+    # contour_match_rate): every cmhc query is answerable from the
+    # authored corpus BY CONSTRUCTION, so the gate should classify each
+    # as in-corpus (EXACT, or VICINITY when only the neighborhood of
+    # the tag combination is covered). This pins gate regressions on
+    # known-answerable queries; it makes no blind-corpus claim.
+    for q in bank_cmhc.queries:
+        q.expected.setdefault("expected_contour", ["EXACT", "VICINITY"])
 
     out_core = run_eval(agent, bank_cmhc)
     artifact["banks"]["cmhc_core"] = {
@@ -174,6 +186,33 @@ def main():
 
     smoke = run_eval(agent, load_bank("cmhc_smoke"))
     artifact["banks"]["cmhc_smoke_scaled"] = {"aggregates": smoke.aggregates}
+
+    # ---- 3b. BLIND pass: adversarial traps in the corpus -------------------
+    # (round-3 item 5: make the quality claim falsifiable — chunk recall
+    # < 1.0 is now possible, and wrong-number/forbidden content competes
+    # inside the same payer/tag filters.)
+    log("adding adversarial traps (near-miss numbers + forbidden facts)…")
+    traps = adversarial_corpus(bank_cmhc, lexicon, cfg)
+    store.add_chunks(traps)
+    derive_selectivity(store, lexicon)
+    agent._tag_docs_cache = None
+    n_near = sum(1 for r in traps if r.extra.get("trap") == "near_miss")
+    n_forb = len(traps) - n_near
+    artifact["corpus_blind"] = {"chunks": store.size,
+                                "trap_near_miss_chunks": n_near,
+                                "trap_forbidden_chunks": n_forb}
+    out_blind = run_eval(agent, bank_cmhc)
+    artifact["banks"]["cmhc_blind"] = {
+        "aggregates": out_blind.aggregates,
+        "per_query": [{k: r.get(k) for k in
+                       ("query_id", "chunk_recall", "judge_verdict",
+                        "retrieval_precision", "trap_near_miss_hits",
+                        "trap_forbidden_hit", "latency_ms")}
+                      for r in out_blind.results],
+    }
+    log(f"blind cmhc: recall={out_blind.aggregates['mean_chunk_recall']} "
+        f"precision={out_blind.aggregates.get('retrieval_precision_mean')} "
+        f"forbidden_hit_rate={out_blind.aggregates.get('forbidden_hit_rate')}")
 
     # ---- 4. gate-contour bank ---------------------------------------------
     gate_out = run_gate_on_bank(agent, "gate_contours")
@@ -218,7 +257,7 @@ def main():
             "config": dataclasses.asdict(enc_cfg),
             "history_tail": history[-5:],
         }
-        ckpt_dir = os.path.join(cfg.data_dir, "encoder_r2")
+        ckpt_dir = os.path.join(cfg.data_dir, "encoder_r3")
         save_encoder(ckpt_dir, jax.device_get(params), enc_cfg)
         artifact["encoder_checkpoint"] = ckpt_dir
         log(f"train done: {history[-1]}")
@@ -267,12 +306,16 @@ def main():
         },
     }
 
-    path = os.path.join(args.out, "EVAL_r2_cmhc.json")
+    path = os.path.join(args.out, "EVAL_r3_cmhc.json")
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, default=str)
     log(f"artifact written: {path}")
     print(json.dumps({
         "cmhc_scaled_recall": out_scaled.aggregates["mean_chunk_recall"],
+        "cmhc_blind_recall": out_blind.aggregates["mean_chunk_recall"],
+        "blind_precision": out_blind.aggregates.get("retrieval_precision_mean"),
+        "forbidden_hit_rate": out_blind.aggregates.get("forbidden_hit_rate"),
+        "contour_match_core": out_scaled.aggregates.get("contour_match_rate"),
         "citation_rate": out_scaled.aggregates["citation_rate"],
         "gate_contour_match": gate_out["match_rate"],
         "per_strategy": ours,
