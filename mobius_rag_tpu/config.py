@@ -79,6 +79,11 @@ class Config:
     # IVF knobs: clusters (0 = sqrt(N) auto) and probed clusters/query.
     ivf_nlist: int = _env_int("MRAG_IVF_NLIST", 0)
     ivf_nprobe: int = _env_int("MRAG_IVF_NPROBE", 32)
+    # Auto-nprobe: when > 0, ANN builds calibrate nprobe per corpus by
+    # probing until recall@k vs the exact scan clears this floor on a
+    # self-query sample (ivf.calibrate_nprobe) — nprobe stops being a
+    # static guess. 0 = use ivf_nprobe as-is.
+    ivf_target_recall: float = _env_float("MRAG_IVF_TARGET_RECALL", 0.0)
     # "pq" backend (the 10M-rows/chip config-5 regime): residual product-
     # quantized codes as the vector-arm candidate generator — pq_m bytes
     # per row in HBM — with the engine's signal gather doing the exact

@@ -272,6 +272,61 @@ class PackedIVF:
                    jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist)
 
 
+_NPROBE_LADDER = (4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def calibrate_nprobe(ann, vectors, queries, *, k: int = 10,
+                     target_recall: float = 0.95,
+                     row_scales=None, search_fn=None) -> dict:
+    """Probe-until-recall calibration: smallest ladder nprobe whose
+    recall@k (vs the exact scan over the same matrix, on the given query
+    sample) clears the target. Returns the full frontier so callers can
+    record the recall/nprobe curve, not just the pick.
+
+    This is the round-3 answer to 'ANN recall is unproven': nprobe stops
+    being a static guess and becomes a per-corpus calibrated value — the
+    IVF analogue of pgvector's ef_search tuning, measured on the actual
+    embedding geometry the corpus serves."""
+    import jax
+
+    q = jnp.asarray(queries, jnp.float32)
+    b = q.shape[0]
+    v32 = lambda x: x.astype(jnp.float32)
+    # exact oracle over the same matrix (f32 accumulate)
+    scores = jnp.dot(q, v32(jnp.asarray(vectors)).T,
+                     preferred_element_type=jnp.float32)
+    if row_scales is not None:
+        scores = scores * jnp.asarray(row_scales)[None, :]
+    _, exact_idx = jax.lax.top_k(scores, k)
+    exact_sets = [set(map(int, row)) for row in np.asarray(exact_idx)]
+    penalty = jnp.zeros((vectors.shape[0],), jnp.float32)
+
+    if search_fn is None:
+        if isinstance(ann, IVFIndex):
+            search_fn = lambda npx: ivf_search(ann, vectors, q, penalty, k,
+                                               npx, row_scales)
+        else:
+            search_fn = lambda npx: ivf_search_packed(ann, q, penalty, k, npx)
+    nlist = ann.nlist if not hasattr(ann, "base_nlist") else ann.base_nlist
+    curve = []
+    chosen = None
+    for npx in _NPROBE_LADDER:
+        npx = min(npx, nlist)
+        _, idx = search_fn(npx)
+        recall = float(np.mean([
+            len(exact_sets[i] & set(map(int, row))) / k
+            for i, row in enumerate(np.asarray(idx))]))
+        curve.append({"nprobe": npx, "recall": round(recall, 4)})
+        if recall >= target_recall and chosen is None:
+            chosen = npx
+        if npx >= nlist:
+            break
+    if chosen is None:  # target unreachable — full probe is the honest max
+        chosen = min(_NPROBE_LADDER[-1], nlist)
+    return {"nprobe": chosen, "target_recall": target_recall, "k": k,
+            "sample_queries": b, "curve": curve}
+
+
 def stack_shard_ivf(shards: "list[IVFIndex]") -> IVFIndex:
     """Stack per-shard IVF tables into arrays with a leading shard axis
     (the sharded engine device_puts the result with the shard axis

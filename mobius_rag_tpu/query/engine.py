@@ -710,7 +710,46 @@ class SearchEngine:
         else:
             self._ann = ivf
         self._ann_generation = self.store.generation
+        self._ann_nprobe = None
+        if cfg.ivf_target_recall > 0 and self.vector_backend != "pq":
+            self._calibrate_nprobe(cfg.ivf_target_recall)
         return self._ann
+
+    def _calibrate_nprobe(self, target: float, sample: int = 32) -> dict:
+        """Per-corpus auto-nprobe (calibrate_nprobe on self-queries:
+        live rows + small perturbation — the corpus's own embedding
+        geometry, which is the only distribution the index serves)."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from mobius_rag_tpu.index.ivf import calibrate_nprobe
+
+        index = self.store.index
+        valid = np.asarray(jax.device_get(index.valid)) > 0
+        live = np.flatnonzero(valid)
+        if len(live) == 0:
+            return {}
+        rng = np.random.default_rng(0)
+        rows = rng.choice(live, size=min(sample, len(live)), replace=False)
+        qv = _jnp.take(index.vectors, _jnp.asarray(rows), axis=0).astype(
+            _jnp.float32)
+        if self.cfg.vector_dtype == "int8":
+            qv = qv * _jnp.take(index.vec_scales, _jnp.asarray(rows))[:, None]
+        key = _jax.random.PRNGKey(0)
+        qv = qv + 0.02 * _jax.random.normal(key, qv.shape)
+        qv = qv / _jnp.linalg.norm(qv, axis=1, keepdims=True)
+        scales = (index.vec_scales if self.cfg.vector_dtype == "int8"
+                  else None)
+        cal = calibrate_nprobe(self._ann, index.vectors, qv,
+                               k=self.cfg.default_k, target_recall=target,
+                               row_scales=scales)
+        self._ann_nprobe = cal["nprobe"]
+        self._ann_calibration = cal
+        return cal
+
+    @property
+    def effective_nprobe(self) -> int:
+        return getattr(self, "_ann_nprobe", None) or self.cfg.ivf_nprobe
 
     # -- host-side query prep ---------------------------------------------
 
@@ -878,7 +917,7 @@ class SearchEngine:
             ann = self.ensure_ann()
             outs = [
                 _search_compiled(self.store.index, q, k, self.cfg.over_fetch,
-                                 self.cfg.rrf_k, ann, self.cfg.ivf_nprobe)
+                                 self.cfg.rrf_k, ann, self.effective_nprobe)
                 for q, _ in prepared
             ]
             # one sync; 2 packed arrays per batch instead of ~16
@@ -906,7 +945,7 @@ class SearchEngine:
             ann = self.ensure_ann()
             out = unpack_out(jax.device_get(
                 _search_compiled(self.store.index, q, k, cfg.over_fetch,
-                                 cfg.rrf_k, ann, cfg.ivf_nprobe)), k)
+                                 cfg.rrf_k, ann, self.effective_nprobe)), k)
         t_dev = time.perf_counter()
         timings = {
             "prepare": (t_prep - t0) * 1e3 / len(reqs),

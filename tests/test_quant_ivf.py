@@ -147,3 +147,58 @@ def test_ivf_respects_filter_penalty(rng):
     vals, idx = ivf_search(ivf, v, q, pen, 10, nprobe=8)
     live = np.asarray(vals) > NEG_INF / 2
     assert np.isin(np.asarray(idx)[live], allowed).all()
+
+
+def test_calibrate_nprobe_meets_target():
+    """Auto-nprobe: smallest ladder value whose recall@k clears the
+    floor on a clustered corpus; curve recorded; full probe = recall 1."""
+    import jax
+    import jax.numpy as jnp
+
+    from mobius_rag_tpu.index.ivf import IVFIndex, calibrate_nprobe
+
+    rng = np.random.default_rng(0)
+    n, d, ncent = 20_000, 128, 256
+    centers = rng.standard_normal((ncent, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    v = centers[rng.integers(0, ncent, n)] + \
+        0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    vecs = jnp.asarray(v)
+    ivf = IVFIndex.build(vecs, nlist=128)
+    q = v[rng.choice(n, 16, replace=False)] + \
+        0.02 * rng.standard_normal((16, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    cal = calibrate_nprobe(ivf, vecs, q, k=10, target_recall=0.95)
+    assert cal["nprobe"] <= 128
+    chosen = next(p for p in cal["curve"] if p["nprobe"] == cal["nprobe"])
+    assert chosen["recall"] >= 0.95
+    # recall grows (weakly) with nprobe
+    recalls = [p["recall"] for p in cal["curve"]]
+    assert recalls[-1] >= recalls[0]
+
+
+def test_engine_auto_nprobe(tmp_path):
+    """MRAG_IVF_TARGET_RECALL wires calibration into ensure_ann: the
+    engine serves with the calibrated nprobe, not the static default."""
+    import dataclasses
+
+    from mobius_rag_tpu.config import get_config
+    from mobius_rag_tpu.index.store import ChunkStore
+    from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+    from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=150))
+    cfg = dataclasses.replace(get_config(), vector_backend="ivf",
+                              ivf_target_recall=0.95, ivf_nprobe=1)
+    eng = SearchEngine(store, lex, cfg=cfg, embed_fn=hash_embed)
+    res = eng.search(QueryRequest(query="timely filing deadline"), k=5)[0]
+    assert res.hits
+    cal = getattr(eng, "_ann_calibration", None)
+    assert cal and cal["nprobe"] == eng.effective_nprobe
+    assert cal["curve"][0]["nprobe"] >= 1
+    # the calibrated probe ignores the (deliberately bad) static nprobe=1
+    assert eng.effective_nprobe > 1 or cal["curve"][0]["recall"] >= 0.95
