@@ -89,6 +89,12 @@ class Config:
     # per row in HBM — with the engine's signal gather doing the exact
     # cosine re-rank of the over-fetched candidates.
     pq_m: int = _env_int("MRAG_PQ_M", 96)
+    # Vector payload residency: "device" keeps the chunk matrix in HBM
+    # (every config through ~8M int8 rows); "host" is the 10M regime —
+    # HBM holds ONLY the PQ codes, the int8 rows live in host RAM and
+    # serve the post-fusion exact re-rank (the two-stage IVFADC shape:
+    # candidate generation on device, k·over_fetch row gathers on host).
+    vector_residency: str = _env_str("MRAG_VECTOR_RESIDENCY", "device")
 
     # ---- search tunables (semantics mirrored from the reference) ------
     # RRF k constant (Cormack 2009) — app/services/corpus_search.py:397.
@@ -165,7 +171,22 @@ class Config:
         if self.vector_backend not in ("exact", "ivf", "packed", "pq"):
             problems.append(
                 f"MRAG_VECTOR_BACKEND={self.vector_backend!r} must be "
-                "exact|ivf|packed"
+                "exact|ivf|packed|pq"
+            )
+        if self.vector_residency not in ("device", "host"):
+            problems.append(
+                f"MRAG_VECTOR_RESIDENCY={self.vector_residency!r} must be "
+                "device|host"
+            )
+        if self.vector_residency == "host" and self.vector_backend != "pq":
+            problems.append(
+                "MRAG_VECTOR_RESIDENCY=host requires MRAG_VECTOR_BACKEND=pq "
+                "(no dense device matrix exists to scan exactly)"
+            )
+        if self.vector_residency == "host" and self.vector_dtype != "int8":
+            problems.append(
+                "MRAG_VECTOR_RESIDENCY=host requires MRAG_VECTOR_DTYPE=int8 "
+                "(the host payload is the int8 re-rank matrix)"
             )
         if not (8 <= self.lexical_postings_init <= self.lexical_postings_max):
             problems.append(

@@ -86,6 +86,31 @@ def _kmeans(vectors: jnp.ndarray, init_idx: jnp.ndarray, nlist: int, iters: int,
     return centroids, assign
 
 
+
+def _fill_members(live_rows: np.ndarray, assign: np.ndarray, nlist: int,
+                  pad: int):
+    """Vectorized member-table fill: rows grouped by cluster, first
+    `pad` per cluster become members, the rest spill. (The per-row
+    Python loop was O(N) interpreter work — minutes at 10M rows.)"""
+    cells_all = assign[live_rows]
+    order = np.argsort(cells_all, kind="stable")
+    rows_sorted = live_rows[order].astype(np.int64)
+    cells = cells_all[order]
+    slot = np.arange(len(cells)) - np.searchsorted(cells, cells, side="left")
+    members = np.zeros((nlist, pad), np.int32)
+    member_valid = np.zeros((nlist, pad), np.float32)
+    in_pad = slot < pad
+    members[cells[in_pad], slot[in_pad]] = rows_sorted[in_pad]
+    member_valid[cells[in_pad], slot[in_pad]] = 1.0
+    spill = rows_sorted[~in_pad]
+    n_spill = round_up(max(len(spill), 1), 8)
+    spill_arr = np.zeros(n_spill, np.int32)
+    spill_val = np.zeros(n_spill, np.float32)
+    spill_arr[: len(spill)] = spill
+    spill_val[: len(spill)] = 1.0
+    return members, member_valid, spill_arr, spill_val
+
+
 @jax.tree_util.register_pytree_node_class
 class IVFIndex:
     """Device-side IVF tables over an existing chunk matrix."""
@@ -146,23 +171,8 @@ class IVFIndex:
         assign = np.asarray(assign)
 
         pad = max(8, round_up(int(pad_factor * max(n_live, 1) / nlist), 8))
-        members = np.zeros((nlist, pad), np.int32)
-        member_valid = np.zeros((nlist, pad), np.float32)
-        spill: list[int] = []
-        fill = np.zeros(nlist, np.int32)
-        for row in live_rows:
-            c = assign[row]
-            if fill[c] < pad:
-                members[c, fill[c]] = row
-                member_valid[c, fill[c]] = 1.0
-                fill[c] += 1
-            else:
-                spill.append(row)
-        n_spill = round_up(max(len(spill), 1), 8)
-        spill_arr = np.zeros(n_spill, np.int32)
-        spill_val = np.zeros(n_spill, np.float32)
-        spill_arr[: len(spill)] = spill
-        spill_val[: len(spill)] = 1.0
+        members, member_valid, spill_arr, spill_val = _fill_members(
+            live_rows, assign, nlist, pad)
         return cls(
             centroids=centroids,
             members=jnp.asarray(members), member_valid=jnp.asarray(member_valid),
@@ -173,6 +183,65 @@ class IVFIndex:
     @property
     def spill_count(self) -> int:
         return int(np.asarray(self.spill_valid).sum())
+
+    @classmethod
+    def build_host(cls, host_vectors: np.ndarray, host_scales: np.ndarray,
+                   valid: np.ndarray | None = None, *, nlist: int | None = None,
+                   iters: int = 10, pad_factor: float = 2.0, seed: int = 0,
+                   sample: int = 500_000, block: int = 250_000) -> "IVFIndex":
+        """Build from a HOST-resident int8 matrix (the 10M codes-only
+        regime: the full matrix never fits HBM next to its own index).
+        k-means runs on an uploaded row sample; assignment streams the
+        matrix through the device block-by-block — peak HBM is one
+        block, host→device traffic is one pass over the int8 bytes."""
+        n, d = host_vectors.shape
+        valid_np = (np.asarray(valid) > 0) if valid is not None \
+            else np.ones(n, bool)
+        n_live = int(valid_np.sum())
+        nlist = nlist or max(16, int(np.sqrt(max(n_live, 1))))
+        if n_live == 0:
+            return cls.build(jnp.zeros((8, d), jnp.float32),
+                             np.zeros(8), nlist=nlist)
+        nlist = min(nlist, n_live)
+        rng = np.random.default_rng(seed)
+        live_rows = np.flatnonzero(valid_np)
+        pick = np.sort(rng.choice(live_rows, size=min(sample, n_live),
+                                  replace=False))
+
+        def up_f32(rows_np: np.ndarray) -> jnp.ndarray:
+            v = jnp.asarray(host_vectors[rows_np]).astype(jnp.float32)
+            return v * jnp.asarray(host_scales[rows_np])[:, None]
+
+        sv = up_f32(pick)
+        init = rng.choice(len(pick), size=nlist, replace=len(pick) < nlist)
+        n_pad = len(pick) if len(pick) <= _KM_BLOCK else round_up(
+            len(pick), _KM_BLOCK)
+        centroids, _ = _kmeans(sv, jnp.asarray(init, jnp.int32), nlist,
+                               iters, n_pad)
+        del sv
+
+        @jax.jit
+        def assign_block(block_rows):
+            s = jnp.dot(block_rows, centroids.T,
+                        preferred_element_type=jnp.float32)
+            return jnp.argmax(s, axis=1)
+
+        assign = np.empty(n, np.int32)
+        for off in range(0, n, block):
+            rows_np = np.arange(off, min(off + block, n))
+            assign[off:off + len(rows_np)] = np.asarray(
+                jax.device_get(assign_block(up_f32(rows_np))))
+
+        pad = max(8, round_up(int(pad_factor * max(n_live, 1) / nlist), 8))
+        members, member_valid, spill_arr, spill_val = _fill_members(
+            live_rows, assign, nlist, pad)
+        return cls(
+            centroids=centroids,
+            members=jnp.asarray(members),
+            member_valid=jnp.asarray(member_valid),
+            spill=jnp.asarray(spill_arr), spill_valid=jnp.asarray(spill_val),
+            nlist=nlist, pad=pad,
+        )
 
 
 @jax.tree_util.register_pytree_node_class

@@ -166,15 +166,20 @@ class DeviceIndex:
 
     @property
     def capacity(self) -> int:
-        return self.vectors.shape[0]
+        # valid always spans the row capacity; vectors may be EMPTY
+        # ([0, D]) under host residency (the 10M codes-only regime)
+        return self.valid.shape[0]
 
     @classmethod
     def empty(cls, capacity: int, cfg: Config) -> "DeviceIndex":
         vec_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
                      "int8": jnp.int8}[cfg.vector_dtype]
         c = capacity
+        # host residency: no dense vector payload in HBM — the int8 rows
+        # live in ChunkStore.host_vectors and HBM holds only PQ codes
+        c_vec = 0 if cfg.vector_residency == "host" else c
         arrays = dict(
-            vectors=jnp.zeros((c, cfg.embed_dim), vec_dtype),
+            vectors=jnp.zeros((c_vec, cfg.embed_dim), vec_dtype),
             vec_scales=jnp.ones((c,), jnp.float32),
             valid=jnp.zeros((c,), jnp.float32),
             doc_id=jnp.full((c,), -1, jnp.int32),
@@ -313,6 +318,16 @@ class ChunkStore:
         self.generation = 0
         self.listeners: list[Any] = []  # callables (event: str, rows: list[int])
         self._sparse_lexical = self.cfg.lexical_format == "sparse"
+        # host residency (config 5): int8 rows + scales in host RAM —
+        # candidate generation runs on PQ codes in HBM, the engine's
+        # post-fusion exact re-rank gathers these rows
+        self._host_residency = self.cfg.vector_residency == "host"
+        if self._host_residency:
+            self.host_vectors = np.zeros((cap, self.cfg.embed_dim), np.int8)
+            self.host_scales = np.ones((cap,), np.float32)
+        else:
+            self.host_vectors = None
+            self.host_scales = None
         if self._sparse_lexical:
             h, p = self.cfg.lexical_buckets, self.cfg.lexical_postings_init
             # host mirrors of lex_cols/lex_wts (postings packed left,
@@ -351,6 +366,9 @@ class ChunkStore:
             if axis is None:  # sparse postings don't scale with row capacity
                 grown[f] = jnp.asarray(arr)
                 continue
+            if f == "vectors" and self._host_residency:
+                grown[f] = jnp.asarray(arr)  # stays [0, D]
+                continue
             shape = list(arr.shape)
             shape[axis] = new_cap - arr.shape[axis]
             pad = np.zeros(shape, arr.dtype)
@@ -358,6 +376,12 @@ class ChunkStore:
                 pad.fill(-1)
             grown[f] = jnp.asarray(np.concatenate([arr, pad], axis=axis))
         self.index = DeviceIndex(**grown)
+        if self._host_residency:
+            hv = np.zeros((new_cap, self.cfg.embed_dim), np.int8)
+            hv[: len(self.host_vectors)] = self.host_vectors
+            hs = np.ones((new_cap,), np.float32)
+            hs[: len(self.host_scales)] = self.host_scales
+            self.host_vectors, self.host_scales = hv, hs
         self._notify("grow", [])
 
     # -- writes ------------------------------------------------------------
@@ -473,6 +497,14 @@ class ChunkStore:
             "program": program, "j_tags": j_tags, "d_tags": d_tags,
             "p_tags": p_tags, "phrase_bits": phrase_bits,
         }
+
+        if self._host_residency:
+            # int8 rows + scales land in host RAM; the device index
+            # carries no dense payload (PQ codes are built by ensure_ann)
+            row_arr = np.asarray(rows)
+            self.host_vectors[row_arr] = vecs[:n].astype(np.int8)
+            self.host_scales[row_arr] = vec_scales[:n]
+            staged.pop("vectors")
 
         def block_of(sel: np.ndarray) -> dict:
             block = {f: jnp.asarray(a[sel]) for f, a in staged.items()}
@@ -666,7 +698,34 @@ class ChunkStore:
                 nv = float(np.linalg.norm(v))
                 vectors[i] = v / nv if nv > 0 else v
         scales_arr = jnp.ones((cap,), jnp.float32)
-        if cfg.vector_dtype == "int8":
+        if self._host_residency:
+            # host residency: quantized rows land in host RAM; the device
+            # index keeps NO dense payload. `vectors` may be host numpy
+            # (f32/int8) or a device array (quantize on device, stream
+            # down blockwise — device→host for int8 is the cheap
+            # direction per-byte).
+            from mobius_rag_tpu.ops.quant import _quantize_block
+
+            hv = np.zeros((cap, cfg.embed_dim), np.int8)
+            hs = np.ones((cap,), np.float32)
+            if isinstance(vectors, jax.Array):
+                blk = 250_000
+                for off in range(0, n, blk):
+                    q8, qs = _quantize_block(
+                        vectors[off:off + blk].astype(jnp.float32))
+                    hv[off:off + blk] = np.asarray(jax.device_get(q8))
+                    hs[off:off + blk] = np.asarray(jax.device_get(qs))
+            elif np.asarray(vectors).dtype == np.int8:
+                hv[:n] = np.asarray(vectors)[:n]
+            else:
+                v32 = np.asarray(vectors[:n], np.float32)
+                maxabs = np.abs(v32).max(axis=1)
+                hs[:n] = np.where(maxabs > 0, maxabs / 127.0, 1.0)
+                hv[:n] = np.clip(np.round(v32 / hs[:n, None]), -127, 127)
+            self.host_vectors, self.host_scales = hv, hs
+            vec_arr = jnp.zeros((0, cfg.embed_dim), jnp.int8)
+            scales_arr = jnp.asarray(hs)
+        elif cfg.vector_dtype == "int8":
             from mobius_rag_tpu.ops.quant import quantize_rows
 
             qv, qs = quantize_rows(jnp.asarray(vectors))

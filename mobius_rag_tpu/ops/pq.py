@@ -171,16 +171,33 @@ class PackedPQ:
         PackedIVF.from_ivf (spill rows fold into synthetic clusters).
         When `vectors` is an int8 store, pass `row_scales` so training/
         encoding sees the dequantized values. residual=True (IVFADC)
-        quantizes x − centroid(x)."""
-        v = jnp.asarray(vectors)
-        if row_scales is not None:
-            scales = jnp.asarray(row_scales)
+        quantizes x − centroid(x). `vectors` may be a HOST numpy matrix
+        (the codes-only 10M regime): row gathers then happen host-side
+        and only the gathered block crosses to the device."""
+        host_side = isinstance(vectors, np.ndarray)
+        if host_side:
+            scales_np = (np.asarray(row_scales) if row_scales is not None
+                         else None)
 
-        def rows_f32(idx: jnp.ndarray) -> jnp.ndarray:
-            out = jnp.take(v, idx, axis=0).astype(jnp.float32)
+            def rows_f32(idx) -> jnp.ndarray:
+                # gather host-side, ship the RAW dtype (int8 moves at
+                # wire speed; f32 serializes ~50x slower through the
+                # tunnel), dequantize on device
+                rows_np = np.asarray(idx)
+                blk = jnp.asarray(vectors[rows_np]).astype(jnp.float32)
+                if scales_np is not None:
+                    blk = blk * jnp.asarray(scales_np[rows_np])[:, None]
+                return blk
+        else:
+            v = jnp.asarray(vectors)
             if row_scales is not None:
-                out = out * jnp.take(scales, idx)[:, None]
-            return out
+                scales = jnp.asarray(row_scales)
+
+            def rows_f32(idx) -> jnp.ndarray:
+                out = jnp.take(v, jnp.asarray(idx), axis=0).astype(jnp.float32)
+                if row_scales is not None:
+                    out = out * jnp.take(scales, jnp.asarray(idx))[:, None]
+                return out
 
         members = np.asarray(ivf.members)
         mvalid = np.asarray(ivf.member_valid)
@@ -221,10 +238,16 @@ class PackedPQ:
                        jnp.asarray(valid), jnp.asarray(rowids),
                        nlist, pad, base_nlist=ivf.nlist, residual=residual)
 
-        def encode_src(slots: np.ndarray) -> np.ndarray:
-            rows = jax.device_get(rows_f32(jnp.asarray(flat[slots])))
+        # encode source stays ON DEVICE end-to-end: the only transfers
+        # are the raw int8 row gather up (wire-cheap direction) and the
+        # m-byte codes down — a host f32 round trip per block was hours
+        # at 10M rows through the remote tunnel.
+        cents_dev = jnp.asarray(cents)
+
+        def encode_src(slots: np.ndarray) -> jnp.ndarray:
+            rows = rows_f32(flat[slots])  # device f32 [S, D]
             if residual:
-                rows = rows - cents[flat_cell[slots]]
+                rows = rows - cents_dev[jnp.asarray(flat_cell[slots])]
             return rows
 
         rng = np.random.default_rng(seed)
@@ -235,12 +258,13 @@ class PackedPQ:
         sample = encode_src(pick)
         codebooks = train_pq(sample, m, iters=iters, sample=len(pick),
                              seed=seed)
+        del sample
 
         codes_host = np.empty((len(flat), m), np.uint8)
         for off in range(0, len(flat), block):
             slots = np.arange(off, min(off + block, len(flat)))
             codes_host[off:off + len(slots)] = np.asarray(jax.device_get(
-                _encode_block(jnp.asarray(encode_src(slots)), codebooks)))
+                _encode_block(encode_src(slots), codebooks)))
         codes = jnp.asarray(codes_host.reshape(nlist, pad, m))
         return cls(jnp.asarray(cents), codes, codebooks, jnp.asarray(valid),
                    jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist,

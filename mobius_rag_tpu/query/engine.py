@@ -430,12 +430,25 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
     lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
     dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
 
+    # No dense payload in HBM (host residency): the exact-cosine signal
+    # gather is impossible device-side. The vector arm's ADC value (=
+    # approx cosine for eligible rows) stands in for its candidates;
+    # lex/dtag candidates carry 0 — the POST-FUSION host re-rank
+    # (SearchEngine._host_rerank) recomputes exact cosine for every
+    # fused candidate from the host int8 matrix before assembly.
+    have_dense = index.vectors.shape[0] == index.valid.shape[0]
     out_vals, out_gidx, out_sigs = [], [], []
-    for vals, idx in ((vec_vals, vec_idx), (lex_vals, lex_idx),
-                      (dtag_vals, dtag_idx)):
+    for arm_i, (vals, idx) in enumerate(
+            ((vec_vals, vec_idx), (lex_vals, lex_idx), (dtag_vals, dtag_idx))):
         auth, lsig, jpd, cov = candidate_signals(index, q, idx)
-        cand_cos = (jnp.take_along_axis(cos, idx, axis=1) if cos is not None
-                    else _cand_cos(index, q["vec"], idx))
+        if cos is not None:
+            cand_cos = jnp.take_along_axis(cos, idx, axis=1)
+        elif have_dense:
+            cand_cos = _cand_cos(index, q["vec"], idx)
+        elif arm_i == 0:
+            cand_cos = jnp.clip(vals, 0.0, 1.0)  # ADC ≈ cosine
+        else:
+            cand_cos = jnp.zeros_like(vals)
         sig = jnp.stack(
             [
                 cand_cos,
@@ -513,7 +526,8 @@ def fuse_and_rerank(vals, gidx, sigs, q, k: int, rrf_k: int, m_global: int):
     jpd_c, cov_c = cand_sig[..., 4], cand_sig[..., 5]
     # lexical normalizer = best LIVE (gate-passing) lexical score
     lex_best = jnp.max(jnp.where(arm_vals[1] > NEG_INF / 2, arm_vals[1], 0.0), axis=1)
-    sim = jnp.clip(jnp.maximum(cos_c, lex_c / jnp.maximum(lex_best[:, None], 1e-6)), 0.0, 1.0)
+    lexn = jnp.clip(lex_c / jnp.maximum(lex_best[:, None], 1e-6), 0.0, 1.0)
+    sim = jnp.clip(jnp.maximum(cos_c, lexn), 0.0, 1.0)
 
     has_jpd = (q["d_bits"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
     has_cov = (q["slot_weight"].sum(axis=1) > 0).astype(jnp.float32)[:, None]
@@ -532,6 +546,10 @@ def fuse_and_rerank(vals, gidx, sigs, q, k: int, rrf_k: int, m_global: int):
         "jpd": take(jpd_c),
         "cov": take(cov_c),
         "rrf": take(cand_rrf),
+        # normalized lexical sim component, kept separate so a host
+        # re-rank can rebuild sim = max(exact_cos, lexn) without the
+        # device's (possibly approximate) cosine baked in
+        "lexn": take(lexn),
     }
 
 
@@ -588,7 +606,7 @@ def _search_compiled(
 # Output packing layout: (key, width-multiplier-of-k) per dtype class.
 # strict_count rides the int pack as an extra column.
 _OUT_F = (("rerank", 1), ("sim", 1), ("cos", 1), ("auth", 1), ("len", 1),
-          ("jpd", 1), ("cov", 1), ("rrf", 1),
+          ("jpd", 1), ("cov", 1), ("rrf", 1), ("lexn", 1),
           ("vec_vals", 2), ("lex_vals", 2), ("dtag_vals", 2))
 _OUT_I = (("idx", 1), ("vec_idx", 2), ("lex_idx", 2), ("dtag_idx", 2))
 
@@ -694,6 +712,21 @@ class SearchEngine:
 
         cfg = self.cfg
         index = self.store.index
+        if self.store.host_vectors is not None:
+            # codes-only regime: cluster + encode from the HOST matrix
+            from mobius_rag_tpu.ops.pq import PackedPQ, effective_m
+
+            valid_np = np.asarray(jax.device_get(index.valid))
+            ivf = IVFIndex.build_host(
+                self.store.host_vectors, self.store.host_scales, valid_np,
+                nlist=cfg.ivf_nlist or None)
+            self._ann = PackedPQ.from_ivf(
+                ivf, self.store.host_vectors,
+                m=effective_m(cfg.embed_dim, cfg.pq_m),
+                row_scales=self.store.host_scales)
+            self._ann_generation = self.store.generation
+            self._ann_nprobe = None
+            return self._ann
         ivf = IVFIndex.build(
             index.vectors, np.asarray(index.valid),
             nlist=cfg.ivf_nlist or None)
@@ -750,6 +783,55 @@ class SearchEngine:
     @property
     def effective_nprobe(self) -> int:
         return getattr(self, "_ann_nprobe", None) or self.cfg.ivf_nprobe
+
+    # -- post-fusion host re-rank (the codes-only 10M regime) ---------------
+
+    def _device_k(self, k: int) -> int:
+        """Result width requested from the compiled program: k normally;
+        k·over_fetch under host residency so the exact host re-rank has
+        candidates to reorder (ADC ranking errors inside the widened set
+        are repaired; errors beyond it bound recall)."""
+        if self.store.host_vectors is None:
+            return k
+        return min(k * self.cfg.over_fetch, self.store.capacity)
+
+    def _host_rerank(self, reqs, exps, out: dict, k: int) -> dict:
+        """Exact re-rank of the fused candidates from the host int8
+        matrix: recompute sim = max(exact cosine, normalized lexical)
+        and the v1.3 weighted score, re-sort, keep top-k. This is the
+        second stage of the two-stage IVFADC shape — candidate
+        generation ran on PQ codes in HBM; the truth lives in host RAM.
+        Host cost per batch: a [B, W, D] int8 gather + one einsum."""
+        hv, hs = self.store.host_vectors, self.store.host_scales
+        idx = np.asarray(out["idx"])
+        alive = np.asarray(out["rerank"]) > NEG_INF / 2
+        safe = np.clip(idx, 0, hv.shape[0] - 1)
+        rows = hv[safe].astype(np.float32) * hs[safe][..., None]
+        qv = self._embeddings(reqs)  # [B, D], normalized (LRU-cached)
+        cos = np.einsum("bwd,bd->bw", rows, qv.astype(np.float32))
+        sim = np.clip(np.maximum(cos, np.asarray(out["lexn"])), 0.0, 1.0)
+        has_jpd = np.array([1.0 if exp.tag_ids["d"] else 0.0
+                            for exp in exps])[:, None]
+        has_cov = np.array([1.0 if exp.phrase_slots else 0.0
+                            for exp in exps])[:, None]
+        w_jpd, w_cov = W_JPD * has_jpd, W_COV * has_cov
+        max_w = W_SIM + W_AUTH + W_LEN + w_jpd + w_cov
+        score = (W_SIM * sim + W_AUTH * np.asarray(out["auth"])
+                 + W_LEN * np.asarray(out["len"])
+                 + w_jpd * np.asarray(out["jpd"])
+                 + w_cov * np.asarray(out["cov"])) / np.maximum(max_w, 1e-6)
+        score = np.where(alive, score, NEG_INF)
+        order = np.argsort(-score, axis=1)[:, :k]
+        take = lambda a: np.take_along_axis(np.asarray(a), order, axis=1)
+        new = dict(out)
+        new.update({
+            "rerank": take(score), "sim": take(sim), "cos": take(cos),
+            "idx": take(idx),
+            "auth": take(out["auth"]), "len": take(out["len"]),
+            "jpd": take(out["jpd"]), "cov": take(out["cov"]),
+            "rrf": take(out["rrf"]), "lexn": take(out["lexn"]),
+        })
+        return new
 
     # -- host-side query prep ---------------------------------------------
 
@@ -908,20 +990,39 @@ class SearchEngine:
         execution (the serving-throughput shape; jax dispatch is async).
         Results are fully materialized before returning."""
         k = k or self.cfg.default_k
-        prepared = [self.prepare_batch(b) for b in batches]
         if self.sharded is not None:
             self.sharded.refresh()
+            prepared = [self.prepare_batch(b) for b in batches]
             outs = [self.sharded._run(q, k) for q, _ in prepared]
             fetched = jax.device_get(outs)  # one sync for the whole set
         else:
             ann = self.ensure_ann()
-            outs = [
-                _search_compiled(self.store.index, q, k, self.cfg.over_fetch,
-                                 self.cfg.rrf_k, ann, self.effective_nprobe)
-                for q, _ in prepared
-            ]
-            # one sync; 2 packed arrays per batch instead of ~16
-            fetched = [unpack_out(f, k) for f in jax.device_get(outs)]
+            kd = self._device_k(k)
+            # interleave host prep with device execution: each batch
+            # dispatches the moment it's prepared (dispatch is async), so
+            # batch i+1's string work overlaps batch i's device scan
+            prepared, outs = [], []
+            for b in batches:
+                q, exps = self.prepare_batch(b)
+                prepared.append((q, exps))
+                outs.append(_search_compiled(
+                    self.store.index, q, kd, self.cfg.over_fetch,
+                    self.cfg.rrf_k, ann, self.effective_nprobe))
+            # same-shape batches: stack ALL outputs on device and fetch
+            # TWO arrays total (per-fetch tunnel RTT × 2·N batches was
+            # the residual 1M bottleneck after per-batch packing)
+            if len(outs) > 1 and len({f.shape for f, _ in outs}) == 1:
+                fs, is_ = jax.device_get(
+                    (jnp.stack([f for f, _ in outs]),
+                     jnp.stack([i for _, i in outs])))
+                fetched = [unpack_out((fs[j], is_[j]), kd)
+                           for j in range(len(outs))]
+            else:
+                fetched = [unpack_out(f, kd) for f in jax.device_get(outs)]
+            if kd != k:
+                fetched = [self._host_rerank(list(b), exps, out, k)
+                           for b, (qq, exps), out
+                           in zip(batches, prepared, fetched)]
         return [
             self._assemble(list(batch), exps, out, k)
             for batch, (qq, exps), out in zip(batches, prepared, fetched)
@@ -943,9 +1044,12 @@ class SearchEngine:
             out = jax.device_get(self.sharded._run(q, k))
         else:
             ann = self.ensure_ann()
+            kd = self._device_k(k)
             out = unpack_out(jax.device_get(
-                _search_compiled(self.store.index, q, k, cfg.over_fetch,
-                                 cfg.rrf_k, ann, self.effective_nprobe)), k)
+                _search_compiled(self.store.index, q, kd, cfg.over_fetch,
+                                 cfg.rrf_k, ann, self.effective_nprobe)), kd)
+            if kd != k:
+                out = self._host_rerank(reqs, exps, out, k)
         t_dev = time.perf_counter()
         timings = {
             "prepare": (t_prep - t0) * 1e3 / len(reqs),

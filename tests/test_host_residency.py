@@ -1,0 +1,110 @@
+"""Host vector residency (config 5, the 10M codes-only regime): HBM
+holds PQ codes only; int8 rows live in host RAM and serve the
+post-fusion exact re-rank."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from mobius_rag_tpu.config import get_config
+from mobius_rag_tpu.index.store import ChunkRecord, ChunkStore
+from mobius_rag_tpu.ingest.featurize import featurize_chunk
+from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+
+def _host_cfg(**kw):
+    return dataclasses.replace(
+        get_config(), vector_residency="host", vector_dtype="int8",
+        vector_backend="pq", ivf_nprobe=10 ** 6, **kw)
+
+
+@pytest.fixture(scope="module")
+def stores():
+    lex = sample_lexicon()
+    dev_store = ChunkStore()
+    dev_store.add_chunks(toy_corpus(lex, pad_docs=120))
+    host_store = ChunkStore(_host_cfg())
+    host_store.add_chunks(toy_corpus(lex, pad_docs=120))
+    return lex, dev_store, host_store
+
+
+def test_config_validation():
+    bad = dataclasses.replace(get_config(), vector_residency="host",
+                              vector_backend="exact")
+    assert any("RESIDENCY" in p for p in bad.validate())
+
+
+def test_host_store_shape(stores):
+    lex, dev_store, host_store = stores
+    assert host_store.index.vectors.shape[0] == 0
+    assert host_store.host_vectors is not None
+    assert host_store.host_vectors.shape[0] == host_store.capacity
+    assert host_store.capacity >= host_store.size
+    # quantized rows present for live records
+    assert np.abs(host_store.host_vectors[:host_store.size]).max() > 0
+
+
+def test_host_residency_search_matches_dense(stores):
+    """Full-probe PQ + host exact re-rank must track the dense engine's
+    hybrid top-k closely on the toy corpus."""
+    lex, dev_store, host_store = stores
+    dense = SearchEngine(dev_store, lex, embed_fn=hash_embed)
+    hosty = SearchEngine(host_store, lex, cfg=host_store.cfg,
+                         embed_fn=hash_embed)
+    queries = [
+        QueryRequest(query="What is the timely filing deadline for Sunshine "
+                           "Health FL Medicaid claims?"),
+        QueryRequest(query="prior authorization for durable medical equipment"),
+        QueryRequest(query="molina eligibility verification", payer="molina"),
+    ]
+    recalls = []
+    for q in queries:
+        a = dense.search(q, k=8)[0]
+        b = hosty.search(q, k=8)[0]
+        assert b.hits, q.query
+        ia = {h.chunk_id for h in a.hits}
+        ib = {h.chunk_id for h in b.hits}
+        recalls.append(len(ia & ib) / max(len(ia), 1))
+        # host re-rank recomputed exact cosine: top hit's similarity is
+        # a real cosine, not an ADC approximation artifact
+        assert -1.01 <= b.hits[0].signals["cosine"] <= 1.01
+    assert float(np.mean(recalls)) >= 0.8, recalls
+
+
+def test_host_residency_republish_and_recycle(stores):
+    lex, _, _ = stores
+    store = ChunkStore(_host_cfg())
+    store.add_chunks(toy_corpus(lex, pad_docs=32))
+    eng = SearchEngine(store, lex, cfg=store.cfg, embed_fn=hash_embed)
+    text = "Zugzwang rider reimburses chess clock repair within 90 days."
+    rec = featurize_chunk(ChunkRecord(
+        chunk_id="z-c0", doc_id="z_doc", text=text,
+        embedding=hash_embed([text])[0]), lex)
+    row0 = store.publish_document("z_doc", [rec])[0]
+    r = eng.search(QueryRequest(query="zugzwang chess clock repair"), k=5)[0]
+    assert any(h.doc_id == "z_doc" for h in r.hits)
+    # republish recycles the freed row AND overwrites its host payload
+    text2 = "Quodlibet benefit covers improvised organ recitals only."
+    rec2 = featurize_chunk(ChunkRecord(
+        chunk_id="z-c1", doc_id="z_doc", text=text2,
+        embedding=hash_embed([text2])[0]), lex)
+    row1 = store.publish_document("z_doc", [rec2])[0]
+    assert row1 == row0
+    r2 = eng.search(QueryRequest(query="quodlibet organ recitals"), k=5)[0]
+    assert r2.hits and r2.hits[0].chunk_id == "z-c1"
+    stale = eng.search(QueryRequest(query="zugzwang chess clock repair"), k=5)[0]
+    assert not any(h.chunk_id == "z-c0" for h in stale.hits)
+
+
+def test_host_residency_bulk_load(stores):
+    lex, _, _ = stores
+    recs = toy_corpus(lex, pad_docs=40)
+    vecs = np.stack([np.asarray(r.embedding, np.float32)
+                     / max(np.linalg.norm(r.embedding), 1e-9) for r in recs])
+    store = ChunkStore(_host_cfg())
+    store.bulk_load(recs, vectors=vecs)
+    assert store.index.vectors.shape[0] == 0
+    eng = SearchEngine(store, lex, cfg=store.cfg, embed_fn=hash_embed)
+    r = eng.search(QueryRequest(query="timely filing deadline"), k=5)[0]
+    assert r.hits
