@@ -1,0 +1,230 @@
+"""ANN recall-vs-nprobe frontier on REALISTIC embedding geometry
+(VERDICT r2 item 4: the round-2 matrix measured IVF recall on
+near-isotropic noise — the only distribution that matters is the
+trained encoder's output over policy-shaped text).
+
+Builds a 1M-row corpus of policy-shaped texts (templated payer/topic/
+number variations — real payer corpora are heavily templated, which is
+exactly the clustered/near-duplicate regime IVF must survive), embeds
+them with the TRAINED encoder checkpoint (encoder_r2/r3 from the
+quality loop), then sweeps nprobe for the ivf and packed backends
+measuring recall@10 vs the exact scan and qps at batch 32. Also runs
+calibrate_nprobe (the auto-nprobe serving default) against the 0.95
+floor and records its pick.
+
+Writes eval_artifacts/BENCH_r3_ann_recall_curve.json.
+Run: PYTHONPATH=$PYTHONPATH:/root/repo python scripts/ann_recall_curve.py
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def log(m):
+    print(f"[ann_curve] {m}", file=sys.stderr, flush=True)
+
+
+PAYERS = ["Sunshine Health", "Aetna Better Health", "Molina Healthcare",
+          "Simply Healthcare", "Peach State Health Plan", "Superior HealthPlan",
+          "Buckeye Health Plan", "Anthem Blue Cross", "Cigna Healthcare",
+          "UnitedHealthcare Community Plan"]
+STATES = ["FL", "GA", "TX", "OH", "CA", "NY", "IL", "MI", "NC", "PA"]
+TOPICS = [
+    "timely filing: initial claims must be received within {n} days of the "
+    "date of service; corrected claims within {m} days of the remittance",
+    "prior authorization requests for {svc} are decided within {n} calendar "
+    "days; expedited requests within {m} hours",
+    "provider disputes must be filed within {n} days of the explanation of "
+    "payment with the original claim number attached",
+    "credentialing applications are processed within {n} calendar days; "
+    "re-credentialing occurs every {m} months",
+    "synchronous telehealth for {svc} requires the modifier and "
+    "place-of-service combination in the billing guide",
+    "{svc} requires a current treatment plan demonstrating medical "
+    "necessity; units beyond the annual maximum require authorization",
+    "verify member eligibility through the provider portal before each "
+    "visit; enrollment can change monthly",
+    "the preferred drug list is updated quarterly; non-formulary requests "
+    "require a coverage determination",
+]
+SERVICES = ["intensive outpatient services", "residential treatment",
+            "psychological testing", "applied behavior analysis",
+            "durable medical equipment", "home health visits",
+            "partial hospitalization", "targeted case management",
+            "skilled nursing care", "outpatient surgery", "imaging studies",
+            "dialysis services"]
+QUERY_SHAPES = [
+    "What is the timely filing deadline for {payer} {state} Medicaid claims?",
+    "Does {payer} require prior authorization for {svc}?",
+    "How do I submit a corrected claim to {payer} {state}?",
+    "What modifier is required for telehealth {svc} under {state} Medicaid?",
+    "How long does {payer} take to decide a prior authorization request?",
+    "What is the provider dispute deadline for {payer}?",
+]
+
+
+def gen_texts(n: int, seed: int = 0) -> list[str]:
+    rng = np.random.default_rng(seed)
+    pi = rng.integers(0, len(PAYERS), n)
+    si = rng.integers(0, len(STATES), n)
+    ti = rng.integers(0, len(TOPICS), n)
+    vi = rng.integers(0, len(SERVICES), n)
+    ns = rng.choice([30, 45, 60, 90, 95, 120, 180, 365], n)
+    ms = rng.choice([24, 48, 72, 90, 180], n)
+    return [
+        f"{PAYERS[pi[i]]} {STATES[si[i]]} Medicaid — "
+        + TOPICS[ti[i]].format(n=ns[i], m=ms[i], svc=SERVICES[vi[i]])
+        for i in range(n)
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--queries", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--ckpt", default=os.path.expanduser(
+        "~/.mobius_rag_tpu/encoder_r2"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mobius_rag_tpu.index.ivf import (IVFIndex, PackedIVF,
+                                          calibrate_nprobe, ivf_search,
+                                          ivf_search_packed)
+    from mobius_rag_tpu.models.checkpoint import load_encoder
+    from mobius_rag_tpu.models.encoder import EncoderModel
+
+    log(f"backend={jax.default_backend()} {jax.devices()}")
+    params, enc_cfg = load_encoder(args.ckpt)
+    model = EncoderModel(enc_cfg, params)
+    log(f"encoder loaded: {enc_cfg.num_layers}L d={enc_cfg.model_dim} "
+        f"out={enc_cfg.out_dim}")
+
+    n, k, b = args.n, args.k, args.batch
+    t0 = time.perf_counter()
+    texts = gen_texts(n)
+    log(f"texts: {time.perf_counter() - t0:.0f}s")
+
+    # encode → accumulate host f32, upload once as bf16
+    t0 = time.perf_counter()
+    D = enc_cfg.out_dim
+    vec_host = np.empty((n, D), np.float32)
+    EB = 4096
+    for off in range(0, n, EB):
+        vec_host[off:off + EB] = model(texts[off:off + EB])
+        if off % 200_000 == 0:
+            log(f"  encoded {off // 1000}k/{n // 1000}k "
+                f"({time.perf_counter() - t0:.0f}s)")
+    t_enc = time.perf_counter() - t0
+    norms = np.linalg.norm(vec_host, axis=1, keepdims=True)
+    vec_host /= np.maximum(norms, 1e-9)
+    log(f"encode: {t_enc:.0f}s ({n / t_enc:.0f} texts/s)")
+
+    from mobius_rag_tpu.query.engine import to_bf16
+
+    vectors = jnp.asarray(to_bf16(vec_host))
+    jax.device_get(vectors[0, :1])
+    del vec_host
+
+    # production-shaped queries through the same encoder
+    rng = np.random.default_rng(1)
+    qs = []
+    for i in range(args.queries):
+        shape = QUERY_SHAPES[i % len(QUERY_SHAPES)]
+        qs.append(shape.format(payer=PAYERS[int(rng.integers(len(PAYERS)))],
+                               state=STATES[int(rng.integers(len(STATES)))],
+                               svc=SERVICES[int(rng.integers(len(SERVICES)))]))
+    qv = model(qs)
+    qv = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    qdev = jnp.asarray(qv, jnp.float32)
+
+    # exact oracle
+    @jax.jit
+    def exact_topk(q):
+        s = jnp.dot(q, vectors.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+        return jax.lax.top_k(s, k)
+
+    _, e_idx = jax.device_get(exact_topk(qdev))
+    exact_sets = [set(map(int, row)) for row in e_idx]
+    penalty = jnp.zeros((n,), jnp.float32)
+
+    t0 = time.perf_counter()
+    ivf = IVFIndex.build(vectors, nlist=1024, iters=8)
+    log(f"IVF built in {time.perf_counter() - t0:.0f}s "
+        f"(nlist {ivf.nlist}, pad {ivf.pad}, spill {ivf.spill_count})")
+    t0 = time.perf_counter()
+    pivf = PackedIVF.from_ivf(ivf, vectors)
+    jax.device_get(pivf.values[0, 0, :1])
+    log(f"packed built in {time.perf_counter() - t0:.0f}s")
+
+    def timed_qps(fn, reps=5):
+        jax.device_get(fn())
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            jax.device_get(fn())
+        return b / ((time.perf_counter() - t0) / reps)
+
+    qb = qdev[:b]
+    frontier = {"ivf": [], "packed": []}
+    for npx in (4, 8, 16, 32, 64, 128, 256, 512, 1024):
+        _, idx = ivf_search(ivf, vectors, qdev, penalty, k, npx)
+        rec = float(np.mean([len(exact_sets[i] & set(map(int, r))) / k
+                             for i, r in enumerate(np.asarray(idx))]))
+        qps = timed_qps(lambda npx=npx: ivf_search(
+            ivf, vectors, qb, penalty[:n], k, npx)[0])
+        frontier["ivf"].append({"nprobe": npx, "recall": round(rec, 4),
+                                "qps_b32": round(qps, 1)})
+        _, idx = ivf_search_packed(pivf, qdev, penalty, k, npx)
+        rec_p = float(np.mean([len(exact_sets[i] & set(map(int, r))) / k
+                               for i, r in enumerate(np.asarray(idx))]))
+        qps_p = timed_qps(lambda npx=npx: ivf_search_packed(
+            pivf, qb, penalty, k, npx)[0])
+        frontier["packed"].append({"nprobe": npx, "recall": round(rec_p, 4),
+                                   "qps_b32": round(qps_p, 1)})
+        log(f"nprobe {npx}: ivf recall {rec:.4f} ({qps:.0f} qps) | "
+            f"packed {rec_p:.4f} ({qps_p:.0f} qps)")
+
+    cal = calibrate_nprobe(ivf, vectors, qdev[:32], k=k, target_recall=0.95)
+    log(f"auto-nprobe pick (target 0.95): {cal['nprobe']}")
+
+    art = {
+        "metric": "ann_recall_frontier_1m_trained_encoder",
+        "value": cal["nprobe"],
+        "unit": "nprobe@recall0.95",
+        "n_rows": n,
+        "encoder": {"checkpoint": args.ckpt,
+                    "layers": enc_cfg.num_layers,
+                    "out_dim": enc_cfg.out_dim},
+        "substrate": ("policy-shaped templated texts (clustered, heavy "
+                      "near-duplication) embedded by the TRAINED encoder — "
+                      "the serving geometry, not isotropic noise"),
+        "frontier": frontier,
+        "auto_nprobe": cal,
+        "encode_texts_per_s": round(n / t_enc, 1),
+        "note": ("Recall@10 vs exact bf16 scan over the same matrix; qps "
+                 "= vector-scan op alone at batch 32 (hybrid overhead "
+                 "measured in the e2e benches)."),
+    }
+    print(json.dumps({"metric": art["metric"], "value": art["value"],
+                      "unit": art["unit"]}))
+    with open(os.path.join(REPO, "eval_artifacts",
+                           "BENCH_r3_ann_recall_curve.json"), "w") as f:
+        json.dump(art, f, indent=1)
+    log("artifact written")
+
+
+if __name__ == "__main__":
+    main()
