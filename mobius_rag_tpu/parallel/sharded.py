@@ -162,6 +162,12 @@ class ShardedEngine:
 
         self.cfg = cfg or get_config()
         self.store = store
+        if store.host_vectors is not None:
+            raise NotImplementedError(
+                "host vector residency (MRAG_VECTOR_RESIDENCY=host) is a "
+                "single-chip codes-only configuration; sharded serving "
+                "needs the device-resident payload (shard the corpus "
+                "instead: per-chip stores at ≤8M rows each)")
         self.mesh = mesh or make_mesh(self.cfg.num_shards, self.cfg.shard_axis)
         self.axis = axis or self.cfg.shard_axis
         self._run_fn = _sharded_run(self.mesh, self.axis,

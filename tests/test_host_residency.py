@@ -108,3 +108,14 @@ def test_host_residency_bulk_load(stores):
     eng = SearchEngine(store, lex, cfg=store.cfg, embed_fn=hash_embed)
     r = eng.search(QueryRequest(query="timely filing deadline"), k=5)[0]
     assert r.hits
+
+
+def test_host_residency_refuses_sharding():
+    from mobius_rag_tpu.parallel.mesh import make_mesh
+    from mobius_rag_tpu.parallel.sharded import ShardedEngine
+
+    lex = sample_lexicon()
+    store = ChunkStore(_host_cfg())
+    store.add_chunks(toy_corpus(lex, pad_docs=16))
+    with pytest.raises(NotImplementedError):
+        ShardedEngine(store, mesh=make_mesh(8))
