@@ -95,6 +95,8 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--ckpt", default=os.path.expanduser(
         "~/.mobius_rag_tpu/encoder_r2"))
+    ap.add_argument("--cache", default="/tmp/ann_curve_emb.npz",
+                    help="embedding cache — encode once, sweep many times")
     args = ap.parse_args()
 
     import jax
@@ -113,41 +115,57 @@ def main() -> None:
         f"out={enc_cfg.out_dim}")
 
     n, k, b = args.n, args.k, args.batch
-    t0 = time.perf_counter()
-    texts = gen_texts(n)
-    log(f"texts: {time.perf_counter() - t0:.0f}s")
-
-    # encode → accumulate host f32, upload once as bf16
-    t0 = time.perf_counter()
-    D = enc_cfg.out_dim
-    vec_host = np.empty((n, D), np.float32)
-    EB = 4096
-    for off in range(0, n, EB):
-        vec_host[off:off + EB] = model(texts[off:off + EB])
-        if off % 200_000 == 0:
-            log(f"  encoded {off // 1000}k/{n // 1000}k "
-                f"({time.perf_counter() - t0:.0f}s)")
-    t_enc = time.perf_counter() - t0
-    norms = np.linalg.norm(vec_host, axis=1, keepdims=True)
-    vec_host /= np.maximum(norms, 1e-9)
-    log(f"encode: {t_enc:.0f}s ({n / t_enc:.0f} texts/s)")
-
     from mobius_rag_tpu.query.engine import to_bf16
 
-    vectors = jnp.asarray(to_bf16(vec_host))
-    jax.device_get(vectors[0, :1])
-    del vec_host
+    if os.path.exists(args.cache):
+        log(f"loading cached embeddings from {args.cache}")
+        z = np.load(args.cache)
+        vec_u16, qv, t_enc = z["vec_u16"], z["queries"], float(z["t_enc"])
+        assert vec_u16.shape[0] >= n, "cache smaller than --n"
+        vec_u16 = vec_u16[:n]
+    else:
+        t0 = time.perf_counter()
+        texts = gen_texts(n)
+        log(f"texts: {time.perf_counter() - t0:.0f}s")
+        t0 = time.perf_counter()
+        D = enc_cfg.out_dim
+        vec_host = np.empty((n, D), np.float32)
+        EB = 4096
+        for off in range(0, n, EB):
+            vec_host[off:off + EB] = model(texts[off:off + EB])
+            if off % 50_000 < EB:
+                log(f"  encoded {off // 1000}k/{n // 1000}k "
+                    f"({time.perf_counter() - t0:.0f}s)")
+        t_enc = time.perf_counter() - t0
+        norms = np.linalg.norm(vec_host, axis=1, keepdims=True)
+        vec_host /= np.maximum(norms, 1e-9)
+        log(f"encode: {t_enc:.0f}s ({n / t_enc:.0f} texts/s)")
+        # production-shaped queries through the same encoder
+        rng = np.random.default_rng(1)
+        qs = []
+        for i in range(args.queries):
+            shape = QUERY_SHAPES[i % len(QUERY_SHAPES)]
+            qs.append(shape.format(
+                payer=PAYERS[int(rng.integers(len(PAYERS)))],
+                state=STATES[int(rng.integers(len(STATES)))],
+                svc=SERVICES[int(rng.integers(len(SERVICES)))]))
+        qv = model(qs)
+        qv = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+        vec_u16 = to_bf16(vec_host).view(np.uint16)
+        del vec_host
+        np.savez(args.cache, vec_u16=vec_u16, queries=qv, t_enc=t_enc)
+        log(f"embeddings cached to {args.cache}")
 
-    # production-shaped queries through the same encoder
-    rng = np.random.default_rng(1)
-    qs = []
-    for i in range(args.queries):
-        shape = QUERY_SHAPES[i % len(QUERY_SHAPES)]
-        qs.append(shape.format(payer=PAYERS[int(rng.integers(len(PAYERS)))],
-                               state=STATES[int(rng.integers(len(STATES)))],
-                               svc=SERVICES[int(rng.integers(len(SERVICES)))]))
-    qv = model(qs)
-    qv = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    import ml_dtypes
+
+    t0 = time.perf_counter()
+    # ship as RAW uint16 and bitcast on device: serializing an
+    # ml_dtypes-bf16 view through the tunnel hit a pathological
+    # elementwise path (~0.6 MB/s); integer dtypes move at wire speed
+    vectors = jax.lax.bitcast_convert_type(jnp.asarray(vec_u16),
+                                           jnp.bfloat16)
+    jax.device_get(vectors[0, :1])
+    log(f"corpus uploaded: {time.perf_counter() - t0:.0f}s")
     qdev = jnp.asarray(qv, jnp.float32)
 
     # exact oracle
@@ -157,7 +175,9 @@ def main() -> None:
                     preferred_element_type=jnp.float32)
         return jax.lax.top_k(s, k)
 
+    t0 = time.perf_counter()
     _, e_idx = jax.device_get(exact_topk(qdev))
+    log(f"exact oracle: {time.perf_counter() - t0:.0f}s")
     exact_sets = [set(map(int, row)) for row in e_idx]
     penalty = jnp.zeros((n,), jnp.float32)
 
@@ -170,7 +190,7 @@ def main() -> None:
     jax.device_get(pivf.values[0, 0, :1])
     log(f"packed built in {time.perf_counter() - t0:.0f}s")
 
-    def timed_qps(fn, reps=5):
+    def timed_qps(fn, reps=3):
         jax.device_get(fn())
         t0 = time.perf_counter()
         for _ in range(reps):
@@ -179,7 +199,7 @@ def main() -> None:
 
     qb = qdev[:b]
     frontier = {"ivf": [], "packed": []}
-    for npx in (4, 8, 16, 32, 64, 128, 256, 512, 1024):
+    for npx in (8, 32, 128, 512):
         _, idx = ivf_search(ivf, vectors, qdev, penalty, k, npx)
         rec = float(np.mean([len(exact_sets[i] & set(map(int, r))) / k
                              for i, r in enumerate(np.asarray(idx))]))
