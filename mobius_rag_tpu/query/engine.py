@@ -41,6 +41,7 @@ from mobius_rag_tpu.index.store import ChunkStore, DeviceIndex, pack_bits
 from mobius_rag_tpu.ingest.featurize import query_lexical_weights
 from mobius_rag_tpu.ops.topk import NEG_INF
 from mobius_rag_tpu.query.lexicon import Lexicon, LexiconExpansion
+from mobius_rag_tpu.utils import native
 
 # Rerank weights — reranker v1.3. The reference's 6-weight split
 # (corpus_search.py:1917-1921) is sim .25 + authority .10 + length .05 +
@@ -801,14 +802,18 @@ class SearchEngine:
         and the v1.3 weighted score, re-sort, keep top-k. This is the
         second stage of the two-stage IVFADC shape — candidate
         generation ran on PQ codes in HBM; the truth lives in host RAM.
-        Host cost per batch: a [B, W, D] int8 gather + one einsum."""
+        Host cost per batch: one fused int8 gather+dot (cpp/rerank.cc;
+        numpy [B, W, D] gather + einsum fallback when the native
+        library is unavailable)."""
         hv, hs = self.store.host_vectors, self.store.host_scales
         idx = np.asarray(out["idx"])
         alive = np.asarray(out["rerank"]) > NEG_INF / 2
-        safe = np.clip(idx, 0, hv.shape[0] - 1)
-        rows = hv[safe].astype(np.float32) * hs[safe][..., None]
         qv = self._embeddings(reqs)  # [B, D], normalized (LRU-cached)
-        cos = np.einsum("bwd,bd->bw", rows, qv.astype(np.float32))
+        cos = native.gather_cos(hv, hs, idx, qv)
+        if cos is None:
+            safe = np.clip(idx, 0, hv.shape[0] - 1)
+            rows = hv[safe].astype(np.float32) * hs[safe][..., None]
+            cos = np.einsum("bwd,bd->bw", rows, qv.astype(np.float32))
         sim = np.clip(np.maximum(cos, np.asarray(out["lexn"])), 0.0, 1.0)
         has_jpd = np.array([1.0 if exp.tag_ids["d"] else 0.0
                             for exp in exps])[:, None]

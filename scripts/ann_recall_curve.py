@@ -117,29 +117,37 @@ def main() -> None:
     n, k, b = args.n, args.k, args.batch
     from mobius_rag_tpu.query.engine import to_bf16
 
+    # cache reuse is incremental: texts are generated deterministically
+    # (seed 0), so a smaller cache's rows are a valid prefix — only the
+    # remainder is encoded.
+    done = 0
+    vec_u16 = np.empty((n, enc_cfg.out_dim), np.uint16)
+    qv, t_enc = None, 0.0
     if os.path.exists(args.cache):
         log(f"loading cached embeddings from {args.cache}")
         z = np.load(args.cache)
-        vec_u16, qv, t_enc = z["vec_u16"], z["queries"], float(z["t_enc"])
-        assert vec_u16.shape[0] >= n, "cache smaller than --n"
-        vec_u16 = vec_u16[:n]
-    else:
+        cached, qv, t_enc = z["vec_u16"], z["queries"], float(z["t_enc"])
+        done = min(cached.shape[0], n)
+        vec_u16[:done] = cached[:done]
+        del cached
+    if done < n or qv is None:
         t0 = time.perf_counter()
-        texts = gen_texts(n)
-        log(f"texts: {time.perf_counter() - t0:.0f}s")
+        texts = gen_texts(n)[done:]
+        log(f"texts ({n - done} to encode): {time.perf_counter() - t0:.0f}s")
         t0 = time.perf_counter()
-        D = enc_cfg.out_dim
-        vec_host = np.empty((n, D), np.float32)
         EB = 4096
-        for off in range(0, n, EB):
-            vec_host[off:off + EB] = model(texts[off:off + EB])
+        for off in range(0, len(texts), EB):
+            block = np.asarray(model(texts[off:off + EB]), np.float32)
+            block /= np.maximum(
+                np.linalg.norm(block, axis=1, keepdims=True), 1e-9)
+            vec_u16[done + off:done + off + EB] = to_bf16(block).view(
+                np.uint16)
             if off % 50_000 < EB:
-                log(f"  encoded {off // 1000}k/{n // 1000}k "
+                log(f"  encoded {(done + off) // 1000}k/{n // 1000}k "
                     f"({time.perf_counter() - t0:.0f}s)")
-        t_enc = time.perf_counter() - t0
-        norms = np.linalg.norm(vec_host, axis=1, keepdims=True)
-        vec_host /= np.maximum(norms, 1e-9)
-        log(f"encode: {t_enc:.0f}s ({n / t_enc:.0f} texts/s)")
+        t_enc += time.perf_counter() - t0
+        if len(texts):
+            log(f"encode: {t_enc:.0f}s ({len(texts) / t_enc:.0f} texts/s)")
         # production-shaped queries through the same encoder
         rng = np.random.default_rng(1)
         qs = []
@@ -149,10 +157,8 @@ def main() -> None:
                 payer=PAYERS[int(rng.integers(len(PAYERS)))],
                 state=STATES[int(rng.integers(len(STATES)))],
                 svc=SERVICES[int(rng.integers(len(SERVICES)))]))
-        qv = model(qs)
+        qv = np.asarray(model(qs), np.float32)
         qv = qv / np.linalg.norm(qv, axis=1, keepdims=True)
-        vec_u16 = to_bf16(vec_host).view(np.uint16)
-        del vec_host
         np.savez(args.cache, vec_u16=vec_u16, queries=qv, t_enc=t_enc)
         log(f"embeddings cached to {args.cache}")
 
@@ -221,10 +227,11 @@ def main() -> None:
     log(f"auto-nprobe pick (target 0.95): {cal['nprobe']}")
 
     art = {
-        "metric": "ann_recall_frontier_1m_trained_encoder",
+        "metric": f"ann_recall_frontier_{n // 1000}k_trained_encoder",
         "value": cal["nprobe"],
         "unit": "nprobe@recall0.95",
         "n_rows": n,
+        "backend": jax.default_backend(),
         "encoder": {"checkpoint": args.ckpt,
                     "layers": enc_cfg.num_layers,
                     "out_dim": enc_cfg.out_dim},

@@ -110,6 +110,27 @@ def test_host_residency_bulk_load(stores):
     assert r.hits
 
 
+def test_native_gather_cos_matches_numpy():
+    """cpp/rerank.cc fused gather+dequant+dot == the numpy fallback
+    (clamp semantics included); engine._host_rerank relies on this."""
+    from mobius_rag_tpu.utils.native import gather_cos
+
+    rng = np.random.default_rng(7)
+    n, d, b, w = 500, 96, 4, 12
+    hv = rng.integers(-127, 128, (n, d)).astype(np.int8)
+    hs = (rng.random(n).astype(np.float32) + 0.1) / 127
+    idx = rng.integers(-3, n + 3, (b, w)).astype(np.int32)  # incl. out-of-range
+    qv = rng.standard_normal((b, d)).astype(np.float32)
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    got = gather_cos(hv, hs, idx, qv)
+    if got is None:
+        pytest.skip("native library unavailable (no toolchain)")
+    safe = np.clip(idx, 0, n - 1)
+    ref = np.einsum("bwd,bd->bw",
+                    hv[safe].astype(np.float32) * hs[safe][..., None], qv)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_host_residency_refuses_sharding():
     from mobius_rag_tpu.parallel.mesh import make_mesh
     from mobius_rag_tpu.parallel.sharded import ShardedEngine
