@@ -121,7 +121,11 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
         vals = vals.reshape(3, s, b, m)
         gidx = gidx.reshape(3, s, b, m)
         sigs = sigs.reshape(3, s, b, m, _N_SIG)
-        return _fuse_and_rerank(vals, gidx, sigs, q, k, rrf_k, m_global)
+        # pack to two output arrays: two fetches per query batch instead
+        # of ten (device→host transfers pay per-transfer RTT through the
+        # serving tunnel, same reasoning as engine._search_compiled)
+        return eng.pack_fused(
+            _fuse_and_rerank(vals, gidx, sigs, q, k, rrf_k, m_global), k)
 
     return run
 
@@ -372,7 +376,7 @@ class ShardedEngine:
         SearchEngine.prepare_batch). Returns host dict."""
         self.refresh()
         q = {key: jnp.asarray(v) for key, v in q_host.items()}
-        return jax.device_get(self._run(q, k))
+        return eng.unpack_fused(jax.device_get(self._run(q, k)), k)
 
     def search(self, engine, reqs, k: int | None = None):
         """Full search over the sharded index: borrow the (single-chip)
@@ -386,5 +390,5 @@ class ShardedEngine:
         k = k or self.cfg.default_k
         self.refresh()
         q, exps = engine.prepare_batch(reqs)
-        out = jax.device_get(self._run(q, k))
+        out = eng.unpack_fused(jax.device_get(self._run(q, k)), k)
         return engine._assemble(list(reqs), exps, out, k)

@@ -637,6 +637,30 @@ def unpack_out(fetched, k: int) -> dict[str, np.ndarray]:
     return out
 
 
+# The sharded merge returns only the fused schema (no per-arm traces):
+# the 9 single-width float signals of fuse_and_rerank plus idx.
+_FUSED_F = _OUT_F[:9]
+
+
+def pack_fused(out: dict, k: int):
+    """Pack fuse_and_rerank's dict into TWO arrays (f32 signals, i32
+    idx) so a sharded query costs two device→host fetches instead of
+    ten — per-transfer tunnel RTT dominates remote multi-chip serving
+    exactly like it did the single-chip pipeline (see pack_out)."""
+    del k  # symmetry with pack_out; widths are implied by the schema
+    return (jnp.concatenate([out[key] for key, _ in _FUSED_F], axis=1),
+            out["idx"])
+
+
+def unpack_fused(fetched, k: int) -> dict[str, np.ndarray]:
+    """Host-side inverse of pack_fused."""
+    packed_f, idx = np.asarray(fetched[0]), np.asarray(fetched[1])
+    out = {key: packed_f[:, i * k:(i + 1) * k]
+           for i, (key, _) in enumerate(_FUSED_F)}
+    out["idx"] = idx
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
@@ -749,10 +773,37 @@ class SearchEngine:
             self._calibrate_nprobe(cfg.ivf_target_recall)
         return self._ann
 
+    def _logged_query_vectors(self, want: int) -> np.ndarray | None:
+        """Embed up to `want` recent distinct PRODUCTION queries from the
+        telemetry log (search_events) for the calibration sample, so
+        auto-nprobe tunes on the distribution actually being served, not
+        only on perturbed corpus rows. Returns None when no telemetry /
+        embedder is attached or the log is empty (fresh deployments)."""
+        if self.telemetry is None or self.embed_fn is None or want <= 0:
+            return None
+        try:
+            events = self.telemetry.recent_search_events(limit=max(200, want * 4))
+        except Exception:
+            return None
+        seen: set[str] = set()
+        texts: list[str] = []
+        for ev in events:
+            qt = (ev.get("query") or "").strip()
+            if qt and qt.lower() not in seen:
+                seen.add(qt.lower())
+                texts.append(qt)
+            if len(texts) >= want:
+                break
+        if not texts:
+            return None
+        return self._embeddings([QueryRequest(query=t) for t in texts])
+
     def _calibrate_nprobe(self, target: float, sample: int = 32) -> dict:
-        """Per-corpus auto-nprobe (calibrate_nprobe on self-queries:
-        live rows + small perturbation — the corpus's own embedding
-        geometry, which is the only distribution the index serves)."""
+        """Per-corpus auto-nprobe. The calibration sample mixes recent
+        logged production queries (when a telemetry store is attached —
+        the distribution that actually hits the index) with self-queries
+        (live rows + small perturbation — the corpus's own embedding
+        geometry), so fresh deployments still calibrate sensibly."""
         import jax as _jax
         import jax.numpy as _jnp
 
@@ -763,8 +814,11 @@ class SearchEngine:
         live = np.flatnonzero(valid)
         if len(live) == 0:
             return {}
+        logged = self._logged_query_vectors(sample // 2)
+        n_logged = 0 if logged is None else len(logged)
+        n_self = max(sample - n_logged, 1)
         rng = np.random.default_rng(0)
-        rows = rng.choice(live, size=min(sample, len(live)), replace=False)
+        rows = rng.choice(live, size=min(n_self, len(live)), replace=False)
         qv = _jnp.take(index.vectors, _jnp.asarray(rows), axis=0).astype(
             _jnp.float32)
         if self.cfg.vector_dtype == "int8":
@@ -772,11 +826,15 @@ class SearchEngine:
         key = _jax.random.PRNGKey(0)
         qv = qv + 0.02 * _jax.random.normal(key, qv.shape)
         qv = qv / _jnp.linalg.norm(qv, axis=1, keepdims=True)
+        if n_logged:
+            qv = _jnp.concatenate(
+                [_jnp.asarray(logged, _jnp.float32), qv], axis=0)
         scales = (index.vec_scales if self.cfg.vector_dtype == "int8"
                   else None)
         cal = calibrate_nprobe(self._ann, index.vectors, qv,
                                k=self.cfg.default_k, target_recall=target,
                                row_scales=scales)
+        cal["logged_queries"] = n_logged
         self._ann_nprobe = cal["nprobe"]
         self._ann_calibration = cal
         return cal
@@ -999,7 +1057,16 @@ class SearchEngine:
             self.sharded.refresh()
             prepared = [self.prepare_batch(b) for b in batches]
             outs = [self.sharded._run(q, k) for q, _ in prepared]
-            fetched = jax.device_get(outs)  # one sync for the whole set
+            # same two-array stacking as the dense branch below: one
+            # fetch of two stacked arrays for the whole pipelined set
+            if len(outs) > 1 and len({f.shape for f, _ in outs}) == 1:
+                fs, is_ = jax.device_get(
+                    (jnp.stack([f for f, _ in outs]),
+                     jnp.stack([i for _, i in outs])))
+                fetched = [unpack_fused((fs[j], is_[j]), k)
+                           for j in range(len(outs))]
+            else:
+                fetched = [unpack_fused(f, k) for f in jax.device_get(outs)]
         else:
             ann = self.ensure_ann()
             kd = self._device_k(k)
@@ -1046,7 +1113,7 @@ class SearchEngine:
         t_prep = time.perf_counter()
         if self.sharded is not None:
             self.sharded.refresh()
-            out = jax.device_get(self.sharded._run(q, k))
+            out = unpack_fused(jax.device_get(self.sharded._run(q, k)), k)
         else:
             ann = self.ensure_ann()
             kd = self._device_k(k)

@@ -202,3 +202,38 @@ def test_engine_auto_nprobe(tmp_path):
     assert cal["curve"][0]["nprobe"] >= 1
     # the calibrated probe ignores the (deliberately bad) static nprobe=1
     assert eng.effective_nprobe > 1 or cal["curve"][0]["recall"] >= 0.95
+    # no telemetry attached: sample is self-queries only
+    assert cal["logged_queries"] == 0
+
+
+def test_auto_nprobe_uses_logged_queries(tmp_path):
+    """With a telemetry store attached, auto-nprobe calibrates on recent
+    logged production queries mixed with self-queries (round-3 gap:
+    calibration ran on perturbed corpus rows only)."""
+    import dataclasses
+
+    from mobius_rag_tpu.config import get_config
+    from mobius_rag_tpu.index.store import ChunkStore
+    from mobius_rag_tpu.observability import TelemetryStore
+    from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+    from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=150))
+    tel = TelemetryStore(path=str(tmp_path / "tel.sqlite"))
+    for q in ("timely filing deadline for sunshine health",
+              "prior authorization for dme",
+              "molina eligibility verification"):
+        tel.record_search_event(query=q, mode="corpus", timings={},
+                                arms={}, expansion=[], results=[])
+    tel.flush()
+    cfg = dataclasses.replace(get_config(), vector_backend="ivf",
+                              ivf_target_recall=0.95, ivf_nprobe=1)
+    eng = SearchEngine(store, lex, cfg=cfg, embed_fn=hash_embed,
+                       telemetry=tel)
+    res = eng.search(QueryRequest(query="timely filing deadline"), k=5)[0]
+    assert res.hits
+    cal = eng._ann_calibration
+    assert cal["logged_queries"] == 3
+    assert cal["nprobe"] == eng.effective_nprobe
