@@ -104,6 +104,11 @@ class Config:
     over_fetch: int = _env_int("MRAG_OVER_FETCH", 4)
     # Default top-k.
     default_k: int = _env_int("MRAG_DEFAULT_K", 10)
+    # Pipelined-search fetch groups: the stacked device→host result
+    # fetch splits into this many transfers so host assembly of group g
+    # overlaps the device execution + transfer of group g+1 (1 = single
+    # stacked fetch, the round-3 behavior).
+    pipeline_fetch_groups: int = _env_int("MRAG_PIPELINE_FETCH_GROUPS", 2)
     # Vector-arm minimum cosine similarity post-filter.
     min_similarity: float = _env_float("MRAG_MIN_SIMILARITY", 0.0)
     # Confidence label thresholds (corpus_search.py:380-384).

@@ -1057,16 +1057,8 @@ class SearchEngine:
             self.sharded.refresh()
             prepared = [self.prepare_batch(b) for b in batches]
             outs = [self.sharded._run(q, k) for q, _ in prepared]
-            # same two-array stacking as the dense branch below: one
-            # fetch of two stacked arrays for the whole pipelined set
-            if len(outs) > 1 and len({f.shape for f, _ in outs}) == 1:
-                fs, is_ = jax.device_get(
-                    (jnp.stack([f for f, _ in outs]),
-                     jnp.stack([i for _, i in outs])))
-                fetched = [unpack_fused((fs[j], is_[j]), k)
-                           for j in range(len(outs))]
-            else:
-                fetched = [unpack_fused(f, k) for f in jax.device_get(outs)]
+            fetch_iter = self._iter_fetched(outs, k, unpack_fused)
+            kd = k
         else:
             ann = self.ensure_ann()
             kd = self._device_k(k)
@@ -1080,25 +1072,48 @@ class SearchEngine:
                 outs.append(_search_compiled(
                     self.store.index, q, kd, self.cfg.over_fetch,
                     self.cfg.rrf_k, ann, self.effective_nprobe))
-            # same-shape batches: stack ALL outputs on device and fetch
-            # TWO arrays total (per-fetch tunnel RTT × 2·N batches was
-            # the residual 1M bottleneck after per-batch packing)
-            if len(outs) > 1 and len({f.shape for f, _ in outs}) == 1:
-                fs, is_ = jax.device_get(
-                    (jnp.stack([f for f, _ in outs]),
-                     jnp.stack([i for _, i in outs])))
-                fetched = [unpack_out((fs[j], is_[j]), kd)
-                           for j in range(len(outs))]
-            else:
-                fetched = [unpack_out(f, kd) for f in jax.device_get(outs)]
+            fetch_iter = self._iter_fetched(outs, kd, unpack_out)
+        results = []
+        for batch, (qq, exps), out in zip(batches, prepared, fetch_iter):
             if kd != k:
-                fetched = [self._host_rerank(list(b), exps, out, k)
-                           for b, (qq, exps), out
-                           in zip(batches, prepared, fetched)]
-        return [
-            self._assemble(list(batch), exps, out, k)
-            for batch, (qq, exps), out in zip(batches, prepared, fetched)
-        ]
+                out = self._host_rerank(list(batch), exps, out, k)
+            results.append(self._assemble(list(batch), exps, out, k))
+        return results
+
+    def _iter_fetched(self, outs, kd: int, unpack):
+        """Yield per-batch unpacked output dicts for a list of dispatched
+        (f, i) packed program outputs. Same-shape batches stack on device
+        in `pipeline_fetch_groups` contiguous groups, each fetched as TWO
+        arrays; groups after the first download in a worker thread while
+        the caller assembles the previous group (device→host transfer is
+        IO — the GIL is released — so assembly overlaps it even on a
+        single-vCPU host). One group reproduces the round-3 single
+        stacked fetch exactly."""
+        n = len(outs)
+        if n > 1 and len({f.shape for f, _ in outs}) == 1:
+            g = max(1, min(self.cfg.pipeline_fetch_groups, n))
+            bounds = [round(j * n / g) for j in range(g + 1)]
+            stacked = [
+                (jnp.stack([f for f, _ in outs[lo:hi]]),
+                 jnp.stack([i for _, i in outs[lo:hi]]))
+                for lo, hi in zip(bounds, bounds[1:]) if hi > lo
+            ]
+            if len(stacked) == 1:
+                fs, is_ = jax.device_get(stacked[0])
+                for j in range(n):
+                    yield unpack((fs[j], is_[j]), kd)
+                return
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                futs = [ex.submit(jax.device_get, s) for s in stacked]
+                for fut in futs:
+                    fs, is_ = fut.result()
+                    for j in range(fs.shape[0]):
+                        yield unpack((fs[j], is_[j]), kd)
+            return
+        for f in jax.device_get(outs):
+            yield unpack(f, kd)
 
     def search(self, reqs: Sequence[QueryRequest] | QueryRequest, k: int | None = None
                ) -> list[SearchResult]:

@@ -174,10 +174,13 @@ def main() -> None:
     log(f"corpus uploaded: {time.perf_counter() - t0:.0f}s")
     qdev = jnp.asarray(qv, jnp.float32)
 
-    # exact oracle
+    # exact oracle — multiply in bf16 with f32 accumulation (MXU-native):
+    # materializing vectors.astype(f32) put a 6 GB copy next to the 3 GB
+    # bf16 matrix at 1M×1536 and sent the axon runtime into page-thrash
+    # through the tunnel (observed: oracle still running after 35 min)
     @jax.jit
     def exact_topk(q):
-        s = jnp.dot(q, vectors.astype(jnp.float32).T,
+        s = jnp.dot(q.astype(jnp.bfloat16), vectors.T,
                     preferred_element_type=jnp.float32)
         return jax.lax.top_k(s, k)
 
