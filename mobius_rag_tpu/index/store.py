@@ -61,12 +61,20 @@ _WRITE_BLOCK = 256
 
 
 def pack_bits(ids: Iterable[int], words: int) -> np.ndarray:
-    """Pack small-int ids into a uint32 bitset of `words` words."""
-    out = np.zeros(words, dtype=np.uint32)
+    """Pack small-int ids into a uint32 bitset of `words` words.
+
+    Accumulates in a Python int and materializes once — numpy scalar
+    shift/or per id cost ~2 µs each, which is minutes of pure Python
+    across a 10M-record bulk_load (4 calls per record)."""
+    acc = 0
+    limit = words * 32
     for i in ids:
-        if 0 <= i < words * 32:
-            out[i // 32] |= np.uint32(1) << np.uint32(i % 32)
-    return out
+        if 0 <= i < limit:
+            acc |= 1 << int(i)  # int(): numpy scalars overflow at 1<<63
+    if acc == 0:
+        return np.zeros(words, dtype=np.uint32)
+    return np.frombuffer(acc.to_bytes(words * 4, "little"),
+                         dtype=np.uint32).copy()
 
 
 def unpack_bits(bits: np.ndarray) -> list[int]:
@@ -684,10 +692,16 @@ class ChunkStore:
             payer[i] = self.payers.intern(r.payer) if r.payer else -1
             state[i] = self.states.intern(r.state) if r.state else -1
             program[i] = self.programs.intern(r.program) if r.program else -1
-            j_tags[i] = pack_bits(r.j_tags, cfg.tag_words)
-            d_tags[i] = pack_bits(r.d_tags, cfg.tag_words)
-            p_tags[i] = pack_bits(r.p_tags, cfg.tag_words)
-            phrase_bits[i] = pack_bits(r.phrase_ids, cfg.phrase_words)
+            # arrays are pre-zeroed: skip pack_bits for empty tag lists
+            # (4·N calls are real minutes at 10M records)
+            if r.j_tags:
+                j_tags[i] = pack_bits(r.j_tags, cfg.tag_words)
+            if r.d_tags:
+                d_tags[i] = pack_bits(r.d_tags, cfg.tag_words)
+            if r.p_tags:
+                p_tags[i] = pack_bits(r.p_tags, cfg.tag_words)
+            if r.phrase_ids:
+                phrase_bits[i] = pack_bits(r.phrase_ids, cfg.phrase_words)
 
         vec_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
                      "int8": jnp.int8}[cfg.vector_dtype]
