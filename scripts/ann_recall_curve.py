@@ -96,7 +96,9 @@ def main() -> None:
     ap.add_argument("--ckpt", default=os.path.expanduser(
         "~/.mobius_rag_tpu/encoder_r2"))
     ap.add_argument("--cache", default="/tmp/ann_curve_emb.npz",
-                    help="embedding cache — encode once, sweep many times")
+                    help="embedding cache — encode once, sweep many times "
+                         "(raw .npy sidecars preferred: mmap loads in "
+                         "seconds vs minutes for a 3 GB npz member)")
     args = ap.parse_args()
 
     import jax
@@ -121,15 +123,29 @@ def main() -> None:
     # (seed 0), so a smaller cache's rows are a valid prefix — only the
     # remainder is encoded.
     done = 0
-    vec_u16 = np.empty((n, enc_cfg.out_dim), np.uint16)
+    vec_u16 = None
     qv, t_enc = None, 0.0
-    if os.path.exists(args.cache):
+    base = args.cache.rsplit(".", 1)[0].replace("_emb", "")
+    npy_vec, npy_q = base + "_vec_u16.npy", base + "_queries.npy"
+    if os.path.exists(npy_vec):
+        log(f"loading cached embeddings from {npy_vec} (mmap)")
+        cached = np.load(npy_vec, mmap_mode="r")
+        qv = np.load(npy_q)
+        import json as _json
+        t_enc = _json.load(open(base + "_meta.json"))["t_enc"]
+        done = min(cached.shape[0], n)
+        if done == n:
+            vec_u16 = cached  # serve straight off the mmap — no copy
+    elif os.path.exists(args.cache):
         log(f"loading cached embeddings from {args.cache}")
         z = np.load(args.cache)
         cached, qv, t_enc = z["vec_u16"], z["queries"], float(z["t_enc"])
         done = min(cached.shape[0], n)
-        vec_u16[:done] = cached[:done]
-        del cached
+    if vec_u16 is None:
+        vec_u16 = np.empty((n, enc_cfg.out_dim), np.uint16)
+        if done:
+            vec_u16[:done] = cached[:done]
+            del cached
     if done < n or qv is None:
         t0 = time.perf_counter()
         texts = gen_texts(n)[done:]
@@ -159,8 +175,11 @@ def main() -> None:
                 svc=SERVICES[int(rng.integers(len(SERVICES)))]))
         qv = np.asarray(model(qs), np.float32)
         qv = qv / np.linalg.norm(qv, axis=1, keepdims=True)
-        np.savez(args.cache, vec_u16=vec_u16, queries=qv, t_enc=t_enc)
-        log(f"embeddings cached to {args.cache}")
+        import json as _json
+        np.save(npy_vec, vec_u16)
+        np.save(npy_q, qv)
+        _json.dump({"t_enc": t_enc}, open(base + "_meta.json", "w"))
+        log(f"embeddings cached to {npy_vec}")
 
     import ml_dtypes
 
@@ -174,19 +193,47 @@ def main() -> None:
     log(f"corpus uploaded: {time.perf_counter() - t0:.0f}s")
     qdev = jnp.asarray(qv, jnp.float32)
 
-    # exact oracle — multiply in bf16 with f32 accumulation (MXU-native):
-    # materializing vectors.astype(f32) put a 6 GB copy next to the 3 GB
-    # bf16 matrix at 1M×1536 and sent the axon runtime into page-thrash
-    # through the tunnel (observed: oracle still running after 35 min)
+    # exact oracle — BLOCKWISE bf16 matmul (f32 accumulate) + per-block
+    # top-k, merged on host. Two failure modes ruled out by this shape:
+    # vectors.astype(f32) paged HBM (6 GB copy next to the 3 GB matrix),
+    # and a corpus-wide lax.top_k (width 1M) that never returned through
+    # the axon stack (observed stuck >15 min on the full-width program).
+    OB = 131_072
+
     @jax.jit
-    def exact_topk(q):
-        s = jnp.dot(q.astype(jnp.bfloat16), vectors.T,
+    def exact_block(q, lo):
+        blk = jax.lax.dynamic_slice_in_dim(vectors, lo, OB, axis=0)
+        s = jnp.dot(q.astype(jnp.bfloat16), blk.T,
                     preferred_element_type=jnp.float32)
-        return jax.lax.top_k(s, k)
+        vals, idx = jax.lax.top_k(s, k)
+        return vals, idx + lo
 
     t0 = time.perf_counter()
-    _, e_idx = jax.device_get(exact_topk(qdev))
-    log(f"exact oracle: {time.perf_counter() - t0:.0f}s")
+    nq = qdev.shape[0]
+    best_v = np.full((nq, k), -np.inf, np.float32)
+    best_i = np.zeros((nq, k), np.int64)
+    for lo in range(0, n, OB):
+        lo_c = min(lo, max(n - OB, 0))  # clamp: last block re-reads the tail
+        v, i = jax.device_get(exact_block(qdev, jnp.int32(lo_c)))
+        allv = np.concatenate([best_v, v], axis=1)
+        alli = np.concatenate([best_i, i.astype(np.int64)], axis=1)
+        # dedupe overlap from the clamped tail block: first occurrence wins
+        order = np.argsort(-allv, axis=1)
+        sv = np.take_along_axis(allv, order, axis=1)
+        si = np.take_along_axis(alli, order, axis=1)
+        for qi in range(nq):
+            seen, vv, ii = set(), [], []
+            for val, row in zip(sv[qi], si[qi]):
+                if row in seen:
+                    continue
+                seen.add(row)
+                vv.append(val)
+                ii.append(row)
+                if len(vv) == k:
+                    break
+            best_v[qi], best_i[qi] = vv, ii
+    e_idx = best_i
+    log(f"exact oracle (blockwise): {time.perf_counter() - t0:.0f}s")
     exact_sets = [set(map(int, row)) for row in e_idx]
     penalty = jnp.zeros((n,), jnp.float32)
 
