@@ -186,9 +186,23 @@ def main() -> None:
     t0 = time.perf_counter()
     # ship as RAW uint16 and bitcast on device: serializing an
     # ml_dtypes-bf16 view through the tunnel hit a pathological
-    # elementwise path (~0.6 MB/s); integer dtypes move at wire speed
-    vectors = jax.lax.bitcast_convert_type(jnp.asarray(vec_u16),
-                                           jnp.bfloat16)
+    # elementwise path (~0.6 MB/s); integer dtypes move at wire speed.
+    # Upload in ~200 MB chunks: a single 3 GB device_put wedges the
+    # transport on this stack (no progress, no CPU, device unusable for
+    # other clients until the backlog clears) — chunked puts keep each
+    # frame bounded and give incremental progress.
+    UP = 65_536
+    parts = []
+    for off in range(0, n, UP):
+        part = np.ascontiguousarray(vec_u16[off:off + UP])
+        parts.append(jax.lax.bitcast_convert_type(jnp.asarray(part),
+                                                  jnp.bfloat16))
+        if off % (UP * 4) == 0:
+            jax.device_get(parts[-1][0, :1])  # bound in-flight frames
+            log(f"  upload {off // 1000}k/{n // 1000}k "
+                f"({time.perf_counter() - t0:.0f}s)")
+    vectors = jnp.concatenate(parts)
+    del parts
     jax.device_get(vectors[0, :1])
     log(f"corpus uploaded: {time.perf_counter() - t0:.0f}s")
     qdev = jnp.asarray(qv, jnp.float32)
@@ -201,8 +215,11 @@ def main() -> None:
     OB = 131_072
 
     @jax.jit
-    def exact_block(q, lo):
-        blk = jax.lax.dynamic_slice_in_dim(vectors, lo, OB, axis=0)
+    def exact_block(vecs, q, lo):
+        # vecs enters as an explicit parameter, never a closure constant
+        # (a 3 GB captured array risks being serialized with the program
+        # through the tunnel instead of passed by device reference)
+        blk = jax.lax.dynamic_slice_in_dim(vecs, lo, OB, axis=0)
         s = jnp.dot(q.astype(jnp.bfloat16), blk.T,
                     preferred_element_type=jnp.float32)
         vals, idx = jax.lax.top_k(s, k)
@@ -214,7 +231,7 @@ def main() -> None:
     best_i = np.zeros((nq, k), np.int64)
     for lo in range(0, n, OB):
         lo_c = min(lo, max(n - OB, 0))  # clamp: last block re-reads the tail
-        v, i = jax.device_get(exact_block(qdev, jnp.int32(lo_c)))
+        v, i = jax.device_get(exact_block(vectors, qdev, jnp.int32(lo_c)))
         allv = np.concatenate([best_v, v], axis=1)
         alli = np.concatenate([best_i, i.astype(np.int64)], axis=1)
         # dedupe overlap from the clamped tail block: first occurrence wins
