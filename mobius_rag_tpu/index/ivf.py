@@ -360,15 +360,47 @@ def calibrate_nprobe(ann, vectors, queries, *, k: int = 10,
 
     q = jnp.asarray(queries, jnp.float32)
     b = q.shape[0]
-    v32 = lambda x: x.astype(jnp.float32)
-    # exact oracle over the same matrix (f32 accumulate)
-    scores = jnp.dot(q, v32(jnp.asarray(vectors)).T,
-                     preferred_element_type=jnp.float32)
-    if row_scales is not None:
-        scores = scores * jnp.asarray(row_scales)[None, :]
-    _, exact_idx = jax.lax.top_k(scores, k)
-    exact_sets = [set(map(int, row)) for row in np.asarray(exact_idx)]
-    penalty = jnp.zeros((vectors.shape[0],), jnp.float32)
+    # exact oracle over the same matrix, BLOCKWISE: materializing an f32
+    # copy of the whole corpus OOM'd at 1M×1536 bf16 with the IVF +
+    # packed tables already resident (the copy is +6 GB); per-block
+    # conversion peaks at one block.
+    vdev = jnp.asarray(vectors)
+    n = vdev.shape[0]
+    ob = min(131_072, n)
+    scl = (jnp.asarray(row_scales, jnp.float32) if row_scales is not None
+           else jnp.ones((n,), jnp.float32))
+
+    @jax.jit
+    def _oracle_block(vecs, scales, qs, lo):
+        blk = jax.lax.dynamic_slice_in_dim(vecs, lo, ob, axis=0)
+        s = jnp.dot(qs, blk.astype(jnp.float32).T,
+                    preferred_element_type=jnp.float32)
+        s = s * jax.lax.dynamic_slice_in_dim(scales, lo, ob)[None, :]
+        vals, idx = jax.lax.top_k(s, k)
+        return vals, idx + lo
+
+    best_v = np.full((b, k), -np.inf, np.float32)
+    best_i = np.zeros((b, k), np.int64)
+    for lo in range(0, n, ob):
+        lo_c = min(lo, n - ob)  # clamp: tail block re-reads overlap
+        v, i = jax.device_get(_oracle_block(vdev, scl, q, jnp.int32(lo_c)))
+        allv = np.concatenate([best_v, v], axis=1)
+        alli = np.concatenate([best_i, i.astype(np.int64)], axis=1)
+        order = np.argsort(-allv, axis=1)
+        for qi in range(b):
+            seen, vv, ii = set(), [], []
+            for oi in order[qi]:
+                row = alli[qi, oi]
+                if row in seen:
+                    continue
+                seen.add(row)
+                vv.append(allv[qi, oi])
+                ii.append(row)
+                if len(vv) == k:
+                    break
+            best_v[qi], best_i[qi] = vv, ii
+    exact_sets = [set(map(int, row)) for row in best_i]
+    penalty = jnp.zeros((n,), jnp.float32)
 
     if search_fn is None:
         if isinstance(ann, IVFIndex):
