@@ -101,44 +101,80 @@ def main() -> None:
         log(f"FATAL: embedding cache {cache} missing — run "
             "scripts/ann_recall_curve.py first (encodes + caches 1M rows)")
         sys.exit(2)
-    import ml_dtypes
+    import functools
 
     base_u16 = np.load(cache, mmap_mode="r")
     nb = min(base_u16.shape[0], max(N // 10, 1))
     T = (N + nb - 1) // nb  # ~10 graded copies per base row
-    # quantize base rows to int8 with |v| ≤ 115 so +12 noise can't wrap
-    base8 = np.empty((nb, D), np.int8)
-    QB = 125_000
-    for off in range(0, nb, QB):
-        hi = min(off + QB, nb)
-        blk = np.asarray(base_u16[off:hi]).view(ml_dtypes.bfloat16) \
-            .astype(np.float32)
-        maxabs = np.maximum(np.abs(blk).max(axis=1, keepdims=True), 1e-9)
-        base8[off:hi] = np.round(blk / maxabs * 115.0).astype(np.int8)
-    del base_u16
-    amps = [0, 1, 2, 3, 4, 5, 6, 8, 10, 12]
-    rng_c = np.random.default_rng(5)
-    host_vec = np.empty((N, D), np.int8)
-    host_sca = np.empty((N,), np.float32)
-    for t in range(T):
-        lo, hi = t * nb, min((t + 1) * nb, N)
-        m = hi - lo
-        amp = amps[t % len(amps)]
-        blk = base8[:m].astype(np.int16)
+
+    # ALL host-side array passes run as XLA-CPU jits: this host's numpy
+    # is pathologically slow (measured 198s for one vectorized shift
+    # pass over 125k×1536; the same pass cpu-jitted is 1.8s — 110×).
+    @functools.partial(jax.jit, backend="cpu")
+    def quant_block(u16):
+        # bf16 → f32 via integer shift (ml_dtypes .astype is a scalar
+        # loop), then per-row maxabs int8 with |v| ≤ 115 so +12 noise
+        # can't wrap
+        f = jax.lax.bitcast_convert_type(
+            u16.astype(jnp.uint32) << 16, jnp.float32)
+        m = jnp.maximum(jnp.max(jnp.abs(f), axis=1, keepdims=True), 1e-9)
+        return jnp.round(f / m * 115.0).astype(jnp.int8)
+
+    @functools.partial(jax.jit, backend="cpu", static_argnames=("amp",))
+    def tile_block(b8, key, salt, amp):
+        # fold_in INSIDE the cpu jit: an eager fold_in on the default
+        # (TPU) device costs a device→host key fetch per call — minutes
+        # each through this transport. Noise from uint8 random bits +
+        # modulo (4x fewer threefry words than 32-bit randint; the tiny
+        # modulo bias is irrelevant for corpus noise).
         if amp:
-            span = 2 * amp + 1
-            noise = (np.frombuffer(rng_c.bytes(m * D), np.uint8)
-                     .reshape(m, D).astype(np.int16) % span) - amp
-            blk = blk + noise
-        blk = blk.astype(np.int8)
-        host_vec[lo:hi] = blk
-        f = blk.astype(np.float32)
-        host_sca[lo:hi] = 1.0 / np.maximum(
-            np.sqrt(np.einsum("ij,ij->i", f, f)), 1.0)
-        log(f"  corpus copy {t + 1}/{T} amp={amp} "
-            f"({time.perf_counter() - t0:.0f}s)")
+            k = jax.random.fold_in(key, salt)
+            bits = jax.random.bits(k, b8.shape, jnp.uint8)
+            noise = (bits % np.uint8(2 * amp + 1)).astype(jnp.int32) - amp
+            x = b8.astype(jnp.int32) + noise
+        else:
+            x = b8.astype(jnp.int32)
+        norms = jnp.sqrt(jnp.sum((x * x).astype(jnp.float32), axis=1))
+        return x.astype(jnp.int8), 1.0 / jnp.maximum(norms, 1.0)
+
+    # disk cache: the built corpus survives crashes of the later (TPU)
+    # phases — a tunnel outage mid-bulk_load must not cost the 2h build
+    cvec = f"/tmp/bench10m_vec_{N}.npy"
+    csca = f"/tmp/bench10m_sca_{N}.npy"
+    if os.path.exists(cvec) and os.path.exists(csca):
+        log(f"loading cached corpus from {cvec} (mmap copy)")
+        host_vec = np.array(np.load(cvec, mmap_mode="r"))
+        host_sca = np.array(np.load(csca, mmap_mode="r"))
+    else:
+        base8 = np.empty((nb, D), np.int8)
+        QB = 125_000
+        for off in range(0, nb, QB):
+            hi = min(off + QB, nb)
+            base8[off:hi] = np.asarray(
+                quant_block(np.ascontiguousarray(base_u16[off:hi])))
+        log(f"base quantized: {time.perf_counter() - t0:.0f}s")
+        amps = [0, 1, 2, 3, 4, 5, 6, 8, 10, 12]
+        with jax.default_device(jax.devices("cpu")[0]):
+            ckey = jax.random.PRNGKey(5)  # on CPU; no TPU round trips
+        host_vec = np.empty((N, D), np.int8)
+        host_sca = np.empty((N,), np.float32)
+        for t in range(T):
+            lo, hi = t * nb, min((t + 1) * nb, N)
+            amp = amps[t % len(amps)]
+            for boff in range(0, hi - lo, QB):
+                bhi = min(boff + QB, hi - lo)
+                blk, sca = tile_block(base8[boff:bhi], ckey,
+                                      np.uint32(t * 1000 + boff // QB), amp)
+                host_vec[lo + boff:lo + bhi] = np.asarray(blk)
+                host_sca[lo + boff:lo + bhi] = np.asarray(sca)
+            log(f"  corpus copy {t + 1}/{T} amp={amp} "
+                f"({time.perf_counter() - t0:.0f}s)")
+        np.save(cvec, host_vec)
+        np.save(csca, host_sca)
+        log(f"corpus cached to {cvec}")
+    del base_u16
     t_gen = time.perf_counter() - t0
-    log(f"corpus built on host from trained-encoder base: {t_gen:.0f}s "
+    log(f"corpus ready: {t_gen:.0f}s "
         f"({host_vec.nbytes / 1e9:.1f} GB host, {nb} base rows × {T})")
 
     # ---- 2. records + bulk_load (host residency) --------------------------
