@@ -309,21 +309,42 @@ class PackedIVF:
             rowids[ivf.nlist + e, : len(seg)] = seg
             valid[ivf.nlist + e, : len(seg)] = 1.0
 
-        # gather + quantize member rows block-by-block; assemble on HOST
-        # and device_put once — a device-side concatenate would briefly
-        # double the packed buffer (OOM at multi-GB scale)
+        # gather + quantize member rows block-by-block ENTIRELY ON
+        # DEVICE, scattering each block into a donated flat buffer —
+        # peak memory is the packed buffer + one block (no doubling),
+        # and nothing round-trips to the host. (The previous host
+        # assembly pulled the full int8 payload down and pushed it back
+        # up: 2×3 GB of transfers that cost 21 minutes at 1M rows
+        # through the serving tunnel, where device→host moves ~2 MB/s.)
         flat_ids = rowids.reshape(-1)
-        vals_host = np.empty((len(flat_ids), d), np.int8)
-        scales_host = np.empty((len(flat_ids),), np.float32)
-        for off in range(0, len(flat_ids), block):
-            rows = jnp.asarray(flat_ids[off:off + block])
-            q, s = _quantize_block(jnp.take(vectors, rows, axis=0))
-            if row_scales is not None:
-                s = s * jnp.take(jnp.asarray(row_scales), rows)
-            vals_host[off:off + block] = np.asarray(jax.device_get(q))
-            scales_host[off:off + block] = np.asarray(jax.device_get(s))
-        values = jnp.asarray(vals_host.reshape(nlist, pad, d))
-        scales = jnp.asarray(scales_host.reshape(nlist, pad))
+        n_flat = len(flat_ids)
+        n_pad_flat = ((n_flat + block - 1) // block) * block
+        vectors = jnp.asarray(vectors)  # one upload if given as numpy
+        scl = (jnp.asarray(row_scales, jnp.float32)
+               if row_scales is not None
+               else jnp.ones((vectors.shape[0],), jnp.float32))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def fill_block(vals_buf, scales_buf, vecs, rscl, rows, off):
+            q, s = _quantize_block(jnp.take(vecs, rows, axis=0))
+            s = s * jnp.take(rscl, rows)
+            vals_buf = jax.lax.dynamic_update_slice_in_dim(
+                vals_buf, q.astype(jnp.int8), off, axis=0)
+            scales_buf = jax.lax.dynamic_update_slice_in_dim(
+                scales_buf, s, off, axis=0)
+            return vals_buf, scales_buf
+
+        vals_buf = jnp.zeros((n_pad_flat, d), jnp.int8)
+        scales_buf = jnp.zeros((n_pad_flat,), jnp.float32)
+        for off in range(0, n_flat, block):
+            rows = np.zeros(block, np.int32)
+            seg = flat_ids[off:off + block]
+            rows[: len(seg)] = seg
+            vals_buf, scales_buf = fill_block(
+                vals_buf, scales_buf, vectors, scl, jnp.asarray(rows),
+                jnp.int32(off))
+        values = vals_buf[:n_flat].reshape(nlist, pad, d)
+        scales = scales_buf[:n_flat].reshape(nlist, pad)
 
         # centroids for the synthetic spill clusters = member means
         cents = np.asarray(ivf.centroids, np.float32)
