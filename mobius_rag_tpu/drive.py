@@ -2,15 +2,22 @@
 + drive_classifier.py + main.py:6161-7060 — Google Drive OAuth, folder
 scan, per-file classification, bulk import).
 
-OAuth and the Drive API need egress this image doesn't have, so the
-transport is a protocol: deployments plug a real client (Google Drive,
-SharePoint, an NFS mount); tests use the in-memory one. Classification
+The transport is a protocol: `HTTPDrive` is the production client — a
+Drive-v3-shaped REST transport with the OAuth2 refresh-token exchange
+done over plain urllib (no SDK, drive_sync.py parity) — and tests/
+air-gapped pods use the in-memory one (this image has no egress, so
+HTTPDrive is exercised against a local stub server). Classification
 reuses the curator's payer/authority inference plus filename heuristics
 (drive_classifier.py's fallback-regex role)."""
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 import re
+import time
+import urllib.parse
+import urllib.request
 from typing import Any, Protocol
 
 from mobius_rag_tpu.curator import classify_url
@@ -44,6 +51,96 @@ class InMemoryDrive:
             if n == name:
                 return data
         raise FileNotFoundError(file_id)
+
+
+class HTTPDrive:
+    """Drive-v3-shaped REST client (drive_sync.py's transport role).
+
+    Auth: a static bearer (MRAG_DRIVE_ACCESS_TOKEN) or the OAuth2
+    refresh-token grant — POST client_id/client_secret/refresh_token to
+    the token endpoint, cache the access token until 60s before expiry.
+    Google-native documents (mime application/vnd.google-apps.*) can't
+    be fetched with alt=media; they go through /export as text/plain.
+
+    Endpoints are overridable (MRAG_DRIVE_API / MRAG_DRIVE_TOKEN_URL) so
+    the client runs against SharePoint-style gateways or a test stub.
+    """
+
+    def __init__(self, *, api_base: str | None = None,
+                 token_url: str | None = None,
+                 client_id: str | None = None,
+                 client_secret: str | None = None,
+                 refresh_token: str | None = None,
+                 access_token: str | None = None,
+                 timeout_s: float = 30.0):
+        env = os.environ.get
+        self.api_base = (api_base or env("MRAG_DRIVE_API",
+                         "https://www.googleapis.com/drive/v3")).rstrip("/")
+        self.token_url = token_url or env(
+            "MRAG_DRIVE_TOKEN_URL", "https://oauth2.googleapis.com/token")
+        self.client_id = client_id or env("MRAG_DRIVE_CLIENT_ID", "")
+        self.client_secret = client_secret or env("MRAG_DRIVE_CLIENT_SECRET", "")
+        self.refresh_token = refresh_token or env("MRAG_DRIVE_REFRESH_TOKEN", "")
+        self._access_token = access_token or env("MRAG_DRIVE_ACCESS_TOKEN", "")
+        self._token_expiry = float("inf") if self._access_token else 0.0
+        self.timeout_s = timeout_s
+
+    def _token(self) -> str:
+        if self._access_token and time.time() < self._token_expiry - 60:
+            return self._access_token
+        if not self.refresh_token:
+            raise RuntimeError(
+                "HTTPDrive has no access token and no refresh credentials "
+                "(set MRAG_DRIVE_ACCESS_TOKEN or MRAG_DRIVE_CLIENT_ID/"
+                "CLIENT_SECRET/REFRESH_TOKEN)")
+        body = urllib.parse.urlencode({
+            "client_id": self.client_id,
+            "client_secret": self.client_secret,
+            "refresh_token": self.refresh_token,
+            "grant_type": "refresh_token",
+        }).encode()
+        req = urllib.request.Request(self.token_url, data=body, method="POST")
+        req.add_header("Content-Type", "application/x-www-form-urlencoded")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+            tok = json.loads(r.read().decode())
+        self._access_token = tok["access_token"]
+        self._token_expiry = time.time() + float(tok.get("expires_in", 3600))
+        return self._access_token
+
+    def _get(self, path: str, params: dict[str, str]) -> bytes:
+        url = f"{self.api_base}{path}?{urllib.parse.urlencode(params)}"
+        req = urllib.request.Request(url)
+        req.add_header("Authorization", f"Bearer {self._token()}")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+            return r.read()
+
+    def list_folder(self, folder_id: str) -> list[dict[str, Any]]:
+        files: list[dict[str, Any]] = []
+        page_token = ""
+        while True:
+            params = {
+                "q": f"'{folder_id}' in parents and trashed = false",
+                "fields": "nextPageToken,files(id,name,mimeType,size)",
+                "pageSize": "1000",
+            }
+            if page_token:
+                params["pageToken"] = page_token
+            page = json.loads(self._get("/files", params).decode())
+            files.extend(
+                {"file_id": f["id"], "name": f.get("name", ""),
+                 "mime": f.get("mimeType", ""),
+                 "size": int(f.get("size", 0) or 0)}
+                for f in page.get("files", [])
+            )
+            page_token = page.get("nextPageToken", "")
+            if not page_token:
+                return files
+
+    def download(self, file_id: str, *, mime: str = "") -> bytes:
+        if mime.startswith("application/vnd.google-apps"):
+            return self._get(f"/files/{file_id}/export",
+                             {"mimeType": "text/plain"})
+        return self._get(f"/files/{file_id}", {"alt": "media"})
 
 
 _PAYERISH = re.compile(

@@ -165,6 +165,12 @@ def run_eval(
             "refused": res.refused,
             "judge_score": jr.score,
             "judge_verdict": jr.verdict,
+            # answer-level forbidden check: did the SYNTHESIZED answer
+            # assert a rubric-forbidden fact? (distinct from the
+            # retrieval-level trap_forbidden_hit below — retrieval may
+            # surface a trap the synthesis guard then refuses to quote)
+            "answer_forbidden": any(jr.verdicts.forbidden)
+            if q.forbidden_facts else None,
             "chunk_recall": fc.recall,
             "grounding": fc.grounding,
             "hallucinated": fc.hallucinated,
@@ -205,6 +211,10 @@ def run_eval(
         "latency_ms_p95": round(sorted(lat)[max(0, int(0.95 * len(lat)) - 1)], 2) if lat else 0,
         "warmup_excluded_cold_compile": bool(warmup),
     }
+    with_forbidden = [r for r in results if r["answer_forbidden"] is not None]
+    agg["answer_forbidden_rate"] = round(
+        sum(1 for r in with_forbidden if r["answer_forbidden"])
+        / len(with_forbidden), 4) if with_forbidden else None
     if has_traps:
         prec = [r["retrieval_precision"] for r in results
                 if r.get("retrieval_precision") is not None]

@@ -4,9 +4,12 @@ Reference parity (app/nightly_orchestrator.py:1-745 + nightly_infra.py):
 a daemon-thread pipeline of ordered steps with per-step live state,
 hard serialization invariants (evals never overlap corpus writes), and
 a lift computation comparing baseline vs final eval. Cloud-infra
-resizing (Cloud SQL tier / Cloud Run scaling) becomes a pair of
-pluggable infra hooks — on a TPU pod the equivalent is
-reserving/releasing chips, which deployments wire in.
+resizing (Cloud SQL tier / Cloud Run scaling) maps to `infra.py`'s
+k8s worker-fleet scaling: when no explicit hooks are supplied the
+orchestrator calls infra.scale("up"/"freeze"/"down") — a no-op with a
+stated reason unless the pod is configured (in-cluster env or
+MRAG_K8S_API), and always best-effort like the reference's
+(nightly_infra.py:15-17: "a run proceeds on whatever infra is up").
 
 Steps: infra_up → baseline_eval → retag → chunk_sweep → embed_sweep →
 freeze(snapshot) → final_eval → lift → infra_down.
@@ -38,10 +41,12 @@ class NightlyOrchestrator:
                  infra_up: Callable[[], Any] | None = None,
                  infra_down: Callable[[], Any] | None = None,
                  snapshot_path: str | None = None):
+        from mobius_rag_tpu import infra
+
         self.ctx = ctx  # api.server.AppContext (or anything duck-typed)
         self.bank = bank
-        self.infra_up = infra_up
-        self.infra_down = infra_down
+        self.infra_up = infra_up or (lambda: {"infra": infra.scale("up")})
+        self.infra_down = infra_down or (lambda: {"infra": infra.scale("down")})
         self.snapshot_path = snapshot_path
         self.state: dict[str, StepState] = {}
         self.run_id: str | None = None
@@ -100,9 +105,7 @@ class NightlyOrchestrator:
         return {"run_id": out.run_id, **out.aggregates}
 
     def _run(self) -> None:
-        ok = self._step("infra_up",
-                        lambda: {"hook": bool(self.infra_up)} if not self.infra_up
-                        else self.infra_up())
+        ok = self._step("infra_up", self.infra_up)
         baseline: dict[str, Any] = {}
 
         def baseline_eval():
@@ -147,13 +150,18 @@ class NightlyOrchestrator:
         def freeze():
             import os
 
+            from mobius_rag_tpu import infra
             from mobius_rag_tpu.config import get_config
 
+            # idle the writers before the final eval (reference 'freeze'
+            # direction, nightly_infra.py:125-127) — best-effort
+            infra_note = infra.scale("freeze")
             path = self.snapshot_path or os.path.join(
                 get_config().data_dir, f"{self.run_id}-snapshot")
             with self.corpus_write_lock:
                 self.ctx.store.snapshot(path)
-            return {"path": path, "chunks": self.ctx.store.size}
+            return {"path": path, "chunks": self.ctx.store.size,
+                    "infra": infra_note}
 
         ok = ok and self._step("freeze", freeze)
 
@@ -175,6 +183,4 @@ class NightlyOrchestrator:
             self._step("lift", lift)
         else:
             self.state["lift"].status = "skipped"
-        self._step("infra_down",
-                   lambda: {"hook": bool(self.infra_down)} if not self.infra_down
-                   else self.infra_down())
+        self._step("infra_down", self.infra_down)

@@ -143,6 +143,8 @@ class CorpusSearchAgent:
         self.observers: list = []  # callbacks(AgentResult) — decision persistence
         # signature → (refused_answer, contour) for fast-exit
         self._signature_cache: dict[str, tuple[str, str]] = {}
+        # conflicting-number passages dropped by the last synthesis
+        self._synth_conflicts: list[dict] = []
 
     # -- corpus probe cache -------------------------------------------------
 
@@ -251,9 +253,55 @@ class CorpusSearchAgent:
 
     # -- synthesis -------------------------------------------------------------
 
+    def _filter_conflicting(
+            self, hits: list[SearchHit]) -> tuple[list[SearchHit], list[dict]]:
+        """Drop lower-ranked passages that mirror a higher-ranked one but
+        disagree on numbers. A near-duplicate with perturbed figures is
+        the classic poisoned/near-miss shape (timely filing 90 vs 180
+        days); feeding both to synthesis invites the model to assert the
+        wrong one. Hits arrive fusion-ranked (score + authority), so the
+        kept copy is always the better-trusted one. Reference analogue:
+        corpus_search_agent.py:2673's synthesis context builder trusts
+        rank order the same way — this makes the trust explicit when
+        passages contradict each other."""
+        import re as _re
+
+        num_re = _re.compile(r"\d+(?:\.\d+)?")
+        from mobius_rag_tpu.query.text import tokenize
+
+        sigs: list[tuple[frozenset[str], frozenset[str]]] = []
+        for h in hits:
+            nums = frozenset(num_re.findall(h.text))
+            toks = frozenset(t for t in tokenize(h.text, drop_stopwords=True)
+                             if not t.isdigit())
+            sigs.append((nums, toks))
+        kept: list[SearchHit] = []
+        kept_sigs: list[tuple[frozenset[str], frozenset[str]]] = []
+        conflicts: list[dict] = []
+        for h, (nums, toks) in zip(hits, sigs):
+            clash = None
+            for kh, (knums, ktoks) in zip(kept, kept_sigs):
+                if not nums or not knums or nums == knums or not toks or not ktoks:
+                    continue
+                overlap = len(toks & ktoks) / min(len(toks), len(ktoks))
+                if overlap >= 0.7 and (nums ^ knums):
+                    clash = (kh, knums)
+                    break
+            if clash is not None:
+                conflicts.append({
+                    "dropped_doc": h.doc_id, "kept_doc": clash[0].doc_id,
+                    "dropped_nums": sorted(nums - clash[1])[:6],
+                })
+            else:
+                kept.append(h)
+                kept_sigs.append((nums, toks))
+        return kept, conflicts
+
     def _synthesize(self, query: str, hits: list[SearchHit]) -> str:
         if not hits:
             return ""
+        hits, conflicts = self._filter_conflicting(hits)
+        self._synth_conflicts = conflicts
 
         def passage(h: SearchHit) -> str:
             # neighbor-enriched context (corpus_search.py:3079): siblings
@@ -305,6 +353,7 @@ class CorpusSearchAgent:
         forced = self._parse_mode(req.mode)
         t0 = time.perf_counter()
         agent_id = uuid.uuid4().hex[:12]
+        self._synth_conflicts = []
         chain: list[str] = []
         outcomes: list[StrategyOutcome] = []
         story: list[str] = []  # strategy-chain narrative lines
@@ -359,6 +408,7 @@ class CorpusSearchAgent:
                 narrative=" → ".join(story),
                 telemetry={
                     "elapsed_ms": (time.perf_counter() - t0) * 1e3,
+                    "synthesis_conflicts": self._synth_conflicts,
                     "attempts": [
                         {"strategy": o.strategy, "success": o.success,
                          "hits": len(o.hits), "label": o.confidence_label,

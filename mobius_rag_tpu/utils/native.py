@@ -31,10 +31,28 @@ def get_lib() -> ctypes.CDLL | None:
     path = os.path.join(_CPP_DIR, _LIB_NAME)
     lib = None
     try:
-        if not os.path.exists(path):
-            subprocess.run(["make", "-C", _CPP_DIR], check=True,
+        # Rebuild when missing OR stale: a checked-in .so predating a
+        # source change would otherwise load fine but lack the newer
+        # symbols, silently degrading callers to their numpy paths.
+        stale = not os.path.exists(path)
+        if not stale:
+            so_mtime = os.path.getmtime(path)
+            for name in os.listdir(_CPP_DIR):
+                if name.endswith((".cc", ".h")) and (
+                        os.path.getmtime(os.path.join(_CPP_DIR, name))
+                        > so_mtime):
+                    stale = True
+                    break
+        if stale:
+            subprocess.run(["make", "-B", "-C", _CPP_DIR], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(path)
+        if not hasattr(lib, "mrag_gather_cos"):
+            # A checkout can write .cc and .so with identical mtimes, so
+            # the staleness probe misses it; the symbol set is the truth.
+            subprocess.run(["make", "-B", "-C", _CPP_DIR], check=True,
+                           capture_output=True, timeout=120)
+            lib = ctypes.CDLL(path)
     except Exception:
         lib = None
     if lib is not None and hasattr(lib, "mrag_gather_cos"):

@@ -72,3 +72,62 @@ def test_run_eval_no_trap_fields_without_traps():
     agent = CorpusSearchAgent(SearchEngine(store, lex, embed_fn=hash_embed))
     out = run_eval(agent, "toy")
     assert "retrieval_precision_mean" not in out.aggregates
+
+
+def _hit(doc_id, text, score):
+    from mobius_rag_tpu.query.engine import SearchHit
+
+    return SearchHit(row=0, chunk_id=f"{doc_id}-c0", doc_id=doc_id, text=text,
+                     score=score, similarity=score, signals={}, metadata={})
+
+
+@pytest.fixture(scope="module")
+def toy_agent():
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=8))
+    return CorpusSearchAgent(SearchEngine(store, lex, embed_fn=hash_embed))
+
+
+def test_filter_conflicting_drops_perturbed_duplicate(toy_agent):
+    real = _hit("manual", "Timely filing: claims must be submitted within "
+                          "180 days of the date of service.", 0.9)
+    trap = _hit("trap_nearmiss_1", "Timely filing: claims must be submitted "
+                                   "within 90 days of the date of service.", 0.7)
+    other = _hit("manual2", "Prior authorization is required for H2019 "
+                            "after 26 units per year.", 0.6)
+    kept, conflicts = toy_agent._filter_conflicting([real, trap, other])
+    assert [h.doc_id for h in kept] == ["manual", "manual2"]
+    assert conflicts and conflicts[0]["dropped_doc"] == "trap_nearmiss_1"
+    assert conflicts[0]["kept_doc"] == "manual"
+    assert "90" in conflicts[0]["dropped_nums"]
+
+
+def test_filter_conflicting_keeps_distinct_passages(toy_agent):
+    a = _hit("m1", "Timely filing is 180 days for participating providers.", 0.9)
+    b = _hit("m2", "Reimbursement for H0015 is 91.32 per diem under the "
+                   "behavioral health fee schedule.", 0.8)
+    kept, conflicts = toy_agent._filter_conflicting([a, b])
+    assert len(kept) == 2 and not conflicts
+
+
+def test_synthesize_excludes_conflicting_number(toy_agent):
+    real = _hit("manual", "Timely filing: claims must be submitted within "
+                          "180 days of the date of service.", 0.9)
+    trap = _hit("trap_nearmiss_1", "Timely filing: claims must be submitted "
+                                   "within 90 days of the date of service.", 0.7)
+    ans = toy_agent._synthesize("timely filing limit?", [real, trap])
+    assert "180" in ans and "90 days" not in ans
+    assert toy_agent._synth_conflicts
+
+
+def test_answer_forbidden_rate_aggregate(toy_agent):
+    out = run_eval(toy_agent, "toy")
+    # toy bank queries may or may not declare forbidden facts; the key
+    # must exist either way, and per-query answer_forbidden is None
+    # exactly when the query has no forbidden rubric entries
+    assert "answer_forbidden_rate" in out.aggregates
+    bank = load_bank("toy")
+    forb = {q.id: bool(q.forbidden_facts) for q in bank.queries}
+    for r in out.results:
+        assert (r["answer_forbidden"] is not None) == forb[r["query_id"]]
