@@ -33,6 +33,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
 from typing import Any
 
 from aiohttp import web
@@ -173,7 +174,13 @@ def build_app(ctx: AppContext) -> web.Application:
     # Extended surface FIRST: aiohttp resolves in registration order, and
     # fixed paths like /documents/search must win over /documents/{doc_id}.
     from mobius_rag_tpu.api.extended import register_extended_routes
+    from mobius_rag_tpu.api.ops import register_ops_routes
 
+    # ops first: its fixed paths (/documents/retag/status) must win over
+    # extended's dynamic /documents/{doc_id}/status; the reverse holds no
+    # shadowing (ops' dynamic routes share no fixed-path prefix+method
+    # with extended's fixed routes)
+    register_ops_routes(r, ctx)
     register_extended_routes(r, ctx)
 
     # ---- health / ops ---------------------------------------------------
@@ -363,17 +370,32 @@ def build_app(ctx: AppContext) -> web.Application:
         body = await request.json()
         from mobius_rag_tpu.eval_harness.run import run_eval
 
-        out = run_eval(ctx.agent, body.get("bank", "toy"),
-                       forced_mode=body.get("mode"), k=int(body.get("k", 10)),
-                       db=ctx.eval_db)
+        bank = body.get("bank", "toy")
+        # GET /api/eval/active reads this while the run is in flight
+        ctx.extra_state["eval_active"] = {"bank": bank, "started_at": time.time()}
+        try:
+            out = run_eval(ctx.agent, bank,
+                           forced_mode=body.get("mode"),
+                           k=int(body.get("k", 10)), db=ctx.eval_db)
+        finally:
+            ctx.extra_state["eval_active"] = None
         return _json({"run_id": out.run_id, "aggregates": out.aggregates})
 
     async def eval_calibrate(request):
         body = await request.json()
         from mobius_rag_tpu.eval_harness.calibrate import calibrate
 
-        out = calibrate(ctx.agent, body.get("bank", "toy"),
-                        k=int(body.get("k", 10)), db=ctx.eval_db)
+        bank = body.get("bank", "toy")
+        ctx.extra_state["calibration_active"] = {"bank": bank,
+                                                 "started_at": time.time()}
+        try:
+            out = calibrate(ctx.agent, bank,
+                            k=int(body.get("k", 10)), db=ctx.eval_db)
+            ctx.extra_state["calibration_last"] = {
+                "bank": bank, "calib_id": out.get("calib_id"),
+                "finished_at": time.time()}
+        finally:
+            ctx.extra_state["calibration_active"] = None
         return _json(out)
 
     async def eval_runs(request):

@@ -72,6 +72,39 @@ class CandidateStore:
                  "occurrences": r[3], "docs": json.loads(r[4] or "[]")}
                 for r in rows]
 
+    def aggregate(self, *, status: str | None = None,
+                  limit: int = 500) -> list[dict[str, Any]]:
+        """Corpus-wide candidate rollup (reference
+        GET /policy/candidates/aggregate): every phrase with its doc
+        spread, newest-updated first."""
+        sql = ("SELECT phrase, kind_hint, expansion, occurrences, docs, "
+               "status, promoted_code FROM candidates")
+        args: list[Any] = []
+        if status:
+            sql += " WHERE status=?"
+            args.append(status)
+        sql += " ORDER BY updated_at DESC LIMIT ?"
+        args.append(limit)
+        with self._lock:
+            rows = self.conn.execute(sql, args).fetchall()
+        return [{"phrase": r[0], "kind_hint": r[1], "expansion": r[2],
+                 "occurrences": r[3], "docs": json.loads(r[4] or "[]"),
+                 "n_docs": len(json.loads(r[4] or "[]")),
+                 "status": r[5], "promoted_code": r[6]} for r in rows]
+
+    def for_doc(self, doc_id: str, *, limit: int = 200) -> list[dict[str, Any]]:
+        """Candidates mined from one document (reference
+        GET /documents/{id}/policy/candidates)."""
+        with self._lock:
+            rows = self.conn.execute(
+                "SELECT phrase, kind_hint, occurrences, docs, status "
+                "FROM candidates WHERE docs LIKE ? "
+                "ORDER BY occurrences DESC LIMIT ?",
+                (f'%"{doc_id}"%', limit)).fetchall()
+        return [{"phrase": r[0], "kind_hint": r[1], "occurrences": r[2],
+                 "status": r[4]} for r in rows
+                if doc_id in json.loads(r[3] or "[]")]
+
     def review(self, phrase: str, *, approve: bool, lexicon=None,
                kind: str = "d", code: str = "") -> dict[str, Any]:
         """Approve (optionally promoting straight into the live lexicon)

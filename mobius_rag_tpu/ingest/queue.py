@@ -281,6 +281,24 @@ class JobQueue:
                  "attempts": r[3], "error": r[4], "created_at": r[5]}
                 for r in rows]
 
+    def jobs_by_status(self, status: str, *, kind: str | None = None,
+                       limit: int = 500) -> list[dict[str, Any]]:
+        """Jobs in one state, oldest first — the pending-triage surface
+        behind the reference's block_junk/block_old_pending admin ops."""
+        sql = ("SELECT job_id, kind, status, payload, attempts, error, "
+               "created_at FROM jobs WHERE status=?")
+        args: list[Any] = [status]
+        if kind:
+            sql += " AND kind=?"
+            args.append(kind)
+        sql += " ORDER BY created_at ASC LIMIT ?"
+        args.append(limit)
+        with self._lock:
+            rows = self.conn.execute(sql, args).fetchall()
+        return [{"job_id": r[0], "kind": r[1], "status": r[2],
+                 "payload": json.loads(r[3]), "attempts": r[4],
+                 "error": r[5], "created_at": r[6]} for r in rows]
+
     def retry_job(self, job_id: str) -> bool:
         """Re-queue a failed job with a fresh attempt budget (the
         reference's /documents/{id}/retry)."""

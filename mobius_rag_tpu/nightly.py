@@ -50,6 +50,9 @@ class NightlyOrchestrator:
         self.snapshot_path = snapshot_path
         self.state: dict[str, StepState] = {}
         self.run_id: str | None = None
+        # finished-run ledger (reference GET /admin/nightly/runs)
+        self.history: list[dict[str, Any]] = []
+        self._stop_requested = False
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
         # serialization invariant: eval steps and corpus-write steps share
@@ -65,6 +68,7 @@ class NightlyOrchestrator:
             import uuid
 
             self.run_id = f"nightly-{int(time.time())}-{uuid.uuid4().hex[:6]}"
+            self._stop_requested = False
             self.state = {s: StepState(s) for s in STEPS}
             self._thread = threading.Thread(target=self._run, daemon=True)
             self._thread.start()
@@ -81,10 +85,23 @@ class NightlyOrchestrator:
         if self._thread:
             self._thread.join(timeout=timeout_s)
 
+    def stop(self) -> bool:
+        """Request a graceful stop: steps not yet started are skipped
+        (infra_down still runs so infra never stays scaled up). The
+        in-flight step finishes — corpus writes are never interrupted
+        mid-publish. Returns whether a run was live."""
+        live = self._thread is not None and self._thread.is_alive()
+        self._stop_requested = True
+        return live
+
     # -- steps -------------------------------------------------------------
 
     def _step(self, name: str, fn: Callable[[], dict[str, Any] | None]) -> bool:
         st = self.state[name]
+        if self._stop_requested and name != "infra_down":
+            st.status = "skipped"
+            st.detail = {"reason": "stop requested"}
+            return False
         st.status = "running"
         st.started_at = time.time()
         try:
@@ -184,3 +201,7 @@ class NightlyOrchestrator:
         else:
             self.state["lift"].status = "skipped"
         self._step("infra_down", self.infra_down)
+        snap = self.status()
+        snap["running"] = False  # final snapshot, taken inside the thread
+        snap["stopped"] = self._stop_requested
+        self.history.append(snap)

@@ -143,6 +143,15 @@ class TelemetryStore:
                 self._read_conn.execute(
                     "ALTER TABLE processing_errors "
                     "ADD COLUMN resolved INTEGER DEFAULT 0")
+            dcols = [r[1] for r in self._read_conn.execute(
+                "PRAGMA table_info(query_decisions)")]
+            # human-grading loop (reference PATCH /observe/decisions/
+            # {correlation_id}/grade): operators grade prod decisions
+            if "grade" not in dcols:
+                self._read_conn.execute(
+                    "ALTER TABLE query_decisions ADD COLUMN grade TEXT")
+                self._read_conn.execute(
+                    "ALTER TABLE query_decisions ADD COLUMN grade_notes TEXT")
             self._read_conn.commit()
         self._thread = threading.Thread(target=self._writer, daemon=True)
         self._thread.start()
@@ -216,7 +225,10 @@ class TelemetryStore:
         observer hooked onto CorpusSearchAgent.observers)."""
         r = agent_result
         self._submit(
-            "INSERT OR REPLACE INTO query_decisions VALUES (?,?,?,?,?,?,?,?,?,?,?,?)",
+            "INSERT OR REPLACE INTO query_decisions "
+            "(agent_id, ts, query, strategy, chain, query_class, contour, "
+            "confidence, refused, priors_version, scores, latency_ms) "
+            "VALUES (?,?,?,?,?,?,?,?,?,?,?,?)",
             (r.agent_id, time.time(), r.query[:500],
              r.decision.get("strategy", ""), json.dumps(r.strategy_chain),
              r.profile.get("query_class", ""), r.gate.get("contour", ""),
@@ -263,12 +275,25 @@ class TelemetryStore:
     def recent_decisions(self, limit: int = 50) -> list[dict[str, Any]]:
         rows = self._query(
             "SELECT agent_id, ts, query, strategy, chain, query_class, contour, "
-            "confidence, refused, latency_ms FROM query_decisions "
+            "confidence, refused, latency_ms, grade FROM query_decisions "
             "ORDER BY ts DESC LIMIT ?", (limit,))
         return [{"agent_id": r[0], "ts": r[1], "query": r[2], "strategy": r[3],
                  "chain": json.loads(r[4]), "query_class": r[5], "contour": r[6],
-                 "confidence": r[7], "refused": bool(r[8]), "latency_ms": r[9]}
+                 "confidence": r[7], "refused": bool(r[8]), "latency_ms": r[9],
+                 "grade": r[10]}
                 for r in rows]
+
+    def grade_decision(self, agent_id: str, grade: str,
+                       notes: str = "") -> bool:
+        """Operator grade on a persisted decision (reference
+        PATCH /observe/decisions/{correlation_id}/grade). Synchronous
+        write — the grader expects read-your-write on the next fetch."""
+        with self._read_lock:
+            cur = self._read_conn.execute(
+                "UPDATE query_decisions SET grade=?, grade_notes=? "
+                "WHERE agent_id=?", (grade, notes, agent_id))
+            self._read_conn.commit()
+            return cur.rowcount > 0
 
     def decisions_rollup(self, window_hours: float = 24.0) -> dict[str, Any]:
         """Per-strategy rollup over recent PROD decisions (the reference's

@@ -236,3 +236,12 @@ class PromptRegistry:
             for s, versions in sorted(self.prompts.items())
             for v, pv in sorted(versions.items())
         ]
+
+    def delete(self, stage: str, version: str) -> bool:
+        pv = (self.prompts.get(stage) or {}).pop(version, None)
+        if pv is None:
+            return False
+        self._by_sha.pop(pv.sha, None)
+        if not self.prompts.get(stage):
+            self.prompts.pop(stage, None)
+        return True

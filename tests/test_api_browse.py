@@ -201,13 +201,20 @@ def test_browse_surface_end_to_end(ctx):
             r = await client.get(f"/documents/{doc_id}/status")
             assert (await r.json())["published_chunks"] >= 2
 
-            # cleanup: huge TTL sweeps nothing; tiny TTL removes the doc
-            # (AppContext uses FileDocumentStore, which records mtimes)
+            # cleanup: huge TTL sweeps nothing; then age this doc's blob
+            # explicitly (os.utime, 1h back) and sweep with a 30-min TTL —
+            # deterministic regardless of how fast the test ran (a warm
+            # jit cache once made the doc younger than a wall-clock TTL)
             r = await client.post("/admin/cleanup_expired_documents",
                                   json={"max_age_days": 3650})
             assert (await r.json())["removed"] == []
+            import os as _os
+            import time as _time
+            blob_path = _os.path.join(ctx.pipeline.docs.root, doc_id + ".bin")
+            old = _time.time() - 3600
+            _os.utime(blob_path, (old, old))
             r = await client.post("/admin/cleanup_expired_documents",
-                                  json={"max_age_days": 0.00001})
+                                  json={"max_age_days": 1 / 48})
             removed = (await r.json())["removed"]
             assert any(d["doc_id"] == doc_id for d in removed)
             r = await client.get(f"/documents/{doc_id}/status")
