@@ -15,12 +15,55 @@ UI.tab("eval", `
     <input id="cmpB" placeholder="run_b id" style="max-width:180px">
     <button onclick="doCompare()">compare</button>
     <button onclick="loadTimeline()">timeline</button>
-    <button onclick="loadBank()">bank editor</button></div>
+    <button onclick="loadDrift()">drift</button>
+    <button onclick="loadBank()">bank editor</button>
+    <button onclick="factCompareUi()">fact compare</button></div>
+  <div id="eactive" class=meta></div>
   <div id="eout">…</div>`, loadEvalRuns);
+
+async function loadDrift() {
+  // metric drift across the bank's recent runs (GET /api/eval/drift)
+  const r = await UI.get(`/api/eval/drift?bank=${encodeURIComponent(ebank.value)}`);
+  const rows = (r.runs || []).map((x) => `<tr>
+    <td>${UI.esc((x.run_id || "").slice(0, 10))}</td>
+    <td class=meta>${new Date((x.ts || 0) * 1000).toISOString().slice(5, 16)}</td>
+    <td>${x.accuracy ?? ""}</td><td>${x.mean_chunk_recall ?? ""}</td>
+    <td>${x.answer_rate ?? ""}</td><td>${x.latency_ms_median ?? ""}</td></tr>`);
+  document.getElementById("erun").innerHTML =
+    `<p class=meta>newest vs oldest: ${UI.esc(JSON.stringify(r.drift_newest_vs_oldest))}</p>`
+    + UI.table(["run", "ts", "acc", "recall", "answer rate", "p50 ms"], rows);
+}
+function factCompareUi() {
+  document.getElementById("erun").innerHTML = `
+    <p class=meta>judge two answers against the same must-facts rubric
+    (POST /api/eval/fact_compare)</p>
+    <textarea id="fcA" rows="3" placeholder="answer A"></textarea>
+    <textarea id="fcB" rows="3" placeholder="answer B" style="margin-top:6px"></textarea>
+    <div class=row style="margin-top:6px">
+      <input id="fcFacts" placeholder="must facts, one per ; separator">
+      <button class=go onclick="doFactCompare()">judge</button></div>
+    <div id="fcOut"></div>`;
+}
+async function doFactCompare() {
+  const r = await UI.post("/api/eval/fact_compare", {
+    answer_a: document.getElementById("fcA").value,
+    answer_b: document.getElementById("fcB").value,
+    must_facts: document.getElementById("fcFacts").value.split(";")
+      .map((s) => s.trim()).filter(Boolean) });
+  document.getElementById("fcOut").innerHTML = UI.pre(r);
+}
 
 async function doEval() {
   eout.innerHTML = "running…";
+  const poll = setInterval(async () => {
+    const a = await UI.get("/api/eval/active").catch(() => null);
+    document.getElementById("eactive").textContent = a && a.active
+      ? `eval running: ${a.active.bank} (${Math.round(Date.now() / 1000 - a.active.started_at)}s)`
+      : "";
+  }, 1500);
   const r = await UI.post("/api/eval/run", { bank: ebank.value });
+  clearInterval(poll);
+  document.getElementById("eactive").textContent = "";
   eout.innerHTML = UI.pre(r);
   setTimeout(loadEvalRuns, 400);
 }

@@ -59,7 +59,9 @@ async function liveRecent() {
 
 UI.tab("nightly", `
   <div class="row"><button class="go" onclick="runNightly()">run nightly</button>
-  <button onclick="loadNightly()">status</button></div>
+  <button onclick="loadNightly()">status</button>
+  <button onclick="stopNightly()">stop (graceful)</button>
+  <button onclick="nightlyRuns()">run history</button></div>
   <div id="nout">…</div>`, loadNightly);
 
 async function runNightly() {
@@ -72,6 +74,24 @@ async function loadNightly() {
   nout.innerHTML = UI.pre(r);
   if (r.running) setTimeout(loadNightly, 2000);
 }
+async function stopNightly() {
+  // graceful: in-flight step finishes, infra_down still runs
+  const r = await UI.post("/admin/nightly/stop", {});
+  nout.innerHTML = UI.pre(r);
+  setTimeout(loadNightly, 1000);
+}
+async function nightlyRuns() {
+  const r = await UI.get("/admin/nightly/runs");
+  const rows = (r.runs || []).map((x) => {
+    const steps = Object.entries(x.steps || {})
+      .map(([s, st]) => `${s}:${st.status}`).join(" ");
+    return `<tr><td>${UI.esc(x.run_id || "")}</td>
+      <td>${x.stopped ? "stopped" : "completed"}</td>
+      <td class=meta>${UI.esc(steps)}</td></tr>`;
+  });
+  nout.innerHTML = UI.table(["run", "outcome", "steps"], rows)
+    || "<p class=meta>no finished runs</p>";
+}
 
 UI.tab("curation", `<div id="cout">…</div>`, loadCuration);
 
@@ -79,12 +99,20 @@ async function loadCuration() {
   const c = await UI.get("/api/lexicon/candidates?min_occurrences=1");
   const s = await UI.get("/api/curator/stats");
   const src = await UI.get("/api/curator/sources").catch(() => ({ sources: [] }));
+  const agg = await UI.get("/policy/candidates/aggregate?limit=100")
+    .catch(() => ({ candidates: [] }));
   cout.innerHTML = `<p class=meta>curator: ${UI.esc(JSON.stringify(s))}</p>`
     + UI.table(["phrase", "kind", "occurs", "docs", ""],
       c.candidates.map((x) => `<tr><td>${UI.esc(x.phrase)}</td><td>${UI.esc(x.kind_hint)}</td>
         <td>${x.occurrences}</td><td>${x.docs.length}</td>
         <td><button onclick="reviewCand('${UI.esc(x.phrase)}', true)">approve</button>
             <button onclick="reviewCand('${UI.esc(x.phrase)}', false)">reject</button></td></tr>`))
+    + `<p class=meta style="margin-top:10px">corpus-wide aggregate (doc spread
+       + review state — /policy/candidates/aggregate)</p>`
+    + UI.table(["phrase", "kind", "occurs", "n docs", "status", "promoted"],
+      (agg.candidates || []).map((x) => `<tr><td>${UI.esc(x.phrase)}</td>
+        <td>${UI.esc(x.kind_hint)}</td><td>${x.occurrences}</td><td>${x.n_docs}</td>
+        <td>${UI.esc(x.status)}</td><td class=meta>${UI.esc(x.promoted_code || "")}</td></tr>`))
     + `<p class=meta style="margin-top:10px">discovered sources</p>`
     + UI.table(["url", "payer", "status", "authority"],
       (src.sources || []).map((x) => `<tr><td>${UI.esc(x.url)}</td>
@@ -178,9 +206,79 @@ UI.tab("admin", `
     <select id="vbe" style="max-width:120px"><option>exact</option><option>ivf</option>
       <option>packed</option><option>pq</option></select>
     <button onclick="setBackend()">set backend</button></div>
+  <div class=row>
+    <button onclick="adm('GET','/admin/repository_audit')">repository audit</button>
+    <button onclick="adm('POST','/admin/block_junk_pending')">block junk pending</button>
+    <button onclick="adm('GET','/admin/list_blocked_docs')">blocked docs</button>
+    <button onclick="adm('POST','/admin/dedupe_policy_paragraphs')">dedupe paragraphs</button>
+    <button onclick="adm('POST','/admin/normalize-payer')">normalize payers</button>
+    <button onclick="adm('POST','/admin/backfill_chunk_tags')">backfill chunk tags</button></div>
+  <div class=row>
+    <button onclick="adm('POST','/documents/retag')">bulk retag all</button>
+    <button onclick="adm('GET','/documents/retag/status')">retag status</button>
+    <input id="vsq" placeholder="raw vector probe query" style="max-width:240px">
+    <button onclick="vecProbe()">vector search</button></div>
   <div class=row><textarea id="sqlq" rows="3" placeholder="SELECT ... (read-only SQL console)"></textarea>
     <button class=go onclick="runSql()">run</button></div>
   <div id="admout">…</div>`);
+
+async function vecProbe() {
+  // pure vector arm, no fusion — the debugging probe (/admin/vector_search)
+  const r = await UI.get(`/admin/vector_search?q=${encodeURIComponent(vsq.value)}&k=10`);
+  admout.innerHTML = UI.table(["chunk", "doc", "similarity"],
+    (r.hits || []).map((h) => `<tr><td>${UI.esc(h.chunk_id)}</td>
+      <td class=meta>${UI.esc(h.doc_id)}</td>
+      <td>${(h.similarity ?? 0).toFixed(4)}</td></tr>`));
+}
+
+UI.tab("config", `
+  <p class=meta>LLM provider configs (secrets redacted) + versioned
+  prompt registry (reference /config/llm/*, /config/prompts/*)</p>
+  <div class=row>
+    <input id="llmName" placeholder="config name" style="max-width:160px">
+    <select id="llmProv" style="max-width:120px"><option>offline</option><option>http</option></select>
+    <input id="llmModel" placeholder="model" style="max-width:160px">
+    <input id="llmUrl" placeholder="url (http provider)" style="max-width:240px">
+    <button class=go onclick="saveLlm()">save</button>
+    <button onclick="listLlm()">list</button></div>
+  <div class=row>
+    <input id="prStage" placeholder="prompt stage e.g. synthesis" style="max-width:200px">
+    <input id="prVer" placeholder="version" style="max-width:100px">
+    <button onclick="getPrompt()">get</button>
+    <button onclick="savePrompt()">save</button>
+    <button onclick="delPrompt()">delete</button></div>
+  <textarea id="prText" rows="5" placeholder="prompt text"></textarea>
+  <div id="cfgout"></div>`, listLlm);
+
+async function listLlm() {
+  const [p, prompts] = await Promise.all([
+    UI.get("/config/llm/providers"),
+    UI.post("/config/prompts/names")]);
+  document.getElementById("cfgout").innerHTML =
+    UI.pre({ providers: p, prompt_stages: prompts.names });
+}
+async function saveLlm() {
+  const body = { provider: llmProv.value, model: llmModel.value, params: {} };
+  if (llmUrl.value) body.params.url = llmUrl.value;
+  const r = await UI.post(`/config/llm/${llmName.value}`, body, "PUT");
+  const t = await UI.post(`/config/llm/${llmName.value}/test`).catch(() => null);
+  document.getElementById("cfgout").innerHTML = UI.pre({ saved: r, test: t });
+}
+async function getPrompt() {
+  const r = await UI.get(`/config/prompts/${prStage.value}/${prVer.value}`);
+  if (!r.error) document.getElementById("prText").value = r.text || "";
+  document.getElementById("cfgout").innerHTML = UI.pre(r);
+}
+async function savePrompt() {
+  const r = await UI.post(`/config/prompts/${prStage.value}/${prVer.value}`,
+    { text: document.getElementById("prText").value }, "PUT");
+  document.getElementById("cfgout").innerHTML = UI.pre(r);
+}
+async function delPrompt() {
+  const r = await UI.post(`/config/prompts/${prStage.value}/${prVer.value}`,
+    undefined, "DELETE");
+  document.getElementById("cfgout").innerHTML = UI.pre(r);
+}
 
 async function adm(method, url) {
   const r = method === "GET" ? await UI.get(url) : await UI.post(url, {});

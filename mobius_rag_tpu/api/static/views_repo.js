@@ -31,30 +31,68 @@ function renderRepo(docs) {
 }
 
 async function loadDocDetail(id) {
-  const [st, pol, fx, er, tags] = await Promise.all([
+  const [st, pol, fx, er, tags, det, ps] = await Promise.all([
     UI.get(`/documents/${id}/status`).catch(() => null),
     UI.get(`/documents/${id}/policy/summary`).catch(() => null),
     UI.get(`/documents/${id}/facts`).catch(() => null),
     UI.get(`/documents/${id}/errors`).catch(() => null),
-    UI.get(`/documents/${id}/text-tags`).catch(() => null)]);
+    UI.get(`/documents/${id}/text-tags`).catch(() => null),
+    UI.get(`/documents/${id}/detail`).catch(() => null),
+    UI.get(`/documents/${id}/publish-status`).catch(() => null)]);
   document.getElementById("docdetail").innerHTML = `
     <div class=hit><b>${UI.esc(id)}</b>
-      <span class=meta> · <a href="/documents/${id}/download/markdown" style="color:var(--acc)">markdown</a>
+      <span class=meta> · ${ps && ps.published ? UI.lbl("high") + " published" : UI.lbl("low") + " unpublished"}
+        · <a href="/documents/${id}/download/markdown" style="color:var(--acc)">markdown</a>
         · <a href="/documents/${id}/file" style="color:var(--acc)">original</a></span>
       <div class=row style="margin-top:8px">
         <button onclick="docAct('${id}','chunking/restart',{drain:true})">restart chunking</button>
+        <button onclick="docAct('${id}','chunking/start')">chunk</button>
+        <button onclick="docAct('${id}','chunking/stop')">stop</button>
+        <button onclick="docAct('${id}','chunking/kill-and-reset')">kill+reset</button>
+        <button onclick="docAct('${id}','embedding/start')">re-embed</button>
         <button onclick="docAct('${id}','embedding/reset')">reset embeddings</button>
+        <button onclick="docAct('${id}','publish')">publish</button>
+        <button onclick="docAct('${id}','retag')">retag</button></div>
+      <div class=row style="margin-top:4px">
         <button onclick="docAct('${id}','retry')">retry failed</button>
+        <button onclick="docAct('${id}','extract/restart',{drain:true})">re-extract</button>
         <button onclick="docAct('${id}','errors/resolve-all')">resolve errors</button>
         <button onclick="loadDocPages('${id}')">pages</button>
-        <button onclick="loadDocParagraphs('${id}')">paragraphs</button></div>
+        <button onclick="loadDocParagraphs('${id}')">paragraphs</button>
+        <button onclick="loadDocCandidates('${id}')">candidates</button></div>
+      <div class=row style="margin-top:4px">
+        <input id="mpayer" value="${UI.esc(det?.payer || "")}" placeholder="payer" style="max-width:160px">
+        <input id="mstate" value="${UI.esc(det?.state || "")}" placeholder="state" style="max-width:80px">
+        <input id="mprog" value="${UI.esc(det?.program || "")}" placeholder="program" style="max-width:140px">
+        <button onclick="patchDocMeta('${id}')">save metadata (republishes)</button></div>
       <div class=row style="margin-top:4px">
         <input id="ttag" placeholder="add text-tag e.g. d:benefits.dme" style="max-width:280px">
         <button onclick="addTextTag('${id}')">tag</button>
         <span class=meta id="ttags">${UI.esc(JSON.stringify(tags && tags.tags))}</span></div>
-      <pre>${UI.esc(JSON.stringify({ status: st, policy: pol && pol.tag_chunk_counts,
+      <pre>${UI.esc(JSON.stringify({ status: st, detail: det,
+        policy: pol && pol.tag_chunk_counts,
         facts: fx && (fx.facts || []).length, errors: er && (er.errors || []).length }, null, 2))}</pre>
       <div id="docsub"></div></div>`;
+}
+async function patchDocMeta(id) {
+  // PATCH /documents/{id} canonicalizes payer/state and republishes
+  const body = {};
+  const p = document.getElementById("mpayer").value.trim();
+  const s = document.getElementById("mstate").value.trim();
+  const g = document.getElementById("mprog").value.trim();
+  if (p) body.payer = p;
+  if (s) body.state = s;
+  if (g) body.program = g;
+  const r = await UI.post(`/documents/${id}`, body, "PATCH");
+  document.getElementById("docsub").innerHTML = UI.pre(r);
+}
+async function loadDocCandidates(id) {
+  const r = await UI.get(`/documents/${id}/policy/candidates`);
+  document.getElementById("docsub").innerHTML = UI.table(
+    ["phrase", "kind", "occurs", "status"],
+    (r.candidates || []).map((c) => `<tr><td>${UI.esc(c.phrase)}</td>
+      <td>${UI.esc(c.kind_hint)}</td><td>${c.occurrences}</td>
+      <td>${UI.esc(c.status)}</td></tr>`));
 }
 async function docAct(id, action, body) {
   const r = await UI.post(`/documents/${id}/${action}`, body || {});
@@ -95,6 +133,58 @@ async function doUpload() {
     program: uprog.value || "", instant: "1" });
   const r = await fetch("/upload?" + qs, { method: "POST", body: utext.value }).then(UI.J);
   uout.innerHTML = UI.pre(r);
+}
+
+UI.tab("import", `
+  <p class=meta>Drive sync + direct HTML / scraped-page ingestion
+  (reference /drive/* router and /documents/import-* endpoints)</p>
+  <div class=row>
+    <input id="dfolder" placeholder="drive folder id" style="max-width:260px">
+    <button onclick="driveScan()">scan</button>
+    <button class=go onclick="driveImport()">import manuals</button>
+    <button onclick="driveStat()">status</button>
+    <button onclick="driveAuth()">oauth url</button></div>
+  <div class=row>
+    <input id="ihname" placeholder="filename" style="max-width:180px">
+    <input id="ihpayer" placeholder="payer" style="max-width:140px">
+    <input id="ihstate" placeholder="state" style="max-width:80px">
+    <button class=go onclick="importHtml()">import html</button></div>
+  <textarea id="ihtml" rows="6" placeholder="<html> to ingest — or JSON [{url, html}] for scraped pages"></textarea>
+  <div class=row style="margin-top:4px">
+    <button onclick="importScraped()">import scraped pages (JSON list)</button></div>
+  <div id="iout"></div>`);
+
+async function driveStat() {
+  iout.innerHTML = UI.pre(await UI.get("/drive/status"));
+}
+async function driveAuth() {
+  iout.innerHTML = UI.pre(await UI.get("/drive/auth-url"));
+}
+async function driveScan() {
+  const r = await UI.post("/drive/scan-folder", { folder_id: dfolder.value });
+  if (r.error) { iout.innerHTML = UI.pre(r); return; }
+  iout.innerHTML = UI.table(["file", "payer", "state", "manual?"],
+    (r.files || []).map((f) => `<tr><td>${UI.esc(f.name)}</td>
+      <td>${UI.esc(f.payer || "")}</td><td>${UI.esc(f.state || "")}</td>
+      <td>${f.looks_like_manual ? "✓" : ""}</td></tr>`));
+}
+async function driveImport() {
+  iout.innerHTML = "importing…";
+  const r = await UI.post("/drive/import-folder", { folder_id: dfolder.value });
+  iout.innerHTML = UI.pre(r);
+}
+async function importHtml() {
+  const r = await UI.post("/documents/import-from-html", {
+    html: ihtml.value, filename: ihname.value || "import",
+    payer: ihpayer.value, state: ihstate.value });
+  iout.innerHTML = UI.pre(r);
+}
+async function importScraped() {
+  let pages;
+  try { pages = JSON.parse(ihtml.value); }
+  catch (e) { iout.innerHTML = UI.pre("textarea must hold JSON [{url, html}]: " + e); return; }
+  const r = await UI.post("/documents/import-scraped-pages", { pages });
+  iout.innerHTML = UI.pre(r);
 }
 
 UI.tab("facts", `

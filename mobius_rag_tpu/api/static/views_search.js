@@ -56,17 +56,39 @@ async function doAgent() {
     ${UI.hits(r.chunks || [])}`;
 }
 
-UI.tab("decisions", `<div id="dout">…</div>`, loadDecisions);
+UI.tab("decisions", `<div id="dstats" class=meta>…</div><div id="dout">…</div>`,
+  loadDecisions);
 
 async function loadDecisions() {
-  const r = await UI.get("/api/decisions");
+  // /routing/decisions carries the operator grade column; /routing/stats
+  // the per-strategy rollup (reference routers/routing.py)
+  const [r, st] = await Promise.all([
+    UI.get("/routing/decisions?limit=50"),
+    UI.get("/routing/stats").catch(() => null)]);
+  if (st && st.strategies) {
+    const parts = Object.entries(st.strategies).map(([s, x]) =>
+      `${s}: n=${x.n} high=${x.confidence?.high ?? 0} ` +
+      `refuse=${x.refusal_rate} ${x.latency_ms_mean}ms`);
+    document.getElementById("dstats").textContent =
+      `routing stats (${st.window_hours}h) — ` + parts.join(" · ");
+  }
   dout.innerHTML = UI.table(
-    ["query", "strategy", "chain", "class", "contour", "conf", "ms"],
+    ["query", "strategy", "chain", "class", "contour", "conf", "ms", "grade"],
     r.decisions.map((d) => `<tr class=click onclick="loadTrace('${d.agent_id}')">
       <td>${UI.esc(d.query.slice(0, 60))}</td><td>${UI.esc(d.strategy)}</td>
       <td>${UI.esc(d.chain.join("→"))}</td><td>${UI.esc(d.query_class)}</td>
       <td>${UI.esc(d.contour)}</td><td>${UI.lbl(d.confidence)}</td>
-      <td>${(d.latency_ms || 0).toFixed(0)}</td></tr>`)) + "<div id=trace></div>";
+      <td>${(d.latency_ms || 0).toFixed(0)}</td>
+      <td onclick="event.stopPropagation()">
+        ${d.grade ? UI.lbl(d.grade === "good" ? "high" : "low") + UI.esc(" " + d.grade)
+          : `<button onclick="gradeDec('${d.agent_id}','good')">✓</button>
+             <button onclick="gradeDec('${d.agent_id}','bad')">✗</button>`}
+      </td></tr>`)) + "<div id=trace></div>";
+}
+async function gradeDec(id, grade) {
+  // human decision-grading loop (PATCH /observe/decisions/{id}/grade)
+  await UI.post(`/observe/decisions/${id}/grade`, { grade }, "PATCH");
+  loadDecisions();
 }
 async function loadTrace(id) {
   const t = await UI.get(`/api/decisions/${id}/trace`);

@@ -356,3 +356,85 @@ def test_console_static_modules_exist():
     defined = set(re.findall(r"(?:function|async function)\s+(\w+)", all_js))
     called = set(re.findall(r'onclick="(\w+)\(', all_js + html))
     assert called <= defined, called - defined
+    # bracket balance with string/template/comment awareness — the
+    # syntax-error class manual edits actually produce (no JS engine in
+    # this image to do better)
+    for s in srcs:
+        _check_js_brackets(os.path.join(api_dir, "static", s))
+
+
+def _check_js_brackets(path: str) -> None:
+    src = open(path).read()
+    stack: list[tuple[str, int]] = []   # (bracket-or-`, line)
+    pairs = {")": "(", "]": "[", "}": "{"}
+    line = 1
+    i, n = 0, len(src)
+    mode: list[str] = []  # nesting: "`" template; "${" template-expr
+    prev_sig = ""  # last significant char — regex-vs-division heuristic
+    while i < n:
+        c = src[i]
+        if c == "\n":
+            line += 1
+        in_tpl = bool(mode) and mode[-1] == "`"
+        if in_tpl:
+            if c == "\\":
+                i += 2
+                continue
+            if c == "`":
+                mode.pop()
+            elif c == "$" and i + 1 < n and src[i + 1] == "{":
+                mode.append("${")
+                stack.append(("${", line))  # distinct opener: only ITS
+                i += 1                      # closing } leaves expr mode
+        else:
+            if c in "'\"":
+                q = c
+                i += 1
+                while i < n and src[i] != q:
+                    if src[i] == "\\":
+                        i += 1
+                    elif src[i] == "\n":
+                        line += 1
+                    i += 1
+            elif c == "/" and i + 1 < n and src[i + 1] == "/":
+                while i < n and src[i] != "\n":
+                    i += 1
+                line += 1
+            elif c == "/" and i + 1 < n and src[i + 1] == "*":
+                i += 2
+                while i + 1 < n and not (src[i] == "*" and src[i + 1] == "/"):
+                    if src[i] == "\n":
+                        line += 1
+                    i += 1
+                i += 1
+            elif c == "/" and prev_sig in "(,=:[!&|?{};" + "\n":
+                # regex literal (prev char can't end an operand) — skip
+                # to the unescaped closing /, honouring [...] classes
+                i += 1
+                in_class = False
+                while i < n and (src[i] != "/" or in_class):
+                    if src[i] == "\\":
+                        i += 1
+                    elif src[i] == "[":
+                        in_class = True
+                    elif src[i] == "]":
+                        in_class = False
+                    i += 1
+            elif c == "`":
+                mode.append("`")
+            elif c in "([{":
+                stack.append((c, line))
+            elif c in ")]}":
+                assert stack, f"{path}:{line}: unmatched {c}"
+                opener, oline = stack.pop()
+                assert opener == pairs[c] or (c == "}" and opener == "${"), (
+                    f"{path}:{line}: {c} closes {opener} from line {oline}")
+                if opener == "${":
+                    assert mode and mode[-1] == "${", (
+                        f"{path}:{line}: stray template-expr close")
+                    mode.pop()
+        if not in_tpl and not c.isspace():
+            prev_sig = c
+        i += 1
+    assert not stack, f"{path}: unclosed {stack[-3:]}"
+    assert not mode, f"{path}: unterminated template literal"
