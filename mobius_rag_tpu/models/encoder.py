@@ -200,3 +200,61 @@ class EncoderModel:
             emb = encode_jit(self.params, jnp.asarray(tokens), self.cfg)
             out[off:off + len(chunk)] = np.asarray(emb)[: len(chunk)]
         return out
+
+
+class MeshEncoderModel:
+    """Data-parallel ingest encode over a `jax.sharding.Mesh` — the TPU
+    form of the reference's N embedding workers × `FOR UPDATE SKIP
+    LOCKED` queue (embedding_worker.py:393-431, SURVEY §2.9 last rows):
+    instead of N processes racing over Postgres row locks, ONE process
+    shards the token batch across the mesh's first axis, replicates the
+    encoder params, and lets XLA run the same jitted forward as an SPMD
+    program. Batch-parallel encode needs no collectives; per-row results
+    are bit-comparable to the single-device encoder.
+
+    Drop-in embed_fn: plug into IngestPipeline / OnChipProvider exactly
+    like EncoderModel.
+    """
+
+    def __init__(self, mesh, cfg: EncoderConfig | None = None,
+                 params: dict | None = None, seed: int = 0):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mobius_rag_tpu.models.tokenizer import HashTokenizer
+
+        self.cfg = cfg or EncoderConfig.from_env()
+        if params is None:
+            params = init_params(self.cfg, jax.random.PRNGKey(seed))
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.dp = int(mesh.devices.shape[0])
+        # params replicated once; the batch dim shards over the dp axis
+        self._repl = NamedSharding(mesh, P())
+        self._batch_shard = NamedSharding(mesh, P(self.axis, None))
+        self.params = jax.device_put(params, self._repl)
+        self.tokenizer = HashTokenizer(self.cfg.vocab_size, self.cfg.max_seq)
+
+    def _bucket(self, n: int) -> int:
+        # same compile-bucket ladder as EncoderModel, rounded up so the
+        # leading dim always divides evenly across the dp axis
+        for b in _BATCH_BUCKETS:
+            if n <= b and b % self.dp == 0:
+                return b
+        step = max(_BATCH_BUCKETS[-1], self.dp)
+        return ((n + step - 1) // step) * step
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.cfg.out_dim), np.float32)
+        out = np.zeros((len(texts), self.cfg.out_dim), np.float32)
+        max_b = max(_BATCH_BUCKETS[-1], self.dp)
+        for off in range(0, len(texts), max_b):
+            chunk = texts[off:off + max_b]
+            tokens = self.tokenizer.encode_batch(chunk)
+            b = self._bucket(len(chunk))
+            if b != len(chunk):
+                tokens = np.pad(tokens, ((0, b - len(chunk)), (0, 0)))
+            sharded = jax.device_put(jnp.asarray(tokens), self._batch_shard)
+            emb = encode_jit(self.params, sharded, self.cfg)
+            out[off:off + len(chunk)] = np.asarray(emb)[: len(chunk)]
+        return out

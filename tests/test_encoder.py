@@ -82,3 +82,44 @@ def test_host_params_committed_to_device_once():
     cmodel = CrossEncoderModel(ccfg, chost)
     for leaf in jax.tree_util.tree_leaves(cmodel.params):
         assert isinstance(leaf, jax.Array)
+
+
+def test_mesh_encoder_parity_and_ingest():
+    """MeshEncoderModel (data-parallel encode over the mesh — the TPU
+    form of the reference's N embedding workers × SKIP LOCKED queue,
+    embedding_worker.py:393-431) must reproduce the single-device
+    encoder per row AND serve as the pipeline embed_fn end-to-end."""
+    from mobius_rag_tpu.models.encoder import MeshEncoderModel
+    from mobius_rag_tpu.parallel.mesh import make_mesh
+
+    cfg = EncoderConfig.tiny()
+    mesh = make_mesh(8)
+    single = EncoderModel(cfg)
+    dp = MeshEncoderModel(mesh, cfg)
+
+    # ragged sizes exercise every padding branch (sub-dp, non-multiple)
+    for n in (1, 3, 8, 17):
+        texts = [f"timely filing rule variant {i}" for i in range(n)]
+        a, b = single(texts), dp(texts)
+        assert a.shape == b.shape == (n, cfg.out_dim)
+        assert np.abs(a - b).max() < 1e-5
+
+    # embed_fn contract: drive a publish→search through the engine
+    from mobius_rag_tpu.index.store import ChunkRecord, ChunkStore
+    from mobius_rag_tpu.ingest.featurize import featurize_chunk
+    from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+    from mobius_rag_tpu.testing import sample_lexicon
+
+    lex = sample_lexicon()
+    store = ChunkStore(capacity=256)
+    texts = ["Sunshine Health timely filing is 180 days.",
+             "Aetna requires prior authorization for H2019.",
+             "Molina claims dispute window is 90 days."]
+    vecs = dp(texts)
+    store.add_chunks([
+        featurize_chunk(ChunkRecord(chunk_id=f"m-c{i}", doc_id=f"m{i}",
+                                    text=t, embedding=vecs[i]), lex)
+        for i, t in enumerate(texts)])
+    eng = SearchEngine(store, lex, embed_fn=dp)
+    res = eng.search(QueryRequest(query="timely filing deadline"), k=2)[0]
+    assert res.hits and res.hits[0].chunk_id == "m-c0"
