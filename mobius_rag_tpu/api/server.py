@@ -952,7 +952,13 @@ def build_app(ctx: AppContext) -> web.Application:
         except ValueError as e:
             return _err(str(e), 403)
         ctx.store.snapshot(path)
-        return _json({"path": path, "chunks": ctx.store.size})
+        out = {"path": path, "chunks": ctx.store.size}
+        # ANN tables persist WITH the snapshot (reference HNSW-in-Postgres
+        # durability): a restore reloads them instead of re-running
+        # k-means (+minutes at the 10M config)
+        if ctx.engine.vector_backend != "exact" and body.get("include_ann", True):
+            out["ann"] = ctx.engine.save_ann(os.path.join(path, "ann.npz"))
+        return _json(out)
 
     async def restore(request):
         """Swap in a store restored from a snapshot (the durable-resume
@@ -975,7 +981,16 @@ def build_app(ctx: AppContext) -> web.Application:
         ctx.pipeline.embedding_worker.store = new_store
         if ctx.engine.sharded is not None:
             ctx.engine.sharded = ctx.engine.sharded.rebuilt(new_store)
-        return _json({"path": path, "chunks": new_store.size})
+        out = {"path": path, "chunks": new_store.size}
+        ann_path = os.path.join(path, "ann.npz")
+        if ctx.engine.vector_backend != "exact" and os.path.exists(ann_path):
+            try:
+                out["ann"] = ctx.engine.load_ann(ann_path)
+            except ValueError as e:
+                # stale/mismatched ann file: serve via a fresh build
+                # rather than failing the restore
+                out["ann_skipped"] = str(e)
+        return _json(out)
 
     async def cleanup_stale(request):
         return _json({"cleaned": ctx.pipeline.queue.cleanup_stale()})

@@ -1,0 +1,61 @@
+"""ANN table persistence — serving restarts reload IVF / packed / PQ
+tables instead of re-running k-means.
+
+Reference parity: the reference's ANN structure (pgvector HNSW,
+migrations/add_pgvector_columns.py) is durable in Postgres — a backend
+restart never rebuilds it. Here the tables are device arrays built from
+the chunk matrix (index/ivf.py, ops/pq.py), so without persistence every
+restore pays the full k-means + assignment + packing build (minutes at
+the 10M config). All three table classes are jax pytrees with a FIELDS
+tuple + static aux, so one generic npz writer covers them.
+
+Pairing contract: an ann.npz is only valid for the snapshot it was
+written with — load_ann validates class/backend and the row count, and
+callers write both files in the same /admin/snapshot call.
+"""
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import jax
+import numpy as np
+
+_HEADER_KEY = "__header__"
+
+
+def _classes() -> dict[str, Any]:
+    from mobius_rag_tpu.index.ivf import IVFIndex, PackedIVF
+    from mobius_rag_tpu.ops.pq import PackedPQ
+
+    return {c.__name__: c for c in (IVFIndex, PackedIVF, PackedPQ)}
+
+
+def save_ann(ann: Any, path: str, *, meta: dict[str, Any] | None = None) -> None:
+    """Serialize one ANN table object (IVFIndex/PackedIVF/PackedPQ) to
+    an .npz with a JSON header carrying the static aux + caller meta."""
+    name = type(ann).__name__
+    if name not in _classes():
+        raise ValueError(f"unsupported ANN table type {name}")
+    leaves, aux = ann.tree_flatten()
+    arrays = {f: np.asarray(jax.device_get(a))
+              for f, a in zip(type(ann).FIELDS, leaves)}
+    header = {"class": name, "aux": list(aux), "meta": meta or {}}
+    np.savez(path, **{_HEADER_KEY: np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8)}, **arrays)
+
+
+def load_ann(path: str, *, to_device: bool = True) -> tuple[Any, dict[str, Any]]:
+    """Load (ann, meta). Arrays go straight to the default device unless
+    to_device=False (host inspection)."""
+    z = np.load(path, allow_pickle=False)
+    header = json.loads(bytes(z[_HEADER_KEY]).decode())
+    cls = _classes().get(header["class"])
+    if cls is None:
+        raise ValueError(f"unknown ANN table class {header['class']!r}")
+    children = []
+    for f in cls.FIELDS:
+        a = z[f]
+        children.append(jax.device_put(a) if to_device else a)
+    aux = tuple(header["aux"])
+    return cls.tree_unflatten(aux, children), header.get("meta", {})

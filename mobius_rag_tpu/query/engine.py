@@ -773,6 +773,44 @@ class SearchEngine:
             self._calibrate_nprobe(cfg.ivf_target_recall)
         return self._ann
 
+    def save_ann(self, path: str) -> dict:
+        """Persist the built ANN tables next to a store snapshot (the
+        reference's HNSW lives durably in Postgres — restarts never
+        re-run the index build; see index/ann_io.py). Returns the meta
+        header written."""
+        from mobius_rag_tpu.index.ann_io import save_ann as _save
+
+        ann = self.ensure_ann()
+        if ann is None:
+            raise ValueError("exact backend has no ANN tables to save")
+        meta = {"backend": self.vector_backend,
+                "rows": len(self.store.records),
+                "dim": self.cfg.embed_dim,
+                "nprobe": self._ann_nprobe}
+        _save(ann, path, meta=meta)
+        return meta
+
+    def load_ann(self, path: str) -> dict:
+        """Adopt persisted ANN tables for the CURRENT store (written by
+        save_ann against the matching snapshot). Refuses on backend or
+        row-count mismatch — a stale ann file must never serve rows that
+        no longer exist."""
+        from mobius_rag_tpu.index.ann_io import load_ann as _load
+
+        ann, meta = _load(path)
+        if meta.get("backend") != self.vector_backend:
+            raise ValueError(
+                f"ann file is for backend {meta.get('backend')!r}, "
+                f"engine serves {self.vector_backend!r}")
+        if meta.get("rows") != len(self.store.records):
+            raise ValueError(
+                f"ann file indexed {meta.get('rows')} rows, store has "
+                f"{len(self.store.records)} — snapshot/ann pairing broken")
+        self._ann = ann
+        self._ann_generation = self.store.generation
+        self._ann_nprobe = meta.get("nprobe")
+        return meta
+
     def _logged_query_vectors(self, want: int) -> np.ndarray | None:
         """Embed up to `want` recent distinct PRODUCTION queries from the
         telemetry log (search_events) for the calibration sample, so

@@ -237,3 +237,63 @@ def test_auto_nprobe_uses_logged_queries(tmp_path):
     cal = eng._ann_calibration
     assert cal["logged_queries"] == 3
     assert cal["nprobe"] == eng.effective_nprobe
+
+
+def test_ann_persistence_roundtrip(tmp_path, monkeypatch):
+    """save_ann/load_ann (index/ann_io.py): a restored engine reloads the
+    tables instead of re-running k-means — the reference's
+    HNSW-persists-in-Postgres durability. Identical probe results, loud
+    refusal on backend/row mismatch."""
+    import dataclasses
+
+    from mobius_rag_tpu.config import get_config
+    from mobius_rag_tpu.index.store import ChunkStore
+    from mobius_rag_tpu.query.engine import QueryRequest, SearchEngine
+    from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=150))
+    cfg = dataclasses.replace(get_config(), vector_backend="ivf")
+    eng = SearchEngine(store, lex, cfg=cfg, embed_fn=hash_embed)
+    req = QueryRequest(query="timely filing deadline")
+    before = [h.chunk_id for h in eng.search(req, k=5)[0].hits]
+
+    ann_path = str(tmp_path / "ann.npz")
+    meta = eng.save_ann(ann_path)
+    assert meta["backend"] == "ivf" and meta["rows"] == len(store.records)
+
+    # fresh engine over the same store: loading must NOT rebuild
+    import mobius_rag_tpu.index.ivf as ivf_mod
+
+    eng2 = SearchEngine(store, lex, cfg=cfg, embed_fn=hash_embed)
+    monkeypatch.setattr(
+        ivf_mod.IVFIndex, "build",
+        classmethod(lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("k-means re-ran despite persisted tables"))))
+    eng2.load_ann(ann_path)
+    after = [h.chunk_id for h in eng2.search(req, k=5)[0].hits]
+    assert after == before
+
+    # refusals: wrong backend / wrong row count
+    pq_cfg = dataclasses.replace(cfg, vector_backend="pq")
+    eng_pq = SearchEngine(store, lex, cfg=pq_cfg, embed_fn=hash_embed)
+    with pytest.raises(ValueError, match="backend"):
+        eng_pq.load_ann(ann_path)
+    monkeypatch.undo()
+    small = ChunkStore()
+    small.add_chunks(toy_corpus(lex))
+    eng3 = SearchEngine(small, lex, cfg=cfg, embed_fn=hash_embed)
+    with pytest.raises(ValueError, match="rows"):
+        eng3.load_ann(ann_path)
+
+    # packed + pq tables round-trip through the same writer
+    for backend in ("packed", "pq"):
+        bcfg = dataclasses.replace(get_config(), vector_backend=backend)
+        be = SearchEngine(store, lex, cfg=bcfg, embed_fn=hash_embed)
+        b_before = [h.chunk_id for h in be.search(req, k=5)[0].hits]
+        p = str(tmp_path / f"ann_{backend}.npz")
+        be.save_ann(p)
+        be2 = SearchEngine(store, lex, cfg=bcfg, embed_fn=hash_embed)
+        be2.load_ann(p)
+        assert [h.chunk_id for h in be2.search(req, k=5)[0].hits] == b_before
