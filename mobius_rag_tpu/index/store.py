@@ -929,6 +929,12 @@ class ChunkStore:
                 arrays[f] = a.view(np.uint16)
                 meta_dtypes[f] = "bfloat16"
         np.savez_compressed(os.path.join(path, "index.npz"), **arrays)
+        if self.host_vectors is not None:
+            # config-5 host residency: the int8 re-rank matrix lives in
+            # host RAM, not in index.npz — persist it uncompressed
+            # (np.save streams; 15 GB at 10M would choke zip compression)
+            np.save(os.path.join(path, "host_vectors.npy"), self.host_vectors)
+            np.save(os.path.join(path, "host_scales.npy"), self.host_scales)
         recs = []
         for r in self.records:
             if r is None:
@@ -957,6 +963,7 @@ class ChunkStore:
                 "phrase_words": self.cfg.phrase_words,
                 "lexical_buckets": self.cfg.lexical_buckets,
                 "lexical_format": self.cfg.lexical_format,
+                "vector_residency": self.cfg.vector_residency,
             },
         }
         with open(os.path.join(path, "store.json"), "w") as f:
@@ -996,6 +1003,13 @@ class ChunkStore:
                     f"snapshot lexical_format={val!r} != config "
                     f"{getattr(cfg, key, 'dense')!r} (set MRAG_LEXICAL_FORMAT)"
                 )
+            if key == "vector_residency":
+                if getattr(cfg, key, "device") != val:
+                    raise ValueError(
+                        f"snapshot vector_residency={val!r} != config "
+                        f"{getattr(cfg, key, 'device')!r} (set "
+                        f"MRAG_VECTOR_RESIDENCY)")
+                continue
             if key != "lexical_format" and getattr(cfg, key) != val:
                 raise ValueError(
                     f"snapshot {key}={val} != config {getattr(cfg, key)}"
@@ -1009,8 +1023,19 @@ class ChunkStore:
             if state["bf16_fields"].get(f) == "bfloat16":
                 a = a.view(jnp.bfloat16)
             arrays[f] = jnp.asarray(a)
-        store = cls(cfg, capacity=arrays["vectors"].shape[0])
+        # capacity from the always-full-length valid mask — under host
+        # residency the vectors array is deliberately 0-row
+        store = cls(cfg, capacity=arrays["valid"].shape[0])
         store.index = DeviceIndex(**arrays)
+        if store._host_residency:
+            hv_path = os.path.join(path, "host_vectors.npy")
+            if not os.path.exists(hv_path):
+                raise ValueError(
+                    "host-residency snapshot is missing host_vectors.npy "
+                    "(written by snapshots of this build; pre-fix "
+                    "host-residency snapshots are unrecoverable)")
+            store.host_vectors = np.load(hv_path)
+            store.host_scales = np.load(os.path.join(path, "host_scales.npy"))
         if store._sparse_lexical:
             # rebuild host postings mirrors from the restored device arrays
             store._lex_cols_np = np.asarray(arrays["lex_cols"])
@@ -1023,11 +1048,18 @@ class ChunkStore:
         # restored store with zeroed embeddings would silently overwrite
         # live vectors with zeros on the next republish — or be dropped
         # wholesale by integrity_remediate's zero-norm check.
-        vecs_host = data["vectors"]
-        if state["bf16_fields"].get("vectors") == "bfloat16":
-            vecs_host = vecs_host.view(jnp.bfloat16)
-        int8_vecs = vecs_host.dtype == np.int8
-        scales_host = data["vec_scales"] if int8_vecs else None
+        if store._host_residency:
+            # record embeddings rehydrate from the HOST matrix — the
+            # device vectors array is empty in this regime
+            vecs_host = store.host_vectors
+            scales_host = store.host_scales
+            int8_vecs = True
+        else:
+            vecs_host = data["vectors"]
+            if state["bf16_fields"].get("vectors") == "bfloat16":
+                vecs_host = vecs_host.view(jnp.bfloat16)
+            int8_vecs = vecs_host.dtype == np.int8
+            scales_host = data["vec_scales"] if int8_vecs else None
         store.records = []
         for i, d in enumerate(state["records"]):
             if d is None:

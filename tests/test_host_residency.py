@@ -194,3 +194,37 @@ def test_host_residency_refuses_sharding():
     store.add_chunks(toy_corpus(lex, pad_docs=16))
     with pytest.raises(NotImplementedError):
         ShardedEngine(store, mesh=make_mesh(8))
+
+
+def test_host_residency_snapshot_restore(tmp_path, stores):
+    """Snapshot under host residency must persist the int8 host matrix
+    (host_vectors.npy) and restore must rehydrate records + re-rank from
+    it — the device vectors array is deliberately 0-row in this regime,
+    so the generic vectors-based rehydration cannot apply."""
+    lex, _, host_store = stores
+    path = str(tmp_path / "snap")
+    host_store.snapshot(path)
+    import os
+
+    assert os.path.exists(os.path.join(path, "host_vectors.npy"))
+
+    restored = ChunkStore.restore(path, cfg=host_store.cfg)
+    assert restored.host_vectors is not None
+    assert restored.capacity == host_store.capacity
+    assert np.array_equal(restored.host_vectors[:restored.size],
+                          host_store.host_vectors[:host_store.size])
+    # record embeddings rehydrated from the host matrix, not zeros
+    live = next(r for r in restored.records if r is not None)
+    assert np.abs(live.embedding).max() > 0
+
+    before = SearchEngine(host_store, lex, cfg=host_store.cfg,
+                          embed_fn=hash_embed)
+    after = SearchEngine(restored, lex, cfg=host_store.cfg,
+                         embed_fn=hash_embed)
+    q = QueryRequest(query="timely filing deadline for sunshine health")
+    assert ([h.chunk_id for h in after.search(q, k=5)[0].hits]
+            == [h.chunk_id for h in before.search(q, k=5)[0].hits])
+
+    # residency-regime mismatch refuses loudly
+    with pytest.raises(ValueError, match="vector_residency"):
+        ChunkStore.restore(path, cfg=get_config())
