@@ -109,6 +109,13 @@ class Config:
     # overlaps the device execution + transfer of group g+1 (1 = single
     # stacked fetch, the round-3 behavior).
     pipeline_fetch_groups: int = _env_int("MRAG_PIPELINE_FETCH_GROUPS", 2)
+    # Pipelined-search batch merging: fuse up to this many SAME-SIZE
+    # batches into one wider program invocation (1 put + 1 dispatch +
+    # 1 fetch replace N of each — per-call overhead through the
+    # transport is the 1M bottleneck, and one [N·B,D] matmul tiles the
+    # MXU better than N narrow ones). Scores are per-query, so results
+    # are bit-identical to the unmerged path (pinned by test). 1 = off.
+    pipeline_merge: int = _env_int("MRAG_PIPELINE_MERGE", 1)
     # Vector-arm minimum cosine similarity post-filter.
     min_similarity: float = _env_float("MRAG_MIN_SIMILARITY", 0.0)
     # Confidence label thresholds (corpus_search.py:380-384).

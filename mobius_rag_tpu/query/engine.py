@@ -1089,7 +1089,26 @@ class SearchEngine:
         """Bulk search: dispatch every batch's compiled program before
         fetching any results, so host↔device round-trips overlap device
         execution (the serving-throughput shape; jax dispatch is async).
-        Results are fully materialized before returning."""
+        Results are fully materialized before returning.
+
+        With ``pipeline_merge`` > 1, runs same-size batches fused into
+        wider program invocations (every score is per-query, so the
+        split results are identical) — fewer transport round-trips and
+        wider MXU tiles per dispatch."""
+        merge = self.cfg.pipeline_merge
+        if merge > 1 and len(batches) > 1 and len({len(b) for b in batches}) == 1:
+            bsz = len(batches[0])
+            fused = [[r for b in batches[i:i + merge] for r in b]
+                     for i in range(0, len(batches), merge)]
+            out: list[list[SearchResult]] = []
+            for mb, res in zip(fused, self._pipelined_impl(fused, k)):
+                out.extend(res[off:off + bsz]
+                           for off in range(0, len(mb), bsz))
+            return out
+        return self._pipelined_impl(batches, k)
+
+    def _pipelined_impl(self, batches: Sequence[Sequence[QueryRequest]],
+                        k: int | None = None) -> list[list[SearchResult]]:
         k = k or self.cfg.default_k
         if self.sharded is not None:
             self.sharded.refresh()

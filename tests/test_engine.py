@@ -218,3 +218,49 @@ def test_search_program_keeps_arm_outputs_materialized():
         static_argnames=("k", "over_fetch", "rrf_k", "nprobe"),
     ).lower(store.index, q, 10, 4, 60, None, 32)
     assert "optimization_barrier" in lowered.as_text()
+
+
+def test_pipelined_merge_parity(engine):
+    """pipeline_merge fuses same-size batches into one wider program;
+    every score is per-query, so results must be IDENTICAL to the
+    unmerged path (hit order, scores, telemetry row sets)."""
+    import dataclasses
+
+    qs = ["timely filing deadline for sunshine health claims",
+          "prior authorization for residential treatment H0019",
+          "aetna corrected claim submission window",
+          "telehealth modifier for behavioral analysis"]
+    batches = [[QueryRequest(query=q) for q in qs[i:i + 2]]
+               for i in range(0, len(qs), 2)] * 2   # 4 batches of 2
+    base = engine.search_pipelined(batches, k=5)
+    merged_cfg = dataclasses.replace(engine.cfg, pipeline_merge=4)
+    old = engine.cfg
+    try:
+        engine.cfg = merged_cfg
+        fused = engine.search_pipelined(batches, k=5)
+    finally:
+        engine.cfg = old
+    assert len(fused) == len(base)
+    for rb, rf in zip(base, fused):
+        assert [h.row for r in rb for h in r.hits] == \
+               [h.row for r in rf for h in r.hits]
+        for a, b in zip(rb, rf):
+            for ha, hb in zip(a.hits, b.hits):
+                assert abs(ha.score - hb.score) < 1e-6
+
+
+def test_pipelined_merge_uneven_batches_fall_through(engine):
+    """Batches of differing sizes must bypass the merge path untouched."""
+    import dataclasses
+
+    batches = [[QueryRequest(query="timely filing")],
+               [QueryRequest(query="prior auth"),
+                QueryRequest(query="corrected claims")]]
+    old = engine.cfg
+    try:
+        engine.cfg = dataclasses.replace(engine.cfg, pipeline_merge=8)
+        res = engine.search_pipelined(batches, k=3)
+    finally:
+        engine.cfg = old
+    assert [len(r) for r in res] == [1, 2]
+    assert all(r.hits for batch in res for r in batch)
