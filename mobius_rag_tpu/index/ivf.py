@@ -45,7 +45,9 @@ def _kmeans(vectors: jnp.ndarray, init_idx: jnp.ndarray, nlist: int, iters: int,
     """Blockwise Lloyd iterations on device. vectors [N, D] assumed
     L2-normalized (cosine k-means: assignment by max dot; centroids
     re-normalized). Rows are processed in fixed blocks via lax.map so
-    peak memory is independent of N."""
+    peak memory is independent of N. Returns centroids only — final
+    row placement happens via the capacity-constrained multi-choice
+    pass (:func:`_capacity_assign`), not raw argmax."""
     n, d = vectors.shape
     pad_rows = n_pad - n
     v = jnp.pad(vectors, ((0, pad_rows), (0, 0)))
@@ -82,27 +84,71 @@ def _kmeans(vectors: jnp.ndarray, init_idx: jnp.ndarray, nlist: int, iters: int,
         return new / jnp.maximum(norm, 1e-6), None
 
     centroids, _ = jax.lax.scan(step, centroids0, None, length=iters)
-    assign = jax.lax.map(lambda b: assign_block(centroids, b), vb).reshape(-1)[:n]
-    return centroids, assign
+    return centroids
 
 
+@functools.partial(jax.jit, static_argnames=("j",))
+def _topj_block(centroids: jnp.ndarray, block: jnp.ndarray, j: int):
+    """Top-j nearest centroids per row of one block: [B, j] scores+ids."""
+    scores = jnp.dot(block.astype(jnp.float32), centroids.T,
+                     preferred_element_type=jnp.float32)
+    return jax.lax.top_k(scores, j)
 
-def _fill_members(live_rows: np.ndarray, assign: np.ndarray, nlist: int,
+
+def _capacity_assign(choice_idx: np.ndarray, choice_val: np.ndarray,
+                     nlist: int, cap: int) -> np.ndarray:
+    """Greedy capacity-constrained multi-choice placement.
+
+    choice_idx/choice_val [N, J]: each row's J nearest centroids in
+    descending affinity. Round j places still-pending rows into their
+    j-th choice while that cluster has < cap members; within a round,
+    rows with HIGHER affinity win the remaining slots (the bumped rows
+    sit near the cluster boundary, where the next choice is nearly as
+    good). Returns the final cell per row, -1 for rows unplaced after
+    J rounds (the spill backstop).
+
+    This replaces raw-argmax + overflow-to-spill-slabs: on skewed
+    corpora (near-duplicate revision ladders, templated text) raw
+    argmax overflowed ~20% of 10M rows into synthetic slabs whose
+    centroids were meaningless member means — residual-PQ codes for
+    those rows were garbage (recall collapse) and every slab had to be
+    probed by every query (24% of the corpus scanned per query)."""
+    n, j_max = choice_idx.shape
+    cells = np.full(n, -1, np.int64)
+    occ = np.zeros(nlist, np.int64)
+    pending = np.arange(n)
+    for j in range(j_max):
+        if not len(pending):
+            break
+        c = choice_idx[pending, j].astype(np.int64)
+        v = choice_val[pending, j]
+        order = np.lexsort((-v, c))  # by cluster, best-affinity first
+        cs = c[order]
+        slot = np.arange(len(cs)) - np.searchsorted(cs, cs, side="left")
+        fits = (slot + occ[cs]) < cap
+        cells[pending[order[fits]]] = cs[fits]
+        occ += np.bincount(cs[fits], minlength=nlist)
+        pending = pending[order[~fits]]
+    return cells
+
+
+def _fill_members(live_rows: np.ndarray, cells_live: np.ndarray, nlist: int,
                   pad: int):
-    """Vectorized member-table fill: rows grouped by cluster, first
-    `pad` per cluster become members, the rest spill. (The per-row
-    Python loop was O(N) interpreter work — minutes at 10M rows.)"""
-    cells_all = assign[live_rows]
-    order = np.argsort(cells_all, kind="stable")
-    rows_sorted = live_rows[order].astype(np.int64)
-    cells = cells_all[order]
+    """Vectorized member-table fill from capacity-assigned cells
+    (occupancy ≤ pad for cells ≥ 0 by construction); rows with cell -1
+    go to the spill backstop every query scans."""
+    placed = cells_live >= 0
+    rows_p = live_rows[placed].astype(np.int64)
+    cells_p = cells_live[placed]
+    order = np.argsort(cells_p, kind="stable")
+    rows_sorted = rows_p[order]
+    cells = cells_p[order]
     slot = np.arange(len(cells)) - np.searchsorted(cells, cells, side="left")
     members = np.zeros((nlist, pad), np.int32)
     member_valid = np.zeros((nlist, pad), np.float32)
-    in_pad = slot < pad
-    members[cells[in_pad], slot[in_pad]] = rows_sorted[in_pad]
-    member_valid[cells[in_pad], slot[in_pad]] = 1.0
-    spill = rows_sorted[~in_pad]
+    members[cells, slot] = rows_sorted
+    member_valid[cells, slot] = 1.0
+    spill = live_rows[~placed].astype(np.int64)
     n_spill = round_up(max(len(spill), 1), 8)
     spill_arr = np.zeros(n_spill, np.int32)
     spill_val = np.zeros(n_spill, np.float32)
@@ -140,7 +186,7 @@ class IVFIndex:
     @classmethod
     def build(cls, vectors, valid: np.ndarray | None = None, *,
               nlist: int | None = None, iters: int = 10, pad_factor: float = 2.0,
-              seed: int = 0) -> "IVFIndex":
+              seed: int = 0, choices: int = 8) -> "IVFIndex":
         v = jnp.asarray(vectors)
         n, d = v.shape
         valid_np = (np.asarray(valid) > 0) if valid is not None else np.ones(n, bool)
@@ -166,13 +212,22 @@ class IVFIndex:
         live_rows = np.flatnonzero(valid_np)
         init = rng.choice(live_rows, size=nlist, replace=n_live < nlist)
         n_pad = n if n <= _KM_BLOCK else round_up(n, _KM_BLOCK)
-        centroids, assign = _kmeans(v, jnp.asarray(init, jnp.int32), nlist,
-                                    iters, n_pad)
-        assign = np.asarray(assign)
+        centroids = _kmeans(v, jnp.asarray(init, jnp.int32), nlist, iters,
+                            n_pad)
 
         pad = max(8, round_up(int(pad_factor * max(n_live, 1) / nlist), 8))
+        j = int(min(choices, nlist))
+        ch_v = np.empty((n, j), np.float32)
+        ch_i = np.empty((n, j), np.int32)
+        for off in range(0, n, _KM_BLOCK):
+            vv, ii = jax.device_get(
+                _topj_block(centroids, v[off:off + _KM_BLOCK], j))
+            ch_v[off:off + vv.shape[0]] = vv
+            ch_i[off:off + ii.shape[0]] = ii
+        cells_live = _capacity_assign(ch_i[live_rows], ch_v[live_rows],
+                                      nlist, pad)
         members, member_valid, spill_arr, spill_val = _fill_members(
-            live_rows, assign, nlist, pad)
+            live_rows, cells_live, nlist, pad)
         return cls(
             centroids=centroids,
             members=jnp.asarray(members), member_valid=jnp.asarray(member_valid),
@@ -188,7 +243,8 @@ class IVFIndex:
     def build_host(cls, host_vectors: np.ndarray, host_scales: np.ndarray,
                    valid: np.ndarray | None = None, *, nlist: int | None = None,
                    iters: int = 10, pad_factor: float = 2.0, seed: int = 0,
-                   sample: int = 500_000, block: int = 250_000) -> "IVFIndex":
+                   sample: int = 500_000, block: int = 250_000,
+                   choices: int = 8) -> "IVFIndex":
         """Build from a HOST-resident int8 matrix (the 10M codes-only
         regime: the full matrix never fits HBM next to its own index).
         k-means runs on an uploaded row sample; assignment streams the
@@ -216,25 +272,24 @@ class IVFIndex:
         init = rng.choice(len(pick), size=nlist, replace=len(pick) < nlist)
         n_pad = len(pick) if len(pick) <= _KM_BLOCK else round_up(
             len(pick), _KM_BLOCK)
-        centroids, _ = _kmeans(sv, jnp.asarray(init, jnp.int32), nlist,
-                               iters, n_pad)
+        centroids = _kmeans(sv, jnp.asarray(init, jnp.int32), nlist,
+                            iters, n_pad)
         del sv
 
-        @jax.jit
-        def assign_block(block_rows):
-            s = jnp.dot(block_rows, centroids.T,
-                        preferred_element_type=jnp.float32)
-            return jnp.argmax(s, axis=1)
-
-        assign = np.empty(n, np.int32)
+        pad = max(8, round_up(int(pad_factor * max(n_live, 1) / nlist), 8))
+        j = int(min(choices, nlist))
+        ch_v = np.empty((n, j), np.float32)
+        ch_i = np.empty((n, j), np.int32)
         for off in range(0, n, block):
             rows_np = np.arange(off, min(off + block, n))
-            assign[off:off + len(rows_np)] = np.asarray(
-                jax.device_get(assign_block(up_f32(rows_np))))
-
-        pad = max(8, round_up(int(pad_factor * max(n_live, 1) / nlist), 8))
+            vv, ii = jax.device_get(
+                _topj_block(centroids, up_f32(rows_np), j))
+            ch_v[off:off + len(rows_np)] = vv
+            ch_i[off:off + len(rows_np)] = ii
+        cells_live = _capacity_assign(ch_i[live_rows], ch_v[live_rows],
+                                      nlist, pad)
         members, member_valid, spill_arr, spill_val = _fill_members(
-            live_rows, assign, nlist, pad)
+            live_rows, cells_live, nlist, pad)
         return cls(
             centroids=centroids,
             members=jnp.asarray(members),
@@ -515,7 +570,13 @@ def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
                       penalty: jnp.ndarray, k: int, nprobe: int):
     """Probed masked top-k over the packed int8 layout. penalty indexes
     GLOBAL row ids (same contract as every other scan op); it may be
-    [C] (shared) or [B, C] (per-query — the hybrid engine's tag gate)."""
+    [C] (shared) or [B, C] (per-query — the hybrid engine's tag gate).
+
+    Probing scans over probe RANK with the whole query batch per step:
+    step p gathers every query's p-th cluster block [B, pad, D] and
+    scores it as ONE batched int8 matmul — nprobe MXU-sized steps
+    instead of B·nprobe scalar-latency-bound micro-ops (the per-query
+    lax.map formulation was device-latency-bound at high occupancy)."""
     b = queries.shape[0]
     q32 = queries.astype(jnp.float32)
     if penalty.ndim == 1:
@@ -528,8 +589,8 @@ def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
     p_eff = min(nprobe, pivf.base_nlist)
     _, probe = jax.lax.top_k(cscores[:, : pivf.base_nlist], p_eff)  # [B, P]
     # synthetic spill cells (beyond base_nlist) are ALWAYS probed — their
-    # members are overflow from arbitrary clusters, so centroid routing
-    # can't find them (missing this caps recall hard).
+    # members are overflow the capacity-constrained assignment could not
+    # place, so centroid routing can't find them (normally zero cells).
     n_spill_cells = pivf.nlist - pivf.base_nlist
     if n_spill_cells:
         spill_cells = jnp.broadcast_to(
@@ -537,37 +598,30 @@ def ivf_search_packed(pivf: PackedIVF, queries: jnp.ndarray,
             (b, n_spill_cells))
         probe = jnp.concatenate([probe, spill_cells], axis=1)
 
-    def per_query(args):
-        qi, qs, probes, pen = args
+    def scan_probe(carry, pc):
+        best_v, best_i = carry  # [B, k]
+        block = jnp.take(pivf.values, pc, axis=0)  # [B, pad, D] int8
+        sc = jnp.take(pivf.scales, pc, axis=0)  # [B, pad]
+        ok = jnp.take(pivf.valid, pc, axis=0)
+        rid = jnp.take(pivf.rowids, pc, axis=0)
+        acc = jax.lax.dot_general(
+            block, q_int, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32).astype(jnp.float32)  # [B, pad]
+        s = acc * sc * q_scale[:, None] \
+            + jnp.take_along_axis(penalty, rid, axis=1) + (1.0 - ok) * NEG_INF
+        vals = jnp.concatenate([best_v, s], axis=1)
+        ids = jnp.concatenate([best_i, rid], axis=1)
+        nv, pos = jax.lax.top_k(vals, k)
+        return (nv, jnp.take_along_axis(ids, pos, axis=1)), None
 
-        def scan_probe(carry, c):
-            best_v, best_i = carry
-            # dynamic_index = contiguous DMA of one [pad, D] cluster block
-            block = jax.lax.dynamic_index_in_dim(pivf.values, c, 0,
-                                                 keepdims=False)
-            sc = jax.lax.dynamic_index_in_dim(pivf.scales, c, 0, keepdims=False)
-            ok = jax.lax.dynamic_index_in_dim(pivf.valid, c, 0, keepdims=False)
-            rid = jax.lax.dynamic_index_in_dim(pivf.rowids, c, 0, keepdims=False)
-            acc = jax.lax.dot_general(
-                block, qi, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-            s = acc * sc * qs + jnp.take(pen, rid) + (1.0 - ok) * NEG_INF
-            vals = jnp.concatenate([best_v, s])
-            ids = jnp.concatenate([best_i, rid])
-            nv, pos = jax.lax.top_k(vals, k)
-            return (nv, jnp.take(ids, pos)), None
-
-        # Carry seeded from a varying operand (pen comes from the
-        # shard-local filter masks): under shard_map the loop body's
-        # outputs are axis-varying, and a constant init would make the
-        # scan carry types mismatch ("varying manual axes do not match").
-        veps = pen[0] * 0.0
-        init = (jnp.full((k,), NEG_INF, jnp.float32) + veps,
-                jnp.zeros((k,), jnp.int32) + veps.astype(jnp.int32))
-        (vals, ids), _ = jax.lax.scan(scan_probe, init, probes)
-        return vals, ids
-
-    vals, idx = jax.lax.map(per_query, (q_int, q_scale, probe, penalty))
+    # Carry seeded from a varying operand (penalty comes from the
+    # shard-local filter masks): under shard_map the loop body's
+    # outputs are axis-varying, and a constant init would make the
+    # scan carry types mismatch ("varying manual axes do not match").
+    veps = penalty[:, :1] * 0.0  # [B, 1]
+    init = (jnp.full((b, k), NEG_INF, jnp.float32) + veps,
+            jnp.zeros((b, k), jnp.int32) + veps.astype(jnp.int32))
+    (vals, idx), _ = jax.lax.scan(scan_probe, init, probe.T)
     return vals, idx.astype(jnp.int32)
 
 

@@ -323,18 +323,25 @@ def stack_shard_pq(shards: "list[PackedPQ]") -> PackedPQ:
 def pq_search_packed(ppq: PackedPQ, queries: jnp.ndarray,
                      penalty: jnp.ndarray, k: int, nprobe: int):
     """Probed masked top-k over PQ codes (ADC). penalty indexes global
-    row ids; [C] shared or [B, C] per-query."""
+    row ids; [C] shared or [B, C] per-query.
+
+    Scans over probe RANK with the whole query batch per step: step p
+    gathers every query's p-th cluster's codes [B, pad, M] and scores
+    them via per-query LUT gathers — nprobe VPU-wide steps instead of
+    B·nprobe scalar-latency-bound micro-ops."""
     b = queries.shape[0]
     q32 = queries.astype(jnp.float32)
     if penalty.ndim == 1:
         penalty = jnp.broadcast_to(penalty[None, :], (b, penalty.shape[0]))
     m, kk, ds = ppq.codebooks.shape
 
+    # full centroid scores [B, nlist]: routing over base cells AND the
+    # residual add-back term (spill slabs included)
     cscores = jnp.dot(q32, ppq.centroids.T, preferred_element_type=jnp.float32)
     p_eff = min(nprobe, ppq.base_nlist)
     _, probe = jax.lax.top_k(cscores[:, : ppq.base_nlist], p_eff)
     n_spill = ppq.nlist - ppq.base_nlist
-    if n_spill:  # synthetic spill slabs are always probed
+    if n_spill:  # spill slabs (capacity-assign leftovers) always probed
         spill_cells = jnp.broadcast_to(
             jnp.arange(ppq.base_nlist, ppq.nlist, dtype=probe.dtype)[None, :],
             (b, n_spill))
@@ -343,42 +350,32 @@ def pq_search_packed(ppq: PackedPQ, queries: jnp.ndarray,
     # per-query ADC lookup table [M, K], flattened for one-gather scoring
     luts = jnp.einsum("bmd,mkd->bmk", q32.reshape(b, m, ds), ppq.codebooks)
     lut_flat = luts.reshape(b, m * kk)
-    code_base = (jnp.arange(m, dtype=jnp.int32) * kk)[None, :]  # [1, M]
+    code_base = jnp.arange(m, dtype=jnp.int32) * kk  # [M]
 
-    # full centroid scores [B, nlist] (base cells computed above only up
-    # to base_nlist; residual scoring needs spill slabs too)
-    cscores_all = jnp.dot(q32, ppq.centroids.T,
-                          preferred_element_type=jnp.float32)
+    def scan_probe(carry, pc):
+        best_v, best_i = carry  # [B, k]
+        codes = jnp.take(ppq.codes, pc, axis=0)  # [B, pad, M]
+        ok = jnp.take(ppq.valid, pc, axis=0)  # [B, pad]
+        rid = jnp.take(ppq.rowids, pc, axis=0)
+        idx = codes.astype(jnp.int32) + code_base[None, None, :]
+        s = jax.vmap(jnp.take)(lut_flat, idx.reshape(b, -1)) \
+            .reshape(idx.shape).sum(axis=2)  # [B, pad]
+        if ppq.residual:  # IVFADC: q·x ≈ q·centroid + q·residual
+            s = s + jnp.take_along_axis(cscores, pc[:, None], axis=1)
+        s = s + jnp.take_along_axis(penalty, rid, axis=1) \
+            + (1.0 - ok) * NEG_INF
+        vals = jnp.concatenate([best_v, s], axis=1)
+        ids = jnp.concatenate([best_i, rid], axis=1)
+        nv, pos = jax.lax.top_k(vals, k)
+        return (nv, jnp.take_along_axis(ids, pos, axis=1)), None
 
-    def per_query(args):
-        lut, probes, pen, cs = args
-
-        def scan_probe(carry, c):
-            best_v, best_i = carry
-            codes = jax.lax.dynamic_index_in_dim(ppq.codes, c, 0,
-                                                 keepdims=False)  # [pad, M]
-            ok = jax.lax.dynamic_index_in_dim(ppq.valid, c, 0, keepdims=False)
-            rid = jax.lax.dynamic_index_in_dim(ppq.rowids, c, 0, keepdims=False)
-            idx = codes.astype(jnp.int32) + code_base  # [pad, M]
-            s = jnp.take(lut, idx.reshape(-1)).reshape(codes.shape).sum(axis=1)
-            if ppq.residual:  # IVFADC: q·x ≈ q·centroid + q·residual
-                s = s + cs[c]
-            s = s + jnp.take(pen, rid) + (1.0 - ok) * NEG_INF
-            vals = jnp.concatenate([best_v, s])
-            ids = jnp.concatenate([best_i, rid])
-            nv, pos = jax.lax.top_k(vals, k)
-            return (nv, jnp.take(ids, pos)), None
-
-        # carry seeded from the shard-varying penalty — see
-        # index.ivf.ivf_search_packed for why a constant init fails
-        # under shard_map
-        veps = pen[0] * 0.0
-        init = (jnp.full((k,), NEG_INF, jnp.float32) + veps,
-                jnp.zeros((k,), jnp.int32) + veps.astype(jnp.int32))
-        (vals, ids), _ = jax.lax.scan(scan_probe, init, probes)
-        return vals, ids
-
-    vals, idx = jax.lax.map(per_query, (lut_flat, probe, penalty, cscores_all))
+    # carry seeded from the shard-varying penalty — see
+    # index.ivf.ivf_search_packed for why a constant init fails
+    # under shard_map
+    veps = penalty[:, :1] * 0.0  # [B, 1]
+    init = (jnp.full((b, k), NEG_INF, jnp.float32) + veps,
+            jnp.zeros((b, k), jnp.int32) + veps.astype(jnp.int32))
+    (vals, idx), _ = jax.lax.scan(scan_probe, init, probe.T)
     return vals, idx.astype(jnp.int32)
 
 

@@ -95,8 +95,9 @@ def test_packed_ivf_matches_row_gather_ivf(rng):
     from mobius_rag_tpu.index.ivf import PackedIVF, ivf_search_packed
 
     v = _corpus(rng, n=3000)
-    # small pad factor to force spill rows into synthetic clusters
-    ivf = IVFIndex.build(v, nlist=32, iters=6, pad_factor=1.1)
+    # small pad factor + single-choice assignment to force spill rows
+    # into synthetic clusters (choices=1 disables the capacity cascade)
+    ivf = IVFIndex.build(v, nlist=32, iters=6, pad_factor=1.1, choices=1)
     assert ivf.spill_count > 0, "test needs spill to exercise the fold-in"
     pivf = PackedIVF.from_ivf(ivf, v)
     assert pivf.nlist > ivf.nlist  # synthetic spill clusters exist
@@ -297,3 +298,105 @@ def test_ann_persistence_roundtrip(tmp_path, monkeypatch):
         be2 = SearchEngine(store, lex, cfg=bcfg, embed_fn=hash_embed)
         be2.load_ann(p)
         assert [h.chunk_id for h in be2.search(req, k=5)[0].hits] == b_before
+
+
+def test_capacity_assign_respects_cap_and_preference():
+    from mobius_rag_tpu.index.ivf import _capacity_assign
+
+    # 6 rows all prefer cluster 0 (cap 2); affinities make rows 0,1 the
+    # winners; the rest cascade to their 2nd choice (cluster 1, cap 2)
+    # then 3rd (cluster 2); one row exhausts its choices → -1
+    choice_idx = np.array([[0, 1], [0, 1], [0, 1], [0, 1], [0, 2], [0, 2]])
+    choice_val = np.array([[9, 5], [8, 5], [7, 5], [6, 5], [5, 4], [4, 3]],
+                          np.float32)
+    cells = _capacity_assign(choice_idx, choice_val, nlist=3, cap=2)
+    assert cells[0] == 0 and cells[1] == 0  # best affinity wins the slot
+    counts = np.bincount(cells[cells >= 0], minlength=3)
+    assert (counts <= 2).all()
+    assert (cells == -1).sum() == 0  # 6 rows, capacity 3*2 and choices fit
+    # rows 2,3 land in cluster 1; rows 4,5 in cluster 2
+    assert set(cells[2:4]) == {1} and set(cells[4:6]) == {2}
+
+
+def test_capacity_assign_leftover_goes_negative():
+    from mobius_rag_tpu.index.ivf import _capacity_assign
+
+    choice_idx = np.zeros((5, 1), np.int64)  # everyone wants cluster 0
+    choice_val = np.arange(5, 0, -1, dtype=np.float32)[:, None]
+    cells = _capacity_assign(choice_idx, choice_val, nlist=1, cap=3)
+    assert (cells >= 0).sum() == 3 and (cells == -1).sum() == 2
+    assert set(np.flatnonzero(cells >= 0)) == {0, 1, 2}  # top affinity
+
+
+def test_skewed_corpus_no_spill_with_capacity_assign(rng):
+    """The 10M failure mode in miniature: a mega-cluster overflowing its
+    pad. Raw argmax spills ~half the hot rows into synthetic slabs whose
+    residual-PQ codes are garbage; the capacity cascade places every row
+    in a REAL nearby cluster instead — zero spill, full-probe parity."""
+    from mobius_rag_tpu.index.ivf import ivf_search
+
+    d = 128
+    hot = rng.standard_normal(d).astype(np.float32)
+    hot /= np.linalg.norm(hot)
+    # 70% of rows in one tight mode, the rest spread over 15 modes
+    n_hot, n_cold = 1400, 600
+    v_hot = hot[None] + 0.03 * rng.standard_normal((n_hot, d)).astype(np.float32)
+    cold_centers = rng.standard_normal((15, d)).astype(np.float32)
+    cold_centers /= np.linalg.norm(cold_centers, axis=1, keepdims=True)
+    v_cold = cold_centers[rng.integers(0, 15, n_cold)] + \
+        0.03 * rng.standard_normal((n_cold, d)).astype(np.float32)
+    v = np.concatenate([v_hot, v_cold])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+
+    ivf = IVFIndex.build(v, nlist=16, iters=8, pad_factor=2.0)
+    assert ivf.spill_count == 0, \
+        f"capacity cascade left {ivf.spill_count} rows in spill"
+
+    q = v[rng.choice(len(v), 16)] + 0.01 * rng.standard_normal(
+        (16, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    pen = np.zeros(len(v), np.float32)
+    _, exact = cosine_topk_xla(v, q, pen, 10)
+    _, probed = ivf_search(ivf, v, q, pen, 10, nprobe=16)  # full probe
+    assert _recall(exact, probed, 10) == 1.0
+    # half probe still strong: the mega-mode occupies several adjacent
+    # cells, all of which rank high for a near-mode query
+    _, probed8 = ivf_search(ivf, v, q, pen, 10, nprobe=8)
+    assert _recall(exact, probed8, 10) >= 0.9
+
+
+def test_skewed_corpus_pq_recall_with_capacity_assign(rng):
+    """End-to-end ADC recall on the skewed substrate: residual codes of
+    capacity-assigned rows quantize small residuals, so two-stage
+    (ADC → exact re-rank window) recall holds."""
+    from mobius_rag_tpu.ops.pq import PackedPQ, pq_search_packed
+
+    d = 128
+    hot = rng.standard_normal(d).astype(np.float32)
+    hot /= np.linalg.norm(hot)
+    v_hot = hot[None] + 0.03 * rng.standard_normal((1400, d)).astype(np.float32)
+    cold = rng.standard_normal((15, d)).astype(np.float32)
+    cold /= np.linalg.norm(cold, axis=1, keepdims=True)
+    v_cold = cold[rng.integers(0, 15, 600)] + \
+        0.03 * rng.standard_normal((600, d)).astype(np.float32)
+    v = np.concatenate([v_hot, v_cold])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+
+    ivf = IVFIndex.build(v, nlist=16, iters=8)
+    assert ivf.spill_count == 0
+    # byte budget matters on near-tie ladders: measured containment at
+    # window 80 is m=16: 0.77 / m=32: 0.93 / m=64: 1.00 — the re-rank
+    # window only repairs what the ADC ranks into it
+    ppq = PackedPQ.from_ivf(ivf, v, m=64, iters=8)
+    q = v[rng.choice(len(v), 16)] + 0.01 * rng.standard_normal(
+        (16, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    pen = np.zeros(len(v), np.float32)
+    _, exact = cosine_topk_xla(v, q, pen, 10)
+    # ADC top-80 window must contain the true top-10 (the two-stage
+    # re-rank repairs ordering inside the window)
+    _, adc = pq_search_packed(ppq, q, pen, 80, nprobe=16)
+    cont = np.mean([
+        len(set(map(int, e[:10])) & set(map(int, a))) / 10
+        for e, a in zip(np.asarray(exact), np.asarray(adc))])
+    assert cont >= 0.95, f"ADC window containment {cont}"
