@@ -131,6 +131,10 @@ class Config:
     shard_axis: str = _env_str("MRAG_SHARD_AXIS", "shard")
     # Number of corpus shards; 0 → one shard per local device.
     num_shards: int = _env_int("MRAG_NUM_SHARDS", 0)
+    # Query data-parallel groups for sharded serving (>1 builds a 2D
+    # data×shard mesh: the corpus replicates over `data` and the query
+    # batch splits over it — the corpus-fits-a-subset regime).
+    serve_dp: int = _env_int("MRAG_SERVE_DP", 1)
 
     # ---- encoder model -------------------------------------------------
     encoder_vocab_size: int = _env_int("MRAG_ENCODER_VOCAB", 32768)

@@ -19,6 +19,25 @@ def make_mesh(num_shards: int = 0, axis: str = "shard", devices=None) -> Mesh:
     return Mesh(np.array(devices[:n]), (axis,))
 
 
+def make_serve_mesh(dp: int, num_shards: int = 0, *,
+                    data_axis: str = "data", shard_axis: str = "shard",
+                    devices=None) -> Mesh:
+    """2D serving mesh: the corpus shards over ``shard_axis`` and is
+    REPLICATED over ``data_axis``; the query batch splits over
+    ``data_axis``. The scaling-book shape for 'corpus fits a subset of
+    the slice': spend leftover chips on query parallelism instead of
+    thinner shards (each data group scans its own replica — query
+    throughput scales with dp at unchanged per-query latency)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = num_shards or len(devices) // max(dp, 1)
+    if dp * n > len(devices):
+        raise ValueError(f"dp*shards={dp * n} > {len(devices)} devices")
+    if dp < 1 or n < 1:
+        raise ValueError(f"dp={dp} and shards={n} must be >= 1")
+    grid = np.array(devices[: dp * n]).reshape(dp, n)
+    return Mesh(grid, (data_axis, shard_axis))
+
+
 def make_train_mesh(dp: int, tp: int, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if dp * tp > len(devices):

@@ -84,8 +84,19 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
     tuple. Module-level + lru_cached so every ShardedEngine instance over
     the same mesh shares ONE compiled program per index signature —
     refresh/republish never recompiles (round-1 keyed the jit on `self`,
-    so each rebuild paid a full compile)."""
+    so each rebuild paid a full compile).
+
+    2D meshes (make_serve_mesh): every mesh axis besides ``axis`` is a
+    DATA axis — the index (and ANN tables) replicate over it and the
+    query batch splits over it, so query throughput scales with dp at
+    unchanged per-query latency (the corpus-fits-a-subset-of-the-slice
+    regime). The shard-local scan and the allgather merge are identical
+    to the 1D program; only the specs change."""
     s = mesh.shape[axis]
+    data_axes = tuple(a for a in mesh.axis_names if a != axis)
+    dp = 1
+    for a in data_axes:
+        dp *= mesh.shape[a]
 
     def index_specs(index: DeviceIndex) -> DeviceIndex:
         specs = {}
@@ -104,6 +115,28 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
         # can in the worst case live entirely on one shard.
         m = min(k * over_fetch, c_local)
         m_global = min(k * over_fetch, c_total)
+        b = q["vec"].shape[0]
+        b_pad = -(-b // dp) * dp
+        if b_pad != b:
+            # pad by repeating the last query (static shapes; the pad
+            # rows are dropped below, so duplicate work is the only cost)
+            q = {key: (v if key == "lex_buckets" else jnp.concatenate(
+                [v, jnp.broadcast_to(v[-1:], (b_pad - b, *v.shape[1:]))], 0))
+                 for key, v in q.items()}
+        if data_axes:
+            # batch-major leaves split over the data axes; the union
+            # bucket list (lex_buckets, [U]) is batch-global → replicated
+            q_specs = {key: (P() if key == "lex_buckets"
+                             else P(data_axes,
+                                    *([None] * (q[key].ndim - 1))))
+                       for key in q}
+            # out dim 1 is shard-major then batch-contiguous: global
+            # [3, S*dp*B_loc, m] reshapes to [3, S, B, m] with the batch
+            # in original order (P(data) splits the batch contiguously)
+            out_spec = P(None, (axis, *data_axes))
+        else:
+            q_specs = P()
+            out_spec = P(None, axis)
         # ANN tables enter with a leading shard axis (stack_shard_ivf);
         # every leaf shards on that axis so each device scans its own
         # local tables.
@@ -113,19 +146,19 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
             functools.partial(_local_candidates, k=k, m=m, axis=axis,
                               nprobe=nprobe),
             mesh=mesh,
-            in_specs=(index_specs(index), P(), ann_specs),
-            out_specs=(P(None, axis), P(None, axis), P(None, axis)),
+            in_specs=(index_specs(index), q_specs, ann_specs),
+            out_specs=(out_spec, out_spec, out_spec),
         )(index, q, ann)
-        b = q["vec"].shape[0]
-        # locally [3, B, m] → gathered along axis 1 → [3, S*B, m]
-        vals = vals.reshape(3, s, b, m)
-        gidx = gidx.reshape(3, s, b, m)
-        sigs = sigs.reshape(3, s, b, m, _N_SIG)
+        # locally [3, B_loc, m] → gathered along axis 1 → [3, S*B, m]
+        vals = vals.reshape(3, s, b_pad, m)
+        gidx = gidx.reshape(3, s, b_pad, m)
+        sigs = sigs.reshape(3, s, b_pad, m, _N_SIG)
         # pack to two output arrays: two fetches per query batch instead
         # of ten (device→host transfers pay per-transfer RTT through the
         # serving tunnel, same reasoning as engine._search_compiled)
-        return eng.pack_fused(
+        packed = eng.pack_fused(
             _fuse_and_rerank(vals, gidx, sigs, q, k, rrf_k, m_global), k)
+        return tuple(a[:b] for a in packed) if b_pad != b else packed
 
     return run
 
@@ -162,7 +195,7 @@ class ShardedEngine:
     def __init__(self, store: ChunkStore, mesh: Mesh | None = None,
                  cfg: Config | None = None, axis: str | None = None,
                  vector_backend: str | None = None):
-        from mobius_rag_tpu.parallel.mesh import make_mesh
+        from mobius_rag_tpu.parallel.mesh import make_mesh, make_serve_mesh
 
         self.cfg = cfg or get_config()
         self.store = store
@@ -172,7 +205,12 @@ class ShardedEngine:
                 "single-chip codes-only configuration; sharded serving "
                 "needs the device-resident payload (shard the corpus "
                 "instead: per-chip stores at ≤8M rows each)")
-        self.mesh = mesh or make_mesh(self.cfg.num_shards, self.cfg.shard_axis)
+        if mesh is None:
+            mesh = (make_serve_mesh(self.cfg.serve_dp, self.cfg.num_shards,
+                                    shard_axis=self.cfg.shard_axis)
+                    if self.cfg.serve_dp > 1
+                    else make_mesh(self.cfg.num_shards, self.cfg.shard_axis))
+        self.mesh = mesh
         self.axis = axis or self.cfg.shard_axis
         self._run_fn = _sharded_run(self.mesh, self.axis,
                                     self.cfg.over_fetch, self.cfg.rrf_k)
