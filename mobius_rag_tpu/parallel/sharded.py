@@ -199,12 +199,14 @@ class ShardedEngine:
 
         self.cfg = cfg or get_config()
         self.store = store
-        if store.host_vectors is not None:
-            raise NotImplementedError(
-                "host vector residency (MRAG_VECTOR_RESIDENCY=host) is a "
-                "single-chip codes-only configuration; sharded serving "
-                "needs the device-resident payload (shard the corpus "
-                "instead: per-chip stores at ≤8M rows each)")
+        if (store.host_vectors is not None
+                and (vector_backend or self.cfg.vector_backend) != "pq"):
+            raise ValueError(
+                "host vector residency (MRAG_VECTOR_RESIDENCY=host) shards "
+                "as a codes-only index: HBM holds per-shard residual-PQ "
+                "tables and the exact re-rank runs from host RAM after the "
+                "merge — the vector backend must be 'pq' (exact/ivf/packed "
+                "need the device-resident payload)")
         if mesh is None:
             mesh = (make_serve_mesh(self.cfg.serve_dp, self.cfg.num_shards,
                                     shard_axis=self.cfg.shard_axis)
@@ -273,6 +275,8 @@ class ShardedEngine:
             if f in ("lex_cols", "lex_wts"):
                 continue
             arr = getattr(src, f)
+            if arr.shape[1 if f == "lexical" else 0] == 0:
+                continue  # 0-row payload under host residency
             if f == "lexical":
                 updates.append(np.asarray(arr[:, gather]))  # [H, R]
             else:
@@ -302,6 +306,15 @@ class ShardedEngine:
             # chunk axis is what shards
             chunk_axis = 1 if f == "lexical" else 0
             c = a.shape[chunk_axis]
+            if c == 0:
+                # host residency: the vectors payload is deliberately
+                # [0, D] (codes-only HBM) — keep it empty, don't pad a
+                # full-size zeros matrix into every shard
+                spec = [None] * a.ndim
+                spec[chunk_axis] = self.axis
+                arrays[f] = jax.device_put(
+                    a, NamedSharding(self.mesh, P(*spec)))
+                continue
             if c_pad != c:
                 shape = list(a.shape)
                 shape[chunk_axis] = c_pad - c
@@ -348,6 +361,9 @@ class ShardedEngine:
     def set_vector_backend(self, backend: str) -> None:
         if backend not in ("exact", "ivf", "packed", "pq"):
             raise ValueError(f"backend {backend!r} must be exact|ivf|packed|pq")
+        if self.store.host_vectors is not None and backend != "pq":
+            raise ValueError("host vector residency serves codes-only "
+                             "shards — the backend must stay 'pq'")
         self.vector_backend = backend
 
     def ensure_ann(self):
@@ -377,8 +393,20 @@ class ShardedEngine:
         # uniform nlist across shards (shapes must match when stacked)
         nlist = self.cfg.ivf_nlist or max(16, int(np.sqrt(max(n_live // s, 1))))
         shards: list = []
+        pq_m = effective_m(self.cfg.embed_dim, self.cfg.pq_m)
         for si in range(s):
             lo, hi = si * cs, min((si + 1) * cs, src.capacity)
+            if self.store.host_vectors is not None:
+                # codes-only regime: shard si clusters + PQ-encodes its
+                # OWN host int8 rows (the sharded form of the engine's
+                # single-chip host build); the exact re-rank after the
+                # merge reads the same host matrix, mesh-agnostic
+                hv = self.store.host_vectors[lo:hi]
+                hs = self.store.host_scales[lo:hi]
+                ivf = IVFIndex.build_host(hv, hs, valid[lo:hi], nlist=nlist)
+                shards.append(PackedPQ.from_ivf(ivf, hv, m=pq_m,
+                                                row_scales=hs))
+                continue
             vec_local = src.vectors[lo:hi]  # device slice; k-means on device
             ivf = IVFIndex.build(vec_local, valid[lo:hi], nlist=nlist)
             scales = (src.vec_scales[lo:hi]
@@ -428,5 +456,10 @@ class ShardedEngine:
         k = k or self.cfg.default_k
         self.refresh()
         q, exps = engine.prepare_batch(reqs)
-        out = eng.unpack_fused(jax.device_get(self._run(q, k)), k)
+        # host residency: the compiled merge returns k·over_fetch fused
+        # candidates; the exact re-rank from host RAM restores top-k
+        kd = engine._device_k(k)
+        out = eng.unpack_fused(jax.device_get(self._run(q, kd)), kd)
+        if kd != k:
+            out = engine._host_rerank(list(reqs), exps, out, k)
         return engine._assemble(list(reqs), exps, out, k)

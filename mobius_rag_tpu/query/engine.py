@@ -1112,10 +1112,10 @@ class SearchEngine:
         k = k or self.cfg.default_k
         if self.sharded is not None:
             self.sharded.refresh()
+            kd = self._device_k(k)  # widened under host residency
             prepared = [self.prepare_batch(b) for b in batches]
-            outs = [self.sharded._run(q, k) for q, _ in prepared]
-            fetch_iter = self._iter_fetched(outs, k, unpack_fused)
-            kd = k
+            outs = [self.sharded._run(q, kd) for q, _ in prepared]
+            fetch_iter = self._iter_fetched(outs, kd, unpack_fused)
         else:
             ann = self.ensure_ann()
             kd = self._device_k(k)
@@ -1185,7 +1185,10 @@ class SearchEngine:
         t_prep = time.perf_counter()
         if self.sharded is not None:
             self.sharded.refresh()
-            out = unpack_fused(jax.device_get(self.sharded._run(q, k)), k)
+            kd = self._device_k(k)
+            out = unpack_fused(jax.device_get(self.sharded._run(q, kd)), kd)
+            if kd != k:
+                out = self._host_rerank(reqs, exps, out, k)
         else:
             ann = self.ensure_ann()
             kd = self._device_k(k)

@@ -185,15 +185,20 @@ def test_native_gather_cos_matches_numpy():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
-def test_host_residency_refuses_sharding():
+def test_host_residency_shards_as_pq_only():
+    """Sharded serving under host residency is the codes-only regime —
+    supported with backend 'pq' (see tests/test_sharded_host.py for the
+    serving contract), refused loudly for payload-needing backends."""
     from mobius_rag_tpu.parallel.mesh import make_mesh
     from mobius_rag_tpu.parallel.sharded import ShardedEngine
 
     lex = sample_lexicon()
     store = ChunkStore(_host_cfg())
     store.add_chunks(toy_corpus(lex, pad_docs=16))
-    with pytest.raises(NotImplementedError):
-        ShardedEngine(store, mesh=make_mesh(8))
+    with pytest.raises(ValueError, match="pq"):
+        ShardedEngine(store, mesh=make_mesh(8), vector_backend="exact")
+    se = ShardedEngine(store, mesh=make_mesh(8), cfg=store.cfg)
+    assert se.vector_backend == "pq"
 
 
 def test_host_residency_snapshot_restore(tmp_path, stores):
