@@ -415,10 +415,8 @@ class ShardedEngine:
                 shards.append(PackedIVF.from_ivf(ivf, vec_local,
                                                  row_scales=scales))
             elif self.vector_backend == "pq":
-                shards.append(PackedPQ.from_ivf(
-                    ivf, vec_local,
-                    m=effective_m(self.cfg.embed_dim, self.cfg.pq_m),
-                    row_scales=scales))
+                shards.append(PackedPQ.from_ivf(ivf, vec_local, m=pq_m,
+                                                row_scales=scales))
             else:
                 shards.append(ivf)
         stacked = {"packed": stack_shard_packed, "pq": stack_shard_pq,
