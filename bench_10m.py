@@ -37,7 +37,12 @@ import time
 
 os.environ.setdefault("MRAG_VECTOR_RESIDENCY", "host")
 os.environ.setdefault("MRAG_VECTOR_DTYPE", "int8")
-os.environ.setdefault("MRAG_VECTOR_BACKEND", "pq")
+# proj (PCA-projected residual int8, MXU scan): replaced LUT-PQ after
+# the 10M run measured ADC at 1.2 qps (gather-bound) and recall 0.20
+# (error flood through the 80-wide funnel) — see ops/proj.py and
+# eval_artifacts/BENCH_r3_funnel_diag.json
+os.environ.setdefault("MRAG_VECTOR_BACKEND", "proj")
+os.environ.setdefault("MRAG_PROJ_P", "192")
 os.environ.setdefault("MRAG_LEXICAL_FORMAT", "sparse")
 # 8 phrase words (256 tracked phrases) at 10M: the 64-word default costs
 # 2.56 GB of HBM for the coverage bitset alone
@@ -45,11 +50,12 @@ os.environ.setdefault("MRAG_PHRASE_WORDS", "8")
 os.environ.setdefault("MRAG_TAG_WORDS", "4")
 os.environ.setdefault("MRAG_IVF_NLIST", "4096")
 os.environ.setdefault("MRAG_IVF_NPROBE", "64")
-# over_fetch 8 under host residency: the device returns k·8 fused
-# candidates for the exact host re-rank (native cpp/rerank.cc) — ADC
-# ranking errors inside the widened set are repaired; measured recall
-# 0.8625 → 0.9875 at the 20k trial vs over_fetch 4
 os.environ.setdefault("MRAG_OVER_FETCH", "8")
+# funnel: the vector arm hands its top-1024 (approximately ranked) to
+# the exact host re-rank — at 10M the approximation error band covers
+# ~10x more competitors than at 1M, and recall is funnel-width-bound
+# (funnel diag: W=80 0.64 / W=1024 0.99 at 1M-slice geometry)
+os.environ.setdefault("MRAG_HOST_FUNNEL", "1024")
 os.environ.setdefault("MRAG_DATA_DIR", "/tmp/mrag-bench10m")
 
 import numpy as np
@@ -205,11 +211,11 @@ def main() -> None:
 
     engine = SearchEngine(store, lexicon)
     t0 = time.perf_counter()
-    engine.ensure_ann()  # IVF (host build) + residual PQ encode
+    engine.ensure_ann()  # IVF (host build) + projected-residual encode
     t_ann = time.perf_counter() - t0
     ann = engine._ann
     hbm = {
-        "pq_codes_gb": round(int(np.prod(ann.codes.shape)) / 1e9, 2),
+        "codes_gb": round(int(np.prod(ann.codes.shape)) / 1e9, 2),
         "rowids_valid_gb": round(
             (ann.rowids.size * 4 + ann.valid.size * 4) / 1e9, 2),
         "tags_gb": round(3 * N * cfg.tag_words * 4 / 1e9, 2),
@@ -219,10 +225,22 @@ def main() -> None:
     log(f"ANN built in {t_ann:.0f}s; HBM budget: {hbm}")
 
     # ---- 3. oracle: blockwise exact scan (host blocks streamed up) --------
+    # Queries = REAL production-shaped query texts through the trained
+    # encoder (cached by scripts/ann_recall_curve.py) — the serving
+    # geometry. The previous recipe (row + 0.02/dim iid noise) put the
+    # query at cos ≈ 0.787 from its own source row (noise norm
+    # 0.02·√1536 ≈ 0.78 vs the unit signal) with a 0.006-wide oracle
+    # band over 10M rows — a near-degenerate margin no approximate
+    # method (including the reference's HNSW) resolves, and not what any
+    # served query looks like.
     rng = np.random.default_rng(0)
-    q_rows = rng.choice(N, args.oracle_queries, replace=False)
-    qv = host_vec[q_rows].astype(np.float32) * host_sca[q_rows][:, None]
-    qv += 0.02 * rng.standard_normal(qv.shape).astype(np.float32)
+    qcache = os.environ.get("MRAG_BENCH_QUERY_CACHE",
+                            "/tmp/ann_curve_queries.npy")
+    if not os.path.exists(qcache):
+        log(f"FATAL: query cache {qcache} missing — run "
+            "scripts/ann_recall_curve.py first (encodes the query bank)")
+        sys.exit(2)
+    qv = np.load(qcache)[: args.oracle_queries].astype(np.float32)
     qv /= np.linalg.norm(qv, axis=1, keepdims=True)
 
     @jax.jit
@@ -326,8 +344,10 @@ def main() -> None:
         "sync_qps": round(sync_qps, 1),
         "recall_at_10_vs_exact": round(recall, 4),
         "batch": B,
+        "backend": engine.vector_backend,
         "nprobe": cfg.ivf_nprobe,
-        "pq_m": cfg.pq_m,
+        "proj_p": cfg.proj_p,
+        "host_funnel": cfg.host_funnel,
         "streaming_ingest_chunks_per_s": round(ing_rate, 1),
         "fresh_inserts_served": live_ok,
         "memory_budget": {
@@ -338,17 +358,22 @@ def main() -> None:
                     "bulk_load": round(t_load, 1),
                     "ann_build": round(t_ann, 1)},
         "note": ("Config 5 (BASELINE build target): host vector residency "
-                 "— HBM holds residual-PQ codes + tag/lexical structures, "
-                 "int8 rows in host RAM serve the post-fusion exact "
-                 "re-rank. Full SearchEngine API (prepare → compiled "
-                 "hybrid program with PQ vector arm → host re-rank → "
-                 "assemble). Oracle = blockwise exact device scan of the "
-                 "same int8 matrix. tag_mode=none (synthetic tags "
-                 "uncorrelated with query text)."),
+                 "— HBM holds int8 PCA-projected-residual codes (MXU "
+                 "scan, ops/proj.py) + tag/lexical structures; int8 rows "
+                 "in host RAM serve the funnel-wide post-fusion exact "
+                 "re-rank (MRAG_HOST_FUNNEL). Full SearchEngine API "
+                 "(prepare → compiled hybrid program with proj vector "
+                 "arm → host re-rank → assemble). Oracle = blockwise "
+                 "exact device scan of the same int8 matrix; queries = "
+                 "trained-encoder embeddings of production-shaped query "
+                 "texts. tag_mode=none (synthetic tags uncorrelated "
+                 "with query text)."),
     }
     print(json.dumps(art))
     os.makedirs("/root/repo/eval_artifacts", exist_ok=True)
-    with open("/root/repo/eval_artifacts/BENCH_r3_10m_e2e.json", "w") as f:
+    name = ("BENCH_r3_10m_e2e.json" if N >= 10_000_000
+            else f"BENCH_r3_{N // 1_000_000}m_e2e_validation.json")
+    with open(f"/root/repo/eval_artifacts/{name}", "w") as f:
         json.dump(art, f, indent=1)
 
 

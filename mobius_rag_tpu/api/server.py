@@ -1041,7 +1041,8 @@ def build_app(ctx: AppContext) -> web.Application:
                       sorted(ctx.store.embedded_source_ids(doc_id))})
 
     async def vector_backend(request):
-        """Select the vector-arm scan backend (exact | ivf | packed) —
+        """Select the vector-arm scan backend (exact | ivf | packed |
+        pq | proj) —
         the production-scan switch (reference vector_store.py:306 factory
         role). ANN tables build lazily on the next search."""
         body = await request.json()

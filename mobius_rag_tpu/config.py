@@ -89,6 +89,18 @@ class Config:
     # per row in HBM — with the engine's signal gather doing the exact
     # cosine re-rank of the over-fetched candidates.
     pq_m: int = _env_int("MRAG_PQ_M", 96)
+    # "proj" backend: int8 PCA-projected residual codes (proj_p bytes/
+    # row) scored as dense MXU matmuls — the TPU-native replacement for
+    # LUT-PQ ADC, whose per-element gathers XLA lowers serially on TPU
+    # (measured 55x slower at equal bytes/row; see ops/proj.py).
+    proj_p: int = _env_int("MRAG_PROJ_P", 256)
+    # Host-residency funnel width: the vector arm's top-W candidate list
+    # handed (with its rerank signals) to the exact host re-rank, on top
+    # of the fused top-(k·over_fetch) set. At 10M rows the approximate
+    # scores' error band covers many more competitors than at 1M, so
+    # recall is funnel-width-bound — widening W is how the two-stage
+    # design buys recall back (0 = auto: max(512, k·over_fetch)).
+    host_funnel: int = _env_int("MRAG_HOST_FUNNEL", 0)
     # Vector payload residency: "device" keeps the chunk matrix in HBM
     # (every config through ~8M int8 rows); "host" is the 10M regime —
     # HBM holds ONLY the PQ codes, the int8 rows live in host RAM and
@@ -184,20 +196,22 @@ class Config:
                 f"MRAG_LEXICAL_FORMAT={self.lexical_format!r} must be "
                 "dense|sparse"
             )
-        if self.vector_backend not in ("exact", "ivf", "packed", "pq"):
+        if self.vector_backend not in ("exact", "ivf", "packed", "pq",
+                                       "proj"):
             problems.append(
                 f"MRAG_VECTOR_BACKEND={self.vector_backend!r} must be "
-                "exact|ivf|packed|pq"
+                "exact|ivf|packed|pq|proj"
             )
         if self.vector_residency not in ("device", "host"):
             problems.append(
                 f"MRAG_VECTOR_RESIDENCY={self.vector_residency!r} must be "
                 "device|host"
             )
-        if self.vector_residency == "host" and self.vector_backend != "pq":
+        if self.vector_residency == "host" and self.vector_backend not in (
+                "pq", "proj"):
             problems.append(
-                "MRAG_VECTOR_RESIDENCY=host requires MRAG_VECTOR_BACKEND=pq "
-                "(no dense device matrix exists to scan exactly)"
+                "MRAG_VECTOR_RESIDENCY=host requires MRAG_VECTOR_BACKEND="
+                "pq|proj (no dense device matrix exists to scan exactly)"
             )
         if self.vector_residency == "host" and self.vector_dtype != "int8":
             problems.append(

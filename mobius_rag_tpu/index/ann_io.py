@@ -27,8 +27,10 @@ _HEADER_KEY = "__header__"
 def _classes() -> dict[str, Any]:
     from mobius_rag_tpu.index.ivf import IVFIndex, PackedIVF
     from mobius_rag_tpu.ops.pq import PackedPQ
+    from mobius_rag_tpu.ops.proj import PackedProj
 
-    return {c.__name__: c for c in (IVFIndex, PackedIVF, PackedPQ)}
+    return {c.__name__: c for c in (IVFIndex, PackedIVF, PackedPQ,
+                                    PackedProj)}
 
 
 def save_ann(ann: Any, path: str, *, meta: dict[str, Any] | None = None) -> None:

@@ -107,13 +107,16 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
             specs[f] = P(*spec)
         return DeviceIndex(**specs)
 
-    @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
-    def run(index: DeviceIndex, q: dict, k: int, ann=None, nprobe: int = 32):
+    @functools.partial(jax.jit, static_argnames=("k", "nprobe", "funnel"))
+    def run(index: DeviceIndex, q: dict, k: int, ann=None, nprobe: int = 32,
+            funnel: int = 0):
         c_total = index.valid.shape[0]
         c_local = c_total // s
+        w = min(funnel, c_total)
         # Per-shard over-fetch: the global top-(k*over_fetch) of an arm
-        # can in the worst case live entirely on one shard.
-        m = min(k * over_fetch, c_local)
+        # (and the global funnel top-w) can in the worst case live
+        # entirely on one shard.
+        m = min(max(k * over_fetch, w), c_local)
         m_global = min(k * over_fetch, c_total)
         b = q["vec"].shape[0]
         b_pad = -(-b // dp) * dp
@@ -153,11 +156,40 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
         vals = vals.reshape(3, s, b_pad, m)
         gidx = gidx.reshape(3, s, b_pad, m)
         sigs = sigs.reshape(3, s, b_pad, m, _N_SIG)
+        out = _fuse_and_rerank(vals, gidx, sigs, q, k, rrf_k, m_global)
+        if w:
+            # funnel block (host-residency exact re-rank): global top-w
+            # of the vector arm across shards + the same signal slices
+            # the single-chip wide_outputs ships (engine.wide_outputs
+            # operates on [3, B, m]; here the shard axis flattens into
+            # the candidate axis first — same math, merged lists)
+            g_vals = vals.transpose(0, 2, 1, 3).reshape(3, b_pad, s * m)
+            g_gidx = gidx.transpose(0, 2, 1, 3).reshape(3, b_pad, s * m)
+            g_sigs = sigs.transpose(0, 2, 1, 3, 4).reshape(
+                3, b_pad, s * m, _N_SIG)
+            wv, pos = jax.lax.top_k(g_vals[0], w)
+            out.update({
+                "wide_vals": wv,
+                "wide_idx": jnp.take_along_axis(g_gidx[0], pos, axis=1),
+            })
+            lex_best = jnp.max(
+                jnp.where(g_vals[1] > NEG_INF / 2, g_vals[1], 0.0),
+                axis=1)
+            wsig = jnp.take_along_axis(
+                g_sigs[0], pos[..., None].repeat(_N_SIG, -1), axis=1)
+            out.update({
+                "wide_lexn": jnp.clip(
+                    wsig[..., 1] / jnp.maximum(lex_best[:, None], 1e-6),
+                    0.0, 1.0),
+                "wide_auth": wsig[..., 2],
+                "wide_len": wsig[..., 3],
+                "wide_jpd": wsig[..., 4],
+                "wide_cov": wsig[..., 5],
+            })
         # pack to two output arrays: two fetches per query batch instead
         # of ten (device→host transfers pay per-transfer RTT through the
         # serving tunnel, same reasoning as engine._search_compiled)
-        packed = eng.pack_fused(
-            _fuse_and_rerank(vals, gidx, sigs, q, k, rrf_k, m_global), k)
+        packed = eng.pack_fused(out, k, w)
         return tuple(a[:b] for a in packed) if b_pad != b else packed
 
     return run
@@ -200,13 +232,15 @@ class ShardedEngine:
         self.cfg = cfg or get_config()
         self.store = store
         if (store.host_vectors is not None
-                and (vector_backend or self.cfg.vector_backend) != "pq"):
+                and (vector_backend or self.cfg.vector_backend)
+                not in ("pq", "proj")):
             raise ValueError(
                 "host vector residency (MRAG_VECTOR_RESIDENCY=host) shards "
-                "as a codes-only index: HBM holds per-shard residual-PQ "
-                "tables and the exact re-rank runs from host RAM after the "
-                "merge — the vector backend must be 'pq' (exact/ivf/packed "
-                "need the device-resident payload)")
+                "as a codes-only index: HBM holds per-shard residual-PQ or "
+                "projected-residual tables and the exact re-rank runs from "
+                "host RAM after the merge — the vector backend must be "
+                "'pq' or 'proj' (exact/ivf/packed need the device-resident "
+                "payload)")
         if mesh is None:
             mesh = (make_serve_mesh(self.cfg.serve_dp, self.cfg.num_shards,
                                     shard_axis=self.cfg.shard_axis)
@@ -359,11 +393,13 @@ class ShardedEngine:
     # -- vector-arm ANN backend ---------------------------------------------
 
     def set_vector_backend(self, backend: str) -> None:
-        if backend not in ("exact", "ivf", "packed", "pq"):
-            raise ValueError(f"backend {backend!r} must be exact|ivf|packed|pq")
-        if self.store.host_vectors is not None and backend != "pq":
+        if backend not in ("exact", "ivf", "packed", "pq", "proj"):
+            raise ValueError(
+                f"backend {backend!r} must be exact|ivf|packed|pq|proj")
+        if self.store.host_vectors is not None and backend not in ("pq",
+                                                                   "proj"):
             raise ValueError("host vector residency serves codes-only "
-                             "shards — the backend must stay 'pq'")
+                             "shards — the backend must stay 'pq'/'proj'")
         self.vector_backend = backend
 
     def ensure_ann(self):
@@ -383,6 +419,7 @@ class ShardedEngine:
                                               stack_shard_packed)
         from mobius_rag_tpu.ops.pq import (PackedPQ, effective_m,
                                             stack_shard_pq)
+        from mobius_rag_tpu.ops.proj import PackedProj, stack_shard_proj
 
         src = self.store.index
         s = self.mesh.shape[self.axis]
@@ -397,15 +434,19 @@ class ShardedEngine:
         for si in range(s):
             lo, hi = si * cs, min((si + 1) * cs, src.capacity)
             if self.store.host_vectors is not None:
-                # codes-only regime: shard si clusters + PQ-encodes its
+                # codes-only regime: shard si clusters + encodes its
                 # OWN host int8 rows (the sharded form of the engine's
                 # single-chip host build); the exact re-rank after the
                 # merge reads the same host matrix, mesh-agnostic
                 hv = self.store.host_vectors[lo:hi]
                 hs = self.store.host_scales[lo:hi]
                 ivf = IVFIndex.build_host(hv, hs, valid[lo:hi], nlist=nlist)
-                shards.append(PackedPQ.from_ivf(ivf, hv, m=pq_m,
-                                                row_scales=hs))
+                if self.vector_backend == "proj":
+                    shards.append(PackedProj.from_ivf(
+                        ivf, hv, p=self.cfg.proj_p, row_scales=hs))
+                else:
+                    shards.append(PackedPQ.from_ivf(ivf, hv, m=pq_m,
+                                                    row_scales=hs))
                 continue
             vec_local = src.vectors[lo:hi]  # device slice; k-means on device
             ivf = IVFIndex.build(vec_local, valid[lo:hi], nlist=nlist)
@@ -417,9 +458,13 @@ class ShardedEngine:
             elif self.vector_backend == "pq":
                 shards.append(PackedPQ.from_ivf(ivf, vec_local, m=pq_m,
                                                 row_scales=scales))
+            elif self.vector_backend == "proj":
+                shards.append(PackedProj.from_ivf(
+                    ivf, vec_local, p=self.cfg.proj_p, row_scales=scales))
             else:
                 shards.append(ivf)
         stacked = {"packed": stack_shard_packed, "pq": stack_shard_pq,
+                   "proj": stack_shard_proj,
                    "ivf": stack_shard_ivf}[self.vector_backend](shards)
         # lay the stacked tables out over the mesh: shard axis partitioned
         put = lambda x: jax.device_put(
@@ -431,9 +476,9 @@ class ShardedEngine:
 
     # -- query ---------------------------------------------------------------
 
-    def _run(self, q: dict, k: int):
+    def _run(self, q: dict, k: int, funnel: int = 0):
         return self._run_fn(self.index, q, k, self.ensure_ann(),
-                            self.cfg.ivf_nprobe)
+                            self.cfg.ivf_nprobe, funnel)
 
     def search_arrays(self, q_host: dict[str, np.ndarray], k: int):
         """Run the sharded pipeline on prepared query arrays (schema =
@@ -455,9 +500,12 @@ class ShardedEngine:
         self.refresh()
         q, exps = engine.prepare_batch(reqs)
         # host residency: the compiled merge returns k·over_fetch fused
-        # candidates; the exact re-rank from host RAM restores top-k
+        # candidates + the funnel-wide vector list; the exact re-rank
+        # from host RAM restores top-k
         kd = engine._device_k(k)
-        out = eng.unpack_fused(jax.device_get(self._run(q, kd)), kd)
-        if kd != k:
+        fw = engine._device_funnel(k)
+        out = eng.unpack_fused(jax.device_get(self._run(q, kd, fw)), kd,
+                               w=fw)
+        if kd != k or fw:
             out = engine._host_rerank(list(reqs), exps, out, k)
         return engine._assemble(list(reqs), exps, out, k)

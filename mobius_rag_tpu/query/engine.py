@@ -406,11 +406,20 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
             + (1.0 - meta_ok) * NEG_INF
         )
         from mobius_rag_tpu.ops.pq import PackedPQ, pq_search_packed
+        from mobius_rag_tpu.ops.proj import PackedProj, proj_search_packed
 
         if isinstance(ann, IVFIndex):
             vec_vals, vec_idx = ivf_search(
                 ann, index.vectors, q["vec"], penalty, m, nprobe,
                 index.vec_scales)
+        elif isinstance(ann, PackedProj):
+            # projected-residual candidate generation (config-5 regime,
+            # MXU-native; see ops/proj.py). Approximate scores stand in
+            # for cosine on the vector arm's candidates; the exact host
+            # re-rank (SearchEngine._host_rerank) repairs ranking inside
+            # the funnel.
+            vec_vals, vec_idx = proj_search_packed(
+                ann, q["vec"], penalty, m, nprobe)
         elif isinstance(ann, PackedPQ):
             # ADC candidate generation (config-5 regime); the signal
             # gather below re-scores candidates with EXACT cosine, so
@@ -554,7 +563,8 @@ def fuse_and_rerank(vals, gidx, sigs, q, k: int, rrf_k: int, m_global: int):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k", "nprobe"))
+@functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k",
+                                             "nprobe", "funnel"))
 def _search_compiled(
     index: DeviceIndex,
     q: dict,
@@ -563,15 +573,25 @@ def _search_compiled(
     rrf_k: int,
     ann=None,
     nprobe: int = 32,
+    funnel: int = 0,
 ):
     """One XLA program: all arms, fusion, rerank. q holds per-query arrays
     (see prepare_query for the schema). Fusion runs over the candidate
     UNION (fuse_and_rerank) — peak HBM is the arm scores themselves, not
     a [B, C] RRF buffer, which is what lets the full hybrid pipeline run
     at 1M chunks on one chip. `ann` switches the vector arm to a probed
-    IVF/packed scan (MRAG_VECTOR_BACKEND)."""
+    IVF/packed scan (MRAG_VECTOR_BACKEND).
+
+    ``funnel`` > 0 (host residency): the vector arm widens to top-funnel
+    and its candidate list + rerank signals ride the packed outputs, so
+    the exact host re-rank reorders a funnel-wide pool instead of the
+    fused top-k — at 10M rows the approximate vector scores' error band
+    covers ~10x more competitors than at 1M, and recall is funnel-bound
+    (measured: fused-80 0.20 vs funnel-1024 0.99 at 10M-geometry)."""
     c = index.valid.shape[0]
-    m = min(k * over_fetch, c)
+    m_fuse = min(k * over_fetch, c)
+    w = min(funnel, c)
+    m = max(m_fuse, w)
 
     # Queries arrive bf16 over the wire (see prepare_batch); widen once
     # on device so every downstream consumer sees f32.
@@ -586,7 +606,7 @@ def _search_compiled(
     vals, gidx, sigs, strict_total = jax.lax.optimization_barrier(
         (vals, gidx, sigs, strict_total))
     out = fuse_and_rerank(vals[:, None], gidx[:, None], sigs[:, None],
-                          q, k, rrf_k, m)
+                          q, k, rrf_k, m_fuse)
     out.update({
         "vec_idx": gidx[0][:, : k * 2],
         "vec_vals": vals[0][:, : k * 2],
@@ -596,12 +616,35 @@ def _search_compiled(
         "dtag_vals": vals[2][:, : k * 2],
         "strict_count": strict_total[:, 0],
     })
+    if w:
+        out.update(wide_outputs(vals, gidx, sigs, w))
     # Pack the ~16 output arrays into TWO (one f32, one i32): the tunnel
     # charges per-transfer overhead on device→host fetches, and 16 small
     # arrays × N pipelined batches dominated the 1M end-to-end number
     # (measured: host prep fell 24→9 ms/batch in round 3 but pipelined
     # qps barely moved until the fetch count did).
-    return pack_out(out, k)
+    return pack_out(out, k, w)
+
+
+def wide_outputs(vals, gidx, sigs, w: int) -> dict:
+    """The funnel block: vector-arm top-w ids + the host re-rank's
+    signal inputs (everything _host_rerank needs except the exact
+    cosine it recomputes itself). vals/gidx [3, B, m], sigs
+    [3, B, m, N_SIG]; the vector arm's lists are already sorted by its
+    (approximate) score, so the top-w slice IS the funnel."""
+    lex_best = jnp.max(jnp.where(vals[1] > NEG_INF / 2, vals[1], 0.0),
+                       axis=1)
+    wsig = sigs[0][:, :w]
+    return {
+        "wide_vals": vals[0][:, :w],
+        "wide_lexn": jnp.clip(
+            wsig[..., 1] / jnp.maximum(lex_best[:, None], 1e-6), 0.0, 1.0),
+        "wide_auth": wsig[..., 2],
+        "wide_len": wsig[..., 3],
+        "wide_jpd": wsig[..., 4],
+        "wide_cov": wsig[..., 5],
+        "wide_idx": gidx[0][:, :w],
+    }
 
 
 # Output packing layout: (key, width-multiplier-of-k) per dtype class.
@@ -611,16 +654,24 @@ _OUT_F = (("rerank", 1), ("sim", 1), ("cos", 1), ("auth", 1), ("len", 1),
           ("vec_vals", 2), ("lex_vals", 2), ("dtag_vals", 2))
 _OUT_I = (("idx", 1), ("vec_idx", 2), ("lex_idx", 2), ("dtag_idx", 2))
 
+# Funnel block appended when wide outputs ride along (width = funnel,
+# not a multiple of k — see pack_out's w argument).
+_WIDE_F = ("wide_vals", "wide_lexn", "wide_auth", "wide_len", "wide_jpd",
+           "wide_cov")
 
-def pack_out(out: dict, k: int):
-    packed_f = jnp.concatenate([out[key] for key, _ in _OUT_F], axis=1)
+
+def pack_out(out: dict, k: int, w: int = 0):
+    packed_f = jnp.concatenate(
+        [out[key] for key, _ in _OUT_F]
+        + ([out[key] for key in _WIDE_F] if w else []), axis=1)
     packed_i = jnp.concatenate(
         [out[key] for key, _ in _OUT_I]
-        + [out["strict_count"][:, None].astype(jnp.int32)], axis=1)
+        + [out["strict_count"][:, None].astype(jnp.int32)]
+        + ([out["wide_idx"]] if w else []), axis=1)
     return packed_f, packed_i
 
 
-def unpack_out(fetched, k: int) -> dict[str, np.ndarray]:
+def unpack_out(fetched, k: int, w: int = 0) -> dict[str, np.ndarray]:
     """Host-side inverse of pack_out: numpy views into the two fetched
     arrays, under the original key schema."""
     packed_f, packed_i = (np.asarray(fetched[0]), np.asarray(fetched[1]))
@@ -629,11 +680,18 @@ def unpack_out(fetched, k: int) -> dict[str, np.ndarray]:
     for key, mult in _OUT_F:
         out[key] = packed_f[:, off:off + mult * k]
         off += mult * k
+    if w:
+        for key in _WIDE_F:
+            out[key] = packed_f[:, off:off + w]
+            off += w
     off = 0
     for key, mult in _OUT_I:
         out[key] = packed_i[:, off:off + mult * k]
         off += mult * k
     out["strict_count"] = packed_i[:, off]
+    off += 1
+    if w:
+        out["wide_idx"] = packed_i[:, off:off + w]
     return out
 
 
@@ -642,22 +700,36 @@ def unpack_out(fetched, k: int) -> dict[str, np.ndarray]:
 _FUSED_F = _OUT_F[:9]
 
 
-def pack_fused(out: dict, k: int):
+def pack_fused(out: dict, k: int, w: int = 0):
     """Pack fuse_and_rerank's dict into TWO arrays (f32 signals, i32
     idx) so a sharded query costs two device→host fetches instead of
     ten — per-transfer tunnel RTT dominates remote multi-chip serving
-    exactly like it did the single-chip pipeline (see pack_out)."""
+    exactly like it did the single-chip pipeline (see pack_out).
+    With ``w``, the funnel block (wide_* keys) rides the same two
+    arrays."""
     del k  # symmetry with pack_out; widths are implied by the schema
-    return (jnp.concatenate([out[key] for key, _ in _FUSED_F], axis=1),
-            out["idx"])
+    packed_f = jnp.concatenate(
+        [out[key] for key, _ in _FUSED_F]
+        + ([out[key] for key in _WIDE_F] if w else []), axis=1)
+    idx = (jnp.concatenate([out["idx"], out["wide_idx"]], axis=1)
+           if w else out["idx"])
+    return packed_f, idx
 
 
-def unpack_fused(fetched, k: int) -> dict[str, np.ndarray]:
+def unpack_fused(fetched, k: int, w: int = 0) -> dict[str, np.ndarray]:
     """Host-side inverse of pack_fused."""
     packed_f, idx = np.asarray(fetched[0]), np.asarray(fetched[1])
     out = {key: packed_f[:, i * k:(i + 1) * k]
            for i, (key, _) in enumerate(_FUSED_F)}
-    out["idx"] = idx
+    if w:
+        off = len(_FUSED_F) * k
+        for key in _WIDE_F:
+            out[key] = packed_f[:, off:off + w]
+            off += w
+        out["idx"] = idx[:, :k]
+        out["wide_idx"] = idx[:, k:]
+    else:
+        out["idx"] = idx
     return out
 
 
@@ -717,8 +789,9 @@ class SearchEngine:
     # -- vector-arm backend -------------------------------------------------
 
     def set_vector_backend(self, backend: str) -> None:
-        if backend not in ("exact", "ivf", "packed", "pq"):
-            raise ValueError(f"backend {backend!r} must be exact|ivf|packed|pq")
+        if backend not in ("exact", "ivf", "packed", "pq", "proj"):
+            raise ValueError(
+                f"backend {backend!r} must be exact|ivf|packed|pq|proj")
         if backend != self.vector_backend:
             self.vector_backend = backend
             self._ann = None
@@ -738,17 +811,26 @@ class SearchEngine:
         cfg = self.cfg
         index = self.store.index
         if self.store.host_vectors is not None:
-            # codes-only regime: cluster + encode from the HOST matrix
-            from mobius_rag_tpu.ops.pq import PackedPQ, effective_m
-
+            # codes-only regime: cluster + encode from the HOST matrix.
+            # "proj" builds projected-residual codes (MXU scan); any
+            # other backend builds residual PQ (the round-3 behavior).
             valid_np = np.asarray(jax.device_get(index.valid))
             ivf = IVFIndex.build_host(
                 self.store.host_vectors, self.store.host_scales, valid_np,
                 nlist=cfg.ivf_nlist or None)
-            self._ann = PackedPQ.from_ivf(
-                ivf, self.store.host_vectors,
-                m=effective_m(cfg.embed_dim, cfg.pq_m),
-                row_scales=self.store.host_scales)
+            if self.vector_backend == "proj":
+                from mobius_rag_tpu.ops.proj import PackedProj
+
+                self._ann = PackedProj.from_ivf(
+                    ivf, self.store.host_vectors, p=cfg.proj_p,
+                    row_scales=self.store.host_scales)
+            else:
+                from mobius_rag_tpu.ops.pq import PackedPQ, effective_m
+
+                self._ann = PackedPQ.from_ivf(
+                    ivf, self.store.host_vectors,
+                    m=effective_m(cfg.embed_dim, cfg.pq_m),
+                    row_scales=self.store.host_scales)
             self._ann_generation = self.store.generation
             self._ann_nprobe = None
             return self._ann
@@ -765,11 +847,17 @@ class SearchEngine:
             self._ann = PackedPQ.from_ivf(
                 ivf, index.vectors, m=effective_m(cfg.embed_dim, cfg.pq_m),
                 row_scales=scales)
+        elif self.vector_backend == "proj":
+            from mobius_rag_tpu.ops.proj import PackedProj
+
+            self._ann = PackedProj.from_ivf(
+                ivf, index.vectors, p=cfg.proj_p, row_scales=scales)
         else:
             self._ann = ivf
         self._ann_generation = self.store.generation
         self._ann_nprobe = None
-        if cfg.ivf_target_recall > 0 and self.vector_backend != "pq":
+        if cfg.ivf_target_recall > 0 and self.vector_backend not in (
+                "pq", "proj"):
             self._calibrate_nprobe(cfg.ivf_target_recall)
         return self._ann
 
@@ -892,6 +980,15 @@ class SearchEngine:
             return k
         return min(k * self.cfg.over_fetch, self.store.capacity)
 
+    def _device_funnel(self, k: int) -> int:
+        """Vector-arm funnel width under host residency (0 elsewhere):
+        how many approximately-ranked vector candidates the exact host
+        re-rank reorders. MRAG_HOST_FUNNEL, auto = max(512, k·of)."""
+        if self.store.host_vectors is None:
+            return 0
+        w = self.cfg.host_funnel or max(512, k * self.cfg.over_fetch)
+        return int(min(w, self.store.capacity))
+
     def _host_rerank(self, reqs, exps, out: dict, k: int) -> dict:
         """Exact re-rank of the fused candidates from the host int8
         matrix: recompute sim = max(exact cosine, normalized lexical)
@@ -904,33 +1001,67 @@ class SearchEngine:
         hv, hs = self.store.host_vectors, self.store.host_scales
         idx = np.asarray(out["idx"])
         alive = np.asarray(out["rerank"]) > NEG_INF / 2
+        lexn = np.asarray(out["lexn"])
+        auth, lng = np.asarray(out["auth"]), np.asarray(out["len"])
+        jpd, cov = np.asarray(out["jpd"]), np.asarray(out["cov"])
+        rrf = np.asarray(out["rrf"])
+        if "wide_idx" in out:
+            # funnel union: fused top-kd + the vector arm's top-W, each
+            # with its device-side signals; duplicates are resolved
+            # after scoring (identical rows score identically — the
+            # sort-order dedup keeps whichever copy carries rrf)
+            idx = np.concatenate([idx, out["wide_idx"]], axis=1)
+            alive = np.concatenate(
+                [alive, np.asarray(out["wide_vals"]) > NEG_INF / 2], axis=1)
+            lexn = np.concatenate([lexn, out["wide_lexn"]], axis=1)
+            auth = np.concatenate([auth, out["wide_auth"]], axis=1)
+            lng = np.concatenate([lng, out["wide_len"]], axis=1)
+            jpd = np.concatenate([jpd, out["wide_jpd"]], axis=1)
+            cov = np.concatenate([cov, out["wide_cov"]], axis=1)
+            rrf = np.concatenate(
+                [rrf, np.zeros_like(np.asarray(out["wide_vals"]))], axis=1)
         qv = self._embeddings(reqs)  # [B, D], normalized (LRU-cached)
         cos = native.gather_cos(hv, hs, idx, qv)
         if cos is None:
             safe = np.clip(idx, 0, hv.shape[0] - 1)
             rows = hv[safe].astype(np.float32) * hs[safe][..., None]
             cos = np.einsum("bwd,bd->bw", rows, qv.astype(np.float32))
-        sim = np.clip(np.maximum(cos, np.asarray(out["lexn"])), 0.0, 1.0)
+        sim = np.clip(np.maximum(cos, lexn), 0.0, 1.0)
         has_jpd = np.array([1.0 if exp.tag_ids["d"] else 0.0
                             for exp in exps])[:, None]
         has_cov = np.array([1.0 if exp.phrase_slots else 0.0
                             for exp in exps])[:, None]
         w_jpd, w_cov = W_JPD * has_jpd, W_COV * has_cov
         max_w = W_SIM + W_AUTH + W_LEN + w_jpd + w_cov
-        score = (W_SIM * sim + W_AUTH * np.asarray(out["auth"])
-                 + W_LEN * np.asarray(out["len"])
-                 + w_jpd * np.asarray(out["jpd"])
-                 + w_cov * np.asarray(out["cov"])) / np.maximum(max_w, 1e-6)
+        score = (W_SIM * sim + W_AUTH * auth + W_LEN * lng
+                 + w_jpd * jpd + w_cov * cov) / np.maximum(max_w, 1e-6)
         score = np.where(alive, score, NEG_INF)
-        order = np.argsort(-score, axis=1)[:, :k]
+        if "wide_idx" in out:
+            # duplicate rows between the fused and funnel sets: keep the
+            # first in score order (ties broken toward the rrf-carrying
+            # fused copy by the epsilon term), then the top-k uniques
+            full = np.argsort(-(score + rrf * 1e-6), axis=1, kind="stable")
+            sid = np.take_along_axis(idx, full, axis=1)
+            order = np.empty((idx.shape[0], k), np.int64)
+            for i in range(idx.shape[0]):
+                _, first = np.unique(sid[i], return_index=True)
+                first.sort()
+                sel = first[:k]
+                if len(sel) < k:
+                    sel = np.concatenate(
+                        [sel, np.full(k - len(sel), sel[-1])])
+                order[i] = full[i, sel]
+        else:
+            order = np.argsort(-score, axis=1)[:, :k]
         take = lambda a: np.take_along_axis(np.asarray(a), order, axis=1)
-        new = dict(out)
+        new = {key: v for key, v in out.items()
+               if not key.startswith("wide_")}
         new.update({
             "rerank": take(score), "sim": take(sim), "cos": take(cos),
             "idx": take(idx),
-            "auth": take(out["auth"]), "len": take(out["len"]),
-            "jpd": take(out["jpd"]), "cov": take(out["cov"]),
-            "rrf": take(out["rrf"]), "lexn": take(out["lexn"]),
+            "auth": take(auth), "len": take(lng),
+            "jpd": take(jpd), "cov": take(cov),
+            "rrf": take(rrf), "lexn": take(lexn),
         })
         return new
 
@@ -1113,12 +1244,15 @@ class SearchEngine:
         if self.sharded is not None:
             self.sharded.refresh()
             kd = self._device_k(k)  # widened under host residency
+            fw = self._device_funnel(k)
             prepared = [self.prepare_batch(b) for b in batches]
-            outs = [self.sharded._run(q, kd) for q, _ in prepared]
-            fetch_iter = self._iter_fetched(outs, kd, unpack_fused)
+            outs = [self.sharded._run(q, kd, fw) for q, _ in prepared]
+            fetch_iter = self._iter_fetched(
+                outs, kd, functools.partial(unpack_fused, w=fw))
         else:
             ann = self.ensure_ann()
             kd = self._device_k(k)
+            fw = self._device_funnel(k)
             # interleave host prep with device execution: each batch
             # dispatches the moment it's prepared (dispatch is async), so
             # batch i+1's string work overlaps batch i's device scan
@@ -1128,11 +1262,12 @@ class SearchEngine:
                 prepared.append((q, exps))
                 outs.append(_search_compiled(
                     self.store.index, q, kd, self.cfg.over_fetch,
-                    self.cfg.rrf_k, ann, self.effective_nprobe))
-            fetch_iter = self._iter_fetched(outs, kd, unpack_out)
+                    self.cfg.rrf_k, ann, self.effective_nprobe, fw))
+            fetch_iter = self._iter_fetched(
+                outs, kd, functools.partial(unpack_out, w=fw))
         results = []
         for batch, (qq, exps), out in zip(batches, prepared, fetch_iter):
-            if kd != k:
+            if kd != k or fw:
                 out = self._host_rerank(list(batch), exps, out, k)
             results.append(self._assemble(list(batch), exps, out, k))
         return results
@@ -1186,16 +1321,20 @@ class SearchEngine:
         if self.sharded is not None:
             self.sharded.refresh()
             kd = self._device_k(k)
-            out = unpack_fused(jax.device_get(self.sharded._run(q, kd)), kd)
-            if kd != k:
+            fw = self._device_funnel(k)
+            out = unpack_fused(jax.device_get(self.sharded._run(q, kd, fw)),
+                               kd, w=fw)
+            if kd != k or fw:
                 out = self._host_rerank(reqs, exps, out, k)
         else:
             ann = self.ensure_ann()
             kd = self._device_k(k)
+            fw = self._device_funnel(k)
             out = unpack_out(jax.device_get(
                 _search_compiled(self.store.index, q, kd, cfg.over_fetch,
-                                 cfg.rrf_k, ann, self.effective_nprobe)), kd)
-            if kd != k:
+                                 cfg.rrf_k, ann, self.effective_nprobe, fw)),
+                kd, w=fw)
+            if kd != k or fw:
                 out = self._host_rerank(reqs, exps, out, k)
         t_dev = time.perf_counter()
         timings = {
