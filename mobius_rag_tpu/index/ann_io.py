@@ -23,6 +23,34 @@ import numpy as np
 
 _HEADER_KEY = "__header__"
 
+# Upload granularity for restore: a single multi-GB device_put can wedge
+# the serving tunnel outright (observed at ~3 GB), while ~200 MB chunks
+# stream at full rate. Chunks scatter into a donated device buffer so
+# peak device memory stays buffer + one chunk, not 2x the array.
+_PUT_CHUNK_BYTES = 256 << 20
+
+
+def _chunked_device_put(a: np.ndarray):
+    if a.nbytes <= _PUT_CHUNK_BYTES or a.ndim == 0:
+        return jax.device_put(a)
+    import functools
+
+    import jax.numpy as jnp
+
+    rows_per = max(1, _PUT_CHUNK_BYTES // max(a.nbytes // a.shape[0], 1))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scatter(buf, chunk, off):
+        return jax.lax.dynamic_update_slice_in_dim(buf, chunk, off, axis=0)
+
+    buf = jnp.zeros(a.shape, a.dtype)
+    for i, off in enumerate(range(0, a.shape[0], rows_per)):
+        buf = scatter(buf, jax.device_put(a[off:off + rows_per]),
+                      jnp.int32(off))
+        if i % 4 == 3:  # periodic sync keeps the transport queue bounded
+            jax.device_get(buf[0, ...].ravel()[0])
+    return buf
+
 
 def _classes() -> dict[str, Any]:
     from mobius_rag_tpu.index.ivf import IVFIndex, PackedIVF
@@ -58,6 +86,6 @@ def load_ann(path: str, *, to_device: bool = True) -> tuple[Any, dict[str, Any]]
     children = []
     for f in cls.FIELDS:
         a = z[f]
-        children.append(jax.device_put(a) if to_device else a)
+        children.append(_chunked_device_put(a) if to_device else a)
     aux = tuple(header["aux"])
     return cls.tree_unflatten(aux, children), header.get("meta", {})

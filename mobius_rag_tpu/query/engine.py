@@ -1067,7 +1067,9 @@ class SearchEngine:
 
     # -- host-side query prep ---------------------------------------------
 
-    def prepare_query(self, req: QueryRequest) -> tuple[dict[str, np.ndarray], LexiconExpansion]:
+    def prepare_query(self, req: QueryRequest
+                      ) -> tuple[dict[str, np.ndarray], LexiconExpansion,
+                                 dict[int, float]]:
         cfg = self.cfg
         if req.mode not in _MODES:
             raise ValueError(f"mode {req.mode!r} must be one of {_MODES}")
