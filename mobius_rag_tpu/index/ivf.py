@@ -372,34 +372,27 @@ class PackedIVF:
         # up: 2×3 GB of transfers that cost 21 minutes at 1M rows
         # through the serving tunnel, where device→host moves ~2 MB/s.)
         flat_ids = rowids.reshape(-1)
-        n_flat = len(flat_ids)
-        n_pad_flat = ((n_flat + block - 1) // block) * block
         vectors = jnp.asarray(vectors)  # one upload if given as numpy
         scl = (jnp.asarray(row_scales, jnp.float32)
                if row_scales is not None
                else jnp.ones((vectors.shape[0],), jnp.float32))
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def fill_block(vals_buf, scales_buf, vecs, rscl, rows, off):
+        @jax.jit
+        def quant_rows(vecs, rscl, rows):
             q, s = _quantize_block(jnp.take(vecs, rows, axis=0))
-            s = s * jnp.take(rscl, rows)
-            vals_buf = jax.lax.dynamic_update_slice_in_dim(
-                vals_buf, q.astype(jnp.int8), off, axis=0)
-            scales_buf = jax.lax.dynamic_update_slice_in_dim(
-                scales_buf, s, off, axis=0)
-            return vals_buf, scales_buf
+            return q.astype(jnp.int8), s * jnp.take(rscl, rows)
 
-        vals_buf = jnp.zeros((n_pad_flat, d), jnp.int8)
-        scales_buf = jnp.zeros((n_pad_flat,), jnp.float32)
-        for off in range(0, n_flat, block):
-            rows = np.zeros(block, np.int32)
-            seg = flat_ids[off:off + block]
-            rows[: len(seg)] = seg
-            vals_buf, scales_buf = fill_block(
-                vals_buf, scales_buf, vectors, scl, jnp.asarray(rows),
-                jnp.int32(off))
-        values = vals_buf[:n_flat].reshape(nlist, pad, d)
-        scales = scales_buf[:n_flat].reshape(nlist, pad)
+        # cluster-aligned scatter into FINAL-SHAPE donated buffers: peak
+        # HBM = the packed buffer + one block (the old flat buffer's
+        # closing slice+reshape tripled it — see
+        # ops.quant.fill_cluster_packed)
+        from mobius_rag_tpu.ops.quant import fill_cluster_packed
+
+        values, scales = fill_cluster_packed(
+            nlist, pad,
+            lambda lo, hi: quant_rows(
+                vectors, scl, jnp.asarray(flat_ids[lo:hi])),
+            (jnp.int8, jnp.float32), (d, 0), block=block)
 
         # centroids for the synthetic spill clusters = member means
         cents = np.asarray(ivf.centroids, np.float32)

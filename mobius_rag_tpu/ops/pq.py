@@ -260,27 +260,20 @@ class PackedPQ:
                              seed=seed)
         del sample
 
-        # codes scatter into a donated DEVICE buffer — they never touch
-        # the host (device→host moves ~2 MB/s through the serving
-        # tunnel; at 10M rows the old host bounce of the codes alone was
-        # ~8 minutes). Host→device traffic stays one pass of raw int8
-        # rows (the wire-cheap direction) via encode_src.
-        n_flat = len(flat)
-        n_pad_flat = ((n_flat + block - 1) // block) * block
+        # codes scatter cluster-aligned into a FINAL-SHAPE donated
+        # DEVICE buffer — they never touch the host (device→host moves
+        # ~2 MB/s through the serving tunnel; at 10M rows the old host
+        # bounce of the codes alone was ~8 minutes), and peak HBM is one
+        # codes buffer (see ops.quant.fill_cluster_packed for why the
+        # flat-buffer + slice/reshape tail tripled it). Host→device
+        # traffic stays one pass of raw int8 rows via encode_src.
+        from mobius_rag_tpu.ops.quant import fill_cluster_packed
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def scatter_codes(buf, blk_codes, off):
-            return jax.lax.dynamic_update_slice_in_dim(
-                buf, blk_codes, off, axis=0)
-
-        codes_buf = jnp.zeros((n_pad_flat, m), jnp.uint8)
-        for off in range(0, n_flat, block):
-            slots = np.arange(off, min(off + block, n_flat))
-            blk = _encode_block(encode_src(slots), codebooks)
-            if blk.shape[0] < block:  # tail: pad to the block shape so
-                blk = jnp.pad(blk, ((0, block - blk.shape[0]), (0, 0)))
-            codes_buf = scatter_codes(codes_buf, blk, jnp.int32(off))
-        codes = codes_buf[:n_flat].reshape(nlist, pad, m)
+        (codes,) = fill_cluster_packed(
+            nlist, pad,
+            lambda lo, hi: (_encode_block(
+                encode_src(np.arange(lo, hi)), codebooks),),
+            (jnp.uint8,), (m,), block=block)
         return cls(jnp.asarray(cents), codes, codebooks, jnp.asarray(valid),
                    jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist,
                    residual=residual)

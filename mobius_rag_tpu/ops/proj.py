@@ -158,16 +158,24 @@ class PackedProj:
         pick = np.sort(rng.choice(live_slots,
                                   size=min(sample, len(live_slots)),
                                   replace=False))
+        # fixed cov blocking (NOT the scatter `block`): f32 summation
+        # order pins the eigh result, so the fitted projection — and
+        # therefore the codes — are deterministic w.r.t. `block`
+        cov_blk = 65536
         cov = jnp.zeros((d, d), jnp.float32)
-        for off in range(0, len(pick), block):
-            sl = pick[off:off + block]
+        for off in range(0, len(pick), cov_blk):
+            sl = pick[off:off + cov_blk]
             cov = cov + cov_block(rows_f32(flat[sl]),
                                   cents_dev[jnp.asarray(flat_cell[sl])])
         _, evecs = jnp.linalg.eigh(cov)  # ascending eigenvalues
         proj = evecs[:, -p:].T  # [p, D] top principal rows
 
-        # ---- encode every slot, scattering into a donated device
-        # buffer (nothing round-trips to the host; see PackedPQ) ----
+        # ---- encode every slot, scattering cluster-aligned blocks into
+        # FINAL-SHAPE donated buffers (nothing round-trips to the host;
+        # peak HBM = one codes buffer — see ops.quant.fill_cluster_packed
+        # for why the old flat-buffer + slice/reshape tail OOMed) ----
+        from mobius_rag_tpu.ops.quant import fill_cluster_packed
+
         @jax.jit
         def enc_block(rows, cell_c, pm):
             pr = (rows - cell_c) @ pm.T  # [S, p]
@@ -176,29 +184,13 @@ class PackedProj:
             q8 = jnp.round(pr / scale[:, None]).astype(jnp.int8)
             return q8, scale
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def scatter(vals_buf, sc_buf, q8, s, off):
-            vals_buf = jax.lax.dynamic_update_slice_in_dim(
-                vals_buf, q8, off, axis=0)
-            sc_buf = jax.lax.dynamic_update_slice_in_dim(
-                sc_buf, s, off, axis=0)
-            return vals_buf, sc_buf
+        def enc(lo, hi):
+            sl = np.arange(lo, hi)
+            return enc_block(rows_f32(flat[sl]),
+                             cents_dev[jnp.asarray(flat_cell[sl])], proj)
 
-        n_flat = len(flat)
-        n_pad_flat = ((n_flat + block - 1) // block) * block
-        vals_buf = jnp.zeros((n_pad_flat, p), jnp.int8)
-        sc_buf = jnp.zeros((n_pad_flat,), jnp.float32)
-        for off in range(0, n_flat, block):
-            sl = np.arange(off, min(off + block, n_flat))
-            q8, s = enc_block(rows_f32(flat[sl]),
-                              cents_dev[jnp.asarray(flat_cell[sl])], proj)
-            if q8.shape[0] < block:
-                q8 = jnp.pad(q8, ((0, block - q8.shape[0]), (0, 0)))
-                s = jnp.pad(s, (0, block - s.shape[0]))
-            vals_buf, sc_buf = scatter(vals_buf, sc_buf, q8, s,
-                                       jnp.int32(off))
-        codes = vals_buf[:n_flat].reshape(nlist, pad, p)
-        scales = sc_buf[:n_flat].reshape(nlist, pad)
+        codes, scales = fill_cluster_packed(
+            nlist, pad, enc, (jnp.int8, jnp.float32), (p, 0), block=block)
         return cls(cents_dev, proj, codes, scales, jnp.asarray(valid),
                    jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist)
 

@@ -21,6 +21,54 @@ import numpy as np
 
 
 
+def fill_cluster_packed(nlist: int, pad: int, enc, out_dtypes, out_widths,
+                        *, block: int = 65536):
+    """Encode all ``nlist*pad`` cluster slots blockwise and scatter each
+    block straight into FINAL-SHAPE donated device buffers.
+
+    The previous pattern in every packed builder — scatter into a flat
+    ``[n_flat_padded, w]`` buffer, then ``buf[:n_flat].reshape(nlist,
+    pad, w)`` — materializes the multi-GB codes payload up to THREE
+    times at the end (original + slice copy + reshape copy): 11.5 GB
+    peak for the 3.84 GB proj codes at 10M rows, which OOMed a 16 GB
+    chip (round-3 session 8/9). Scattering cluster-aligned blocks into
+    ``[nlist, pad, w]`` directly keeps peak HBM at ONE buffer + one
+    block's transients.
+
+    ``enc(lo, hi)`` returns one device array per output for flat slots
+    ``[lo, hi)`` (shape ``[hi-lo, w]``, or ``[hi-lo]`` when the spec
+    width is 0 → a per-slot ``[nlist, pad]`` output). Block bounds are
+    always pad-aligned and exactly ``cpb*pad`` wide; when ``cpb`` does
+    not divide ``nlist`` the final block SHIFTS BACK to overlap the
+    previous one — enc must therefore be deterministic (every packed
+    encoder here is: pure jit of gathered rows)."""
+    cpb = max(1, min(nlist, block // max(pad, 1)))
+
+    def buf_shape(w):
+        return (nlist, pad) if w == 0 else (nlist, pad, w)
+
+    if nlist <= cpb:  # small corpus: single encode, reshape is cheap
+        outs = enc(0, nlist * pad)
+        return tuple(o.reshape(buf_shape(w)).astype(dt)
+                     for o, w, dt in zip(outs, out_widths, out_dtypes))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scatter(bufs, blks, c_off):
+        return tuple(
+            jax.lax.dynamic_update_slice_in_dim(
+                b, blk.reshape((cpb,) + b.shape[1:]).astype(b.dtype),
+                c_off, axis=0)
+            for b, blk in zip(bufs, blks))
+
+    bufs = tuple(jnp.zeros(buf_shape(w), dt)
+                 for w, dt in zip(out_widths, out_dtypes))
+    for c in range(0, nlist, cpb):
+        c = min(c, nlist - cpb)  # final partial block: shift back
+        blks = enc(c * pad, (c + cpb) * pad)
+        bufs = scatter(bufs, tuple(blks), jnp.int32(c))
+    return bufs
+
+
 @jax.jit
 def _quantize_block(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     v32 = v.astype(jnp.float32)

@@ -332,6 +332,21 @@ def rerank_score(sim, auth, lsig, jpd, cov, has_jpd, has_cov):
 N_SIG = 6
 
 
+def _sync_ann(ann):
+    """Force completion of a freshly built ANN table before returning
+    it: table builds queue hundreds of async scatter steps plus multi-GB
+    reshape copies, and the next dispatched program (the first search)
+    otherwise executes CONCURRENTLY with that backlog — at 10M the
+    combined live set OOMed a 16 GB chip (session 8; the async-dispatch
+    gotcha: the error surfaces at the next sync, not at the guilty op)."""
+    leaves, _ = ann.tree_flatten()
+    for leaf in leaves:
+        if isinstance(leaf, jax.Array):
+            jax.device_get(leaf.ravel()[:1])
+            break
+    return ann
+
+
 def _cand_cos(index: DeviceIndex, qvec: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Per-candidate cosine via row gather [B, m, D] — used when the
     vector arm ran through an ANN backend and no dense [B, C] cosine
@@ -376,38 +391,27 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
         vec_scores = cos + penalty + jnp.where(
             cos < q["min_sim"][:, None], NEG_INF, 0.0)
         vec_vals, vec_idx = jax.lax.top_k(vec_scores, m)
+        lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
+        lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
+        dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
     else:
         from mobius_rag_tpu.index.ivf import (IVFIndex, ivf_search,
                                               ivf_search_packed)
-
-        # lexical + d-tag arms via the shared exact path, without the
-        # dense cosine matmul (penalty precomputed → arm_scores skips
-        # filter recompute; its cos output is unused dead code XLA DCEs
-        # away only if we don't request it — so inline the two arms).
-        valid = index.valid
-        if "lex_cols" in index.fields:
-            c = valid.shape[0]
-            cols = jnp.take(index.lex_cols, q["lex_buckets"], axis=0)
-            wts = jnp.take(index.lex_wts, q["lex_buckets"], axis=0)
-            seg = jnp.where(cols >= 0, cols, c).reshape(-1)
-            vals_ = q["lex_weights"][:, :, None] * wts[None].astype(jnp.float32)
-            lex_raw = jax.vmap(
-                lambda v: jax.ops.segment_sum(v, seg, num_segments=c + 1)
-            )(vals_.reshape(vals_.shape[0], -1))[:, :c]
-        else:
-            bucket_rows = jnp.take(index.lexical, q["lex_buckets"], axis=0)
-            lex_raw = jnp.dot(q["lex_weights"],
-                              bucket_rows.astype(jnp.float32),
-                              preferred_element_type=jnp.float32)
-        dtag_member = _overlap(index.d_tags, q["d_bits"])
-        dtag_scores = (
-            jnp.where(dtag_member > 0, index.authority[None, :] + 1.0, NEG_INF)
-            + (1.0 - valid[None, :]) * NEG_INF
-            + (1.0 - meta_ok) * NEG_INF
-        )
         from mobius_rag_tpu.ops.pq import PackedPQ, pq_search_packed
         from mobius_rag_tpu.ops.proj import PackedProj, proj_search_packed
 
+        # Vector arm FIRST (probed scan over the ANN tables; penalty is
+        # its only [B, C]-sized input), then the lexical and d-tag arms
+        # SEQUENCED behind it. Each arm materializes [B, C]-sized
+        # transients (the segment-sum matrix + its top_k operand, the
+        # d-tag score matrix) — ~1.3 GB each at 10M×32 — and XLA
+        # schedules independent arms concurrently, so with multi-GB ANN
+        # codes resident the combined peak OOMed a 16 GB chip (the
+        # session-8 10M run). A zero-valued token threaded through
+        # optimization_barrier makes each arm's inputs depend on the
+        # previous arm's outputs, so their transients never coexist; the
+        # arms are HBM-bandwidth-bound, so serializing them costs
+        # ~nothing even at 1M.
         if isinstance(ann, IVFIndex):
             vec_vals, vec_idx = ivf_search(
                 ann, index.vectors, q["vec"], penalty, m, nprobe,
@@ -435,10 +439,43 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
         vec_vals = vec_vals + jnp.where(
             vec_vals < q["min_sim"][:, None], NEG_INF, 0.0)
         cos = None  # no dense cosine matrix in ANN mode
+        vec_vals, vec_idx, tok = jax.lax.optimization_barrier(
+            (vec_vals, vec_idx, vec_vals[:1, :1] * 0.0))
 
-    lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
-    lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
-    dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
+        # lexical arm (inlined — arm_scores would recompute the dense
+        # cosine matmul this branch exists to avoid), gated on the
+        # vector arm's token via its query-weight input
+        valid = index.valid
+        lw = q["lex_weights"] + tok  # [B, U] ⊕ [1, 1]
+        if "lex_cols" in index.fields:
+            c = valid.shape[0]
+            cols = jnp.take(index.lex_cols, q["lex_buckets"], axis=0)
+            wts = jnp.take(index.lex_wts, q["lex_buckets"], axis=0)
+            seg = jnp.where(cols >= 0, cols, c).reshape(-1)
+            vals_ = lw[:, :, None] * wts[None].astype(jnp.float32)
+            lex_raw = jax.vmap(
+                lambda v: jax.ops.segment_sum(v, seg, num_segments=c + 1)
+            )(vals_.reshape(vals_.shape[0], -1))[:, :c]
+        else:
+            bucket_rows = jnp.take(index.lexical, q["lex_buckets"], axis=0)
+            lex_raw = jnp.dot(lw, bucket_rows.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+        lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
+        lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
+        # lex_raw passes the barrier too: the signal gathers below read
+        # it, so it stays live (ONE [B, C] buffer) through the d-tag arm
+        lex_vals, lex_idx, lex_raw, tok = jax.lax.optimization_barrier(
+            (lex_vals, lex_idx, lex_raw, lex_vals[:1, :1] * 0.0))
+
+        # d-tag arm, gated on the lexical arm's token
+        dtag_member = _overlap(index.d_tags, q["d_bits"])
+        dtag_scores = (
+            jnp.where(dtag_member > 0,
+                      index.authority[None, :] + 1.0 + tok, NEG_INF)
+            + (1.0 - valid[None, :]) * NEG_INF
+            + (1.0 - meta_ok) * NEG_INF
+        )
+        dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
 
     # No dense payload in HBM (host residency): the exact-cosine signal
     # gather is impossible device-side. The vector arm's ADC value (=
@@ -833,7 +870,7 @@ class SearchEngine:
                     row_scales=self.store.host_scales)
             self._ann_generation = self.store.generation
             self._ann_nprobe = None
-            return self._ann
+            return _sync_ann(self._ann)
         ivf = IVFIndex.build(
             index.vectors, np.asarray(index.valid),
             nlist=cfg.ivf_nlist or None)
@@ -859,7 +896,7 @@ class SearchEngine:
         if cfg.ivf_target_recall > 0 and self.vector_backend not in (
                 "pq", "proj"):
             self._calibrate_nprobe(cfg.ivf_target_recall)
-        return self._ann
+        return _sync_ann(self._ann)
 
     def save_ann(self, path: str) -> dict:
         """Persist the built ANN tables next to a store snapshot (the

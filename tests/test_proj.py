@@ -266,3 +266,34 @@ def test_sharded_proj_serving_matches_single_chip():
         mesh_r = sh.search(eng, q, k=6)[0]
         assert [h.chunk_id for h in mesh_r.hits] \
             == [h.chunk_id for h in single.hits], q.query
+
+
+def test_builders_block_size_invariant(rng):
+    """fill_cluster_packed rewrite (round-3 session 9): the single-shot
+    reshape path and the multi-block scatter path (including the
+    shifted-back overlap tail when cpb doesn't divide nlist) must
+    produce bitwise-identical tables — for all three packed builders.
+    Catches any mis-scatter of the OOM fix that replaced the flat-buffer
+    + slice/reshape tail (peak-HBM 3x -> 1x at 10M)."""
+    from mobius_rag_tpu.index.ivf import PackedIVF
+    from mobius_rag_tpu.ops.pq import PackedPQ
+
+    import jax.numpy as jnp
+
+    v = jnp.asarray(_unit_rows(rng, 3000))
+    ivf = IVFIndex.build(v, np.ones(3000, np.float32), nlist=16)
+    # pad ~ 2*3000/16 = 375; block=800 -> cpb=2, 16/2 divides evenly;
+    # block=1200 -> cpb=3, 16 % 3 != 0 exercises the overlap tail
+    for build in (
+        lambda blk: PackedIVF.from_ivf(ivf, v, block=blk),
+        lambda blk: PackedPQ.from_ivf(ivf, v, m=64, block=blk),
+        lambda blk: PackedProj.from_ivf(ivf, v, p=64, block=blk),
+    ):
+        big = build(10_000_000)
+        for blk in (800, 1200):
+            small = build(blk)
+            for f in big.FIELDS:
+                a = np.asarray(getattr(big, f))
+                b = np.asarray(getattr(small, f))
+                assert a.shape == b.shape
+                assert np.array_equal(a, b), f
