@@ -262,7 +262,11 @@ def main() -> None:
         featurize_chunk(r, lexicon, cfg)
     log(f"records: {time.perf_counter() - t0:.0f}s")
     t0 = time.perf_counter()
-    store = ChunkStore(cfg, capacity=N)
+    # capacity covers the streaming-ingest inserts: growth at 10M would
+    # doubly allocate the host int8 matrix (+46 GB spike — the session-9
+    # run died to the host OOM killer exactly there) and device_get the
+    # full device index through the ~1 MB/s tunnel.
+    store = ChunkStore(cfg, capacity=N + args.ingest_docs * 50 + 64)
     store.bulk_load(recs, vectors=host_vec)
     store.host_scales[:N] = host_sca  # direct int8 path keeps given scales
     jax.device_get(store.index.valid[:1])
@@ -340,14 +344,18 @@ def main() -> None:
                for i in range(len(texts))]
         store.add_chunks(new)
         inserted += len(new)
-        engine.search(reqs[:4], k=K)  # serving interleaved with ingest
+        # serving interleaved with ingest — full warm batch shape (a
+        # narrower batch would compile a second 10M program: ~minutes)
+        engine.search(reqs, k=K)
     t_ing = time.perf_counter() - t0
     ing_rate = inserted / t_ing
     log(f"streaming ingest: {inserted} chunks in {t_ing:.1f}s "
         f"= {ing_rate:.0f} chunks/s (interleaved with serving)")
-    live = engine.search(QueryRequest(
+    live_req = QueryRequest(
         query="new policy bulletin prior authorization",
-        embedding=hash_embed([texts[0]])[0], tag_mode="none"), k=K)[0]
+        embedding=hash_embed([texts[0]])[0], tag_mode="none")
+    # ride the warm B=32 program (a B=1 call would compile a third one)
+    live = engine.search([live_req] * B, k=K)[0]
     live_ok = any(h.doc_id.startswith("live_doc") for h in live.hits)
     log(f"freshly inserted chunks served: {live_ok}")
 

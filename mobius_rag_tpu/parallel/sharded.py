@@ -56,7 +56,7 @@ _ROW_PADS = (256, 1024, 4096)
 
 
 def _local_candidates(index: DeviceIndex, q: dict, ann, k: int, m: int,
-                      axis: str, nprobe: int):
+                      m_other: int, axis: str, nprobe: int):
     """Per-shard arm scan: delegates to the engine's shared
     arm_candidates with the mesh axis (strict counts psum so every shard
     takes the same auto-relax branch; indices offset to global).
@@ -68,7 +68,8 @@ def _local_candidates(index: DeviceIndex, q: dict, ann, k: int, m: int,
     q = dict(q, vec=q["vec"].astype(jnp.float32))
     if ann is not None:
         ann = jax.tree.map(lambda x: x[0], ann)  # drop the shard axis
-    vals, gidx, sigs, _ = eng.arm_candidates(index, q, k, m, axis=axis,
+    vals, gidx, sigs, _ = eng.arm_candidates(index, q, k, m,
+                                             m_other=m_other, axis=axis,
                                              ann=ann, nprobe=nprobe)
     return vals, gidx, sigs
 
@@ -117,6 +118,7 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
         # (and the global funnel top-w) can in the worst case live
         # entirely on one shard.
         m = min(max(k * over_fetch, w), c_local)
+        m_other = min(k * over_fetch, c_local)
         m_global = min(k * over_fetch, c_total)
         b = q["vec"].shape[0]
         b_pad = -(-b // dp) * dp
@@ -146,8 +148,8 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
         ann_specs = jax.tree.map(
             lambda x: P(axis, *([None] * (x.ndim - 1))), ann)
         vals, gidx, sigs = shard_map(
-            functools.partial(_local_candidates, k=k, m=m, axis=axis,
-                              nprobe=nprobe),
+            functools.partial(_local_candidates, k=k, m=m, m_other=m_other,
+                              axis=axis, nprobe=nprobe),
             mesh=mesh,
             in_specs=(index_specs(index), q_specs, ann_specs),
             out_specs=(out_spec, out_spec, out_spec),

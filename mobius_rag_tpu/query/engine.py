@@ -219,13 +219,54 @@ def gate_penalty(strict, relaxed, open_mask, q: dict, k: int, strict_total=None)
     return (1.0 - gate) * NEG_INF  # [B, C]
 
 
+def lexical_raw(index: DeviceIndex, q: dict, lex_weights=None) -> jnp.ndarray:
+    """Lexical arm raw scores [B, C]. Queries are sparse in the
+    hash-bucket space, so instead of a [B, H] x [H, C] matmul (a full
+    read of the bucket-major lexical matrix), gather only the batch's
+    union of touched buckets and contract against per-query IDF weights
+    — HBM traffic drops from H rows to U rows (U is typically a few
+    dozen). `lex_weights` overrides q["lex_weights"] (the ANN branch
+    threads its sequencing token through it)."""
+    lw = q["lex_weights"] if lex_weights is None else lex_weights
+    if "lex_cols" in index.fields:
+        # sparse postings layout ([H, P] cols + weights): gather the
+        # union buckets' postings and scatter-add into per-chunk scores.
+        # HBM read is U*P entries; memory scales with nonzeros instead
+        # of H*C (the dense layout's 1M-chunk ceiling).
+        c = index.valid.shape[0]
+        cols = jnp.take(index.lex_cols, q["lex_buckets"], axis=0)  # [U, P]
+        wts = jnp.take(index.lex_wts, q["lex_buckets"], axis=0)  # [U, P]
+        seg = jnp.where(cols >= 0, cols, c).reshape(-1)  # pads → drop bin c
+        vals = lw[:, :, None] * wts[None].astype(jnp.float32)
+        return jax.vmap(
+            lambda v: jax.ops.segment_sum(v, seg, num_segments=c + 1)
+        )(vals.reshape(vals.shape[0], -1))[:, :c]  # [B, C]
+    bucket_rows = jnp.take(index.lexical, q["lex_buckets"], axis=0)  # [U, C]
+    return jnp.dot(lw, bucket_rows.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)  # [B, C]
+
+
+def dtag_raw(index: DeviceIndex, q: dict, meta_ok, tok=None) -> jnp.ndarray:
+    """D-tag arm scores [B, C]: authority-ranked tag membership under
+    the metadata filter. `tok` (scalar-ish) threads the ANN branch's
+    sequencing token through the live branch."""
+    dtag_member = _overlap(index.d_tags, q["d_bits"])  # [B, C]
+    live = index.authority[None, :] + 1.0
+    if tok is not None:
+        live = live + tok
+    return (
+        jnp.where(dtag_member > 0, live, NEG_INF)
+        + (1.0 - index.valid[None, :]) * NEG_INF
+        + (1.0 - meta_ok) * NEG_INF
+    )
+
+
 def arm_scores(index: DeviceIndex, q: dict, k: int, *, penalty=None, meta_ok=None,
                strict_count=None):
     """Dense per-chunk scores for the three arms + the filter gate.
     Works on any (sub)index — the sharded path calls this per shard with
     a precomputed (global-count-aware) penalty. Returns (cos, lex_raw,
     dtag_scores, penalty, strict_count)."""
-    valid = index.valid
     if penalty is None:
         strict, relaxed, open_mask, meta_ok = filter_masks(index, q)
         strict_count = strict.sum(axis=1)
@@ -234,36 +275,8 @@ def arm_scores(index: DeviceIndex, q: dict, k: int, *, penalty=None, meta_ok=Non
     cos = jnp.dot(
         q["vec"], index.vectors.astype(jnp.float32).T, preferred_element_type=jnp.float32
     ) * index.vec_scales[None, :]  # [B, C]; scales are 1.0 unless int8 storage
-    # Lexical arm: queries are sparse in the hash-bucket space, so instead
-    # of a [B, H] x [H, C] matmul (a full read of the bucket-major lexical
-    # matrix), gather only the batch's union of touched buckets [U, C] and
-    # contract against per-query IDF weights [B, U] — HBM traffic drops
-    # from H rows to U rows (U is typically a few dozen).
-    if "lex_cols" in index.fields:
-        # sparse postings layout ([H, P] cols + weights): gather the
-        # union buckets' postings and scatter-add into per-chunk scores.
-        # HBM read is U*P entries; memory scales with nonzeros instead
-        # of H*C (the dense layout's 1M-chunk ceiling).
-        c = valid.shape[0]
-        cols = jnp.take(index.lex_cols, q["lex_buckets"], axis=0)  # [U, P]
-        wts = jnp.take(index.lex_wts, q["lex_buckets"], axis=0)  # [U, P]
-        seg = jnp.where(cols >= 0, cols, c).reshape(-1)  # pads → drop bin c
-        vals = q["lex_weights"][:, :, None] * wts[None].astype(jnp.float32)
-        lex_raw = jax.vmap(
-            lambda v: jax.ops.segment_sum(v, seg, num_segments=c + 1)
-        )(vals.reshape(vals.shape[0], -1))[:, :c]  # [B, C]
-    else:
-        bucket_rows = jnp.take(index.lexical, q["lex_buckets"], axis=0)  # [U, C]
-        lex_raw = jnp.dot(
-            q["lex_weights"], bucket_rows.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )  # [B, C]
-    dtag_member = _overlap(index.d_tags, q["d_bits"])  # [B, C]
-    dtag_scores = (
-        jnp.where(dtag_member > 0, index.authority[None, :] + 1.0, NEG_INF)
-        + (1.0 - valid[None, :]) * NEG_INF
-        + (1.0 - meta_ok) * NEG_INF
-    )
+    lex_raw = lexical_raw(index, q)
+    dtag_scores = dtag_raw(index, q, meta_ok)
     return cos, lex_raw, dtag_scores, penalty, strict_count
 
 
@@ -357,11 +370,21 @@ def _cand_cos(index: DeviceIndex, qvec: jnp.ndarray, idx: jnp.ndarray) -> jnp.nd
 
 
 def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
-                   axis: str | None = None, ann=None, nprobe: int = 32):
+                   m_other: int | None = None, axis: str | None = None,
+                   ann=None, nprobe: int = 32):
     """Per-(sub)index arm scan: top-m candidates per arm + their rerank
     signals. Shared by the single-chip pipeline and the sharded per-shard
     scan — with `axis` set, the strict count psums over the mesh (so all
     shards take the same auto-relax branch) and indices offset to global.
+
+    ``m_other`` (default m) caps the lexical/d-tag arm widths: only the
+    VECTOR arm feeds the host-residency funnel, so when m is
+    funnel-wide (1024) the other arms still top_k at the fusion
+    over-fetch (80) — lax.top_k cost over a [B, C] score matrix grows
+    with k, and at 10M rows two funnel-wide top_ks the fusion never
+    reads were pure waste. Their outputs are NEG_INF/0-padded back to m
+    so downstream shapes (stacking, fusion, packing) are unchanged;
+    padded entries are dead under every live-mask (> NEG_INF/2).
 
     `ann` selects the vector-arm backend: None = exact masked matmul
     (the [B, C] cosine matrix), an index.ivf.IVFIndex = probed scan over
@@ -373,6 +396,7 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
 
     Returns (vals [3,B,m], gidx [3,B,m] i32, sigs [3,B,m,N_SIG],
     strict_total [B,1])."""
+    m_oth = min(m_other or m, m)
     strict, relaxed, open_mask, meta_ok = filter_masks(index, q)
     strict_local = strict.sum(axis=1)
     if axis is None:
@@ -392,8 +416,8 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
             cos < q["min_sim"][:, None], NEG_INF, 0.0)
         vec_vals, vec_idx = jax.lax.top_k(vec_scores, m)
         lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
-        lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
-        dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
+        lex_vals, lex_idx = jax.lax.top_k(lex_scores, m_oth)
+        dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m_oth)
     else:
         from mobius_rag_tpu.index.ivf import (IVFIndex, ivf_search,
                                               ivf_search_packed)
@@ -442,40 +466,20 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
         vec_vals, vec_idx, tok = jax.lax.optimization_barrier(
             (vec_vals, vec_idx, vec_vals[:1, :1] * 0.0))
 
-        # lexical arm (inlined — arm_scores would recompute the dense
-        # cosine matmul this branch exists to avoid), gated on the
-        # vector arm's token via its query-weight input
-        valid = index.valid
-        lw = q["lex_weights"] + tok  # [B, U] ⊕ [1, 1]
-        if "lex_cols" in index.fields:
-            c = valid.shape[0]
-            cols = jnp.take(index.lex_cols, q["lex_buckets"], axis=0)
-            wts = jnp.take(index.lex_wts, q["lex_buckets"], axis=0)
-            seg = jnp.where(cols >= 0, cols, c).reshape(-1)
-            vals_ = lw[:, :, None] * wts[None].astype(jnp.float32)
-            lex_raw = jax.vmap(
-                lambda v: jax.ops.segment_sum(v, seg, num_segments=c + 1)
-            )(vals_.reshape(vals_.shape[0], -1))[:, :c]
-        else:
-            bucket_rows = jnp.take(index.lexical, q["lex_buckets"], axis=0)
-            lex_raw = jnp.dot(lw, bucket_rows.astype(jnp.float32),
-                              preferred_element_type=jnp.float32)
+        # lexical arm (arm_scores would recompute the dense cosine
+        # matmul this branch exists to avoid), gated on the vector arm's
+        # token via its query-weight input
+        lex_raw = lexical_raw(index, q, lex_weights=q["lex_weights"] + tok)
         lex_scores = jnp.where(lex_raw > 0, lex_raw, NEG_INF) + penalty
-        lex_vals, lex_idx = jax.lax.top_k(lex_scores, m)
+        lex_vals, lex_idx = jax.lax.top_k(lex_scores, m_oth)
         # lex_raw passes the barrier too: the signal gathers below read
         # it, so it stays live (ONE [B, C] buffer) through the d-tag arm
         lex_vals, lex_idx, lex_raw, tok = jax.lax.optimization_barrier(
             (lex_vals, lex_idx, lex_raw, lex_vals[:1, :1] * 0.0))
 
         # d-tag arm, gated on the lexical arm's token
-        dtag_member = _overlap(index.d_tags, q["d_bits"])
-        dtag_scores = (
-            jnp.where(dtag_member > 0,
-                      index.authority[None, :] + 1.0 + tok, NEG_INF)
-            + (1.0 - valid[None, :]) * NEG_INF
-            + (1.0 - meta_ok) * NEG_INF
-        )
-        dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m)
+        dtag_scores = dtag_raw(index, q, meta_ok, tok=tok)
+        dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m_oth)
 
     # No dense payload in HBM (host residency): the exact-cosine signal
     # gather is impossible device-side. The vector arm's ADC value (=
@@ -504,6 +508,15 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
             ],
             axis=-1,
         )  # [B, m, N_SIG]
+        pad = m - vals.shape[1]
+        if pad:  # lex/dtag arms ran at m_other < m: dead-pad back to m
+            b = vals.shape[0]
+            vals = jnp.concatenate(
+                [vals, jnp.full((b, pad), NEG_INF, vals.dtype)], axis=1)
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((b, pad), idx.dtype)], axis=1)
+            sig = jnp.concatenate(
+                [sig, jnp.zeros((b, pad, sig.shape[-1]), sig.dtype)], axis=1)
         out_vals.append(vals)
         out_gidx.append(idx + offset)
         out_sigs.append(sig)
@@ -633,8 +646,8 @@ def _search_compiled(
     # Queries arrive bf16 over the wire (see prepare_batch); widen once
     # on device so every downstream consumer sees f32.
     q = dict(q, vec=q["vec"].astype(jnp.float32))
-    vals, gidx, sigs, strict_total = arm_candidates(index, q, k, m,
-                                                    ann=ann, nprobe=nprobe)
+    vals, gidx, sigs, strict_total = arm_candidates(
+        index, q, k, m, m_other=m_fuse, ann=ann, nprobe=nprobe)
     # Materialize the arm outputs ONCE. They have two consumers (the
     # fusion path and the raw per-arm telemetry outputs below), and
     # without the barrier XLA rematerializes the full [B, C] arm scan
@@ -697,10 +710,37 @@ _WIDE_F = ("wide_vals", "wide_lexn", "wide_auth", "wide_len", "wide_jpd",
            "wide_cov")
 
 
+def _pack_wide(out: dict):
+    """Funnel signal block → bf16 pairs bitcast into f32 columns: the
+    6·w wide floats dominate the device→host payload (6·1024·B·4 B ≈
+    786 KB/batch32 at funnel 1024 — the serving tunnel moves ~1 MB/s
+    d2h), and bf16 keeps ~3 significant digits, enough for every
+    consumer: the host re-rank recomputes exact cosine itself and uses
+    these only as [0,1] blend signals (wide_vals only as a liveness
+    mask; -1e30 stays < NEG_INF/2 in bf16)."""
+    wf = jnp.concatenate([out[key] for key in _WIDE_F],
+                         axis=1).astype(jnp.bfloat16)
+    u16 = jax.lax.bitcast_convert_type(wf, jnp.uint16).astype(jnp.uint32)
+    u32 = u16[:, 0::2] | (u16[:, 1::2] << 16)
+    return jax.lax.bitcast_convert_type(u32, jnp.float32)  # [B, 3·w]
+
+
+def _unpack_wide(block: np.ndarray, w: int) -> dict[str, np.ndarray]:
+    """Host inverse of _pack_wide: [B, 3·w] f32 → the 6 wide_* arrays
+    as f32."""
+    u32 = np.ascontiguousarray(block).view(np.uint32)
+    u16 = np.empty((u32.shape[0], u32.shape[1] * 2), np.uint16)
+    u16[0:, 0::2] = (u32 & np.uint32(0xFFFF)).astype(np.uint16)
+    u16[0:, 1::2] = (u32 >> np.uint32(16)).astype(np.uint16)
+    flat = u16.view(ml_dtypes.bfloat16).astype(np.float32)  # [B, 6·w]
+    return {key: flat[:, i * w:(i + 1) * w]
+            for i, key in enumerate(_WIDE_F)}
+
+
 def pack_out(out: dict, k: int, w: int = 0):
     packed_f = jnp.concatenate(
         [out[key] for key, _ in _OUT_F]
-        + ([out[key] for key in _WIDE_F] if w else []), axis=1)
+        + ([_pack_wide(out)] if w else []), axis=1)
     packed_i = jnp.concatenate(
         [out[key] for key, _ in _OUT_I]
         + [out["strict_count"][:, None].astype(jnp.int32)]
@@ -718,9 +758,7 @@ def unpack_out(fetched, k: int, w: int = 0) -> dict[str, np.ndarray]:
         out[key] = packed_f[:, off:off + mult * k]
         off += mult * k
     if w:
-        for key in _WIDE_F:
-            out[key] = packed_f[:, off:off + w]
-            off += w
+        out.update(_unpack_wide(packed_f[:, off:off + 3 * w], w))
     off = 0
     for key, mult in _OUT_I:
         out[key] = packed_i[:, off:off + mult * k]
@@ -747,7 +785,7 @@ def pack_fused(out: dict, k: int, w: int = 0):
     del k  # symmetry with pack_out; widths are implied by the schema
     packed_f = jnp.concatenate(
         [out[key] for key, _ in _FUSED_F]
-        + ([out[key] for key in _WIDE_F] if w else []), axis=1)
+        + ([_pack_wide(out)] if w else []), axis=1)
     idx = (jnp.concatenate([out["idx"], out["wide_idx"]], axis=1)
            if w else out["idx"])
     return packed_f, idx
@@ -760,9 +798,7 @@ def unpack_fused(fetched, k: int, w: int = 0) -> dict[str, np.ndarray]:
            for i, (key, _) in enumerate(_FUSED_F)}
     if w:
         off = len(_FUSED_F) * k
-        for key in _WIDE_F:
-            out[key] = packed_f[:, off:off + w]
-            off += w
+        out.update(_unpack_wide(packed_f[:, off:off + 3 * w], w))
         out["idx"] = idx[:, :k]
         out["wide_idx"] = idx[:, k:]
     else:

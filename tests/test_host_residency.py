@@ -233,3 +233,69 @@ def test_host_residency_snapshot_restore(tmp_path, stores):
     # residency-regime mismatch refuses loudly
     with pytest.raises(ValueError, match="vector_residency"):
         ChunkStore.restore(path, cfg=get_config())
+
+
+def test_wide_pack_roundtrip():
+    """_pack_wide/_unpack_wide: the funnel signal block rides the packed
+    f32 output as bf16 pairs (halves the d2h payload); the roundtrip
+    must preserve bf16-rounded values, NEG_INF liveness, and [0,1]
+    signal ranges."""
+    import jax
+    import ml_dtypes
+
+    from mobius_rag_tpu.query import engine as eng
+
+    rng = np.random.default_rng(7)
+    b, w = 4, 32
+    out = {
+        "wide_vals": rng.normal(size=(b, w)).astype(np.float32),
+        "wide_lexn": rng.uniform(0, 1, (b, w)).astype(np.float32),
+        "wide_auth": rng.uniform(0, 1, (b, w)).astype(np.float32),
+        "wide_len": rng.uniform(0, 1, (b, w)).astype(np.float32),
+        "wide_jpd": rng.uniform(0, 1, (b, w)).astype(np.float32),
+        "wide_cov": rng.uniform(0, 1, (b, w)).astype(np.float32),
+    }
+    out["wide_vals"][:, ::5] = eng.NEG_INF  # dead candidates
+    packed = np.asarray(jax.device_get(
+        jax.jit(eng._pack_wide)({k: np.asarray(v) for k, v in out.items()})))
+    assert packed.shape == (b, 3 * w)
+    back = eng._unpack_wide(packed, w)
+    for key, ref in out.items():
+        want = ref.astype(ml_dtypes.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(back[key], want, err_msg=key)
+    # liveness contract: dead entries stay below NEG_INF / 2
+    assert (back["wide_vals"][:, ::5] < eng.NEG_INF / 2).all()
+
+
+def test_m_other_pads_are_dead():
+    """arm_candidates with m_other < m: lex/d-tag arms are top_k'd at
+    m_other and dead-padded back to m — padded tails must sit below the
+    NEG_INF/2 liveness line so fusion never picks them."""
+    import jax
+
+    from mobius_rag_tpu.query import engine as eng
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=120))
+    engine = SearchEngine(store, lex)
+    emb = hash_embed(["timely filing for sunshine health claims"])[0]
+    q, _ = engine.prepare_batch([QueryRequest(
+        query="timely filing for sunshine health claims",
+        embedding=emb / np.linalg.norm(emb), tag_mode="none")])
+    qd = {k: np.asarray(v) for k, v in q.items()}
+    qd["vec"] = qd["vec"].astype(np.float32)
+    m, m_oth = 24, 6
+    vals, gidx, sigs, _ = jax.device_get(jax.jit(
+        lambda ix, qq: eng.arm_candidates(ix, qq, 4, m, m_other=m_oth)
+    )(store.index, qd))
+    assert vals.shape == (3, 1, m)
+    # vector arm runs at full m; lex/dtag tails beyond m_other are dead
+    for arm in (1, 2):
+        assert (vals[arm, :, m_oth:] < eng.NEG_INF / 2).all()
+    # and fusion output never references a padded slot as live
+    outd = jax.device_get(jax.jit(
+        lambda v, g, s, qq: eng.fuse_and_rerank(
+            v[:, None], g[:, None], s[:, None], qq, 4, 60, m)
+    )(vals, gidx, sigs, qd))
+    assert np.isfinite(outd["rerank"]).any()
