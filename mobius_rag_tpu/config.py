@@ -101,6 +101,21 @@ class Config:
     # recall is funnel-width-bound — widening W is how the two-stage
     # design buys recall back (0 = auto: max(512, k·over_fetch)).
     host_funnel: int = _env_int("MRAG_HOST_FUNNEL", 0)
+    # Approximate final top-k inside the probed scans (proj backend):
+    # per-element recall target for jax.lax.approx_max_k, the TPU-native
+    # partial-reduction top-k. Candidate selection feeding a downstream
+    # exact re-rank (the host funnel / signal-gather re-score) tolerates
+    # sub-1.0 targets by construction. 0 = exact lax.top_k (always exact
+    # on CPU, so mesh parity tests stay bitwise).
+    ann_approx_topk: float = _env_float("MRAG_ANN_APPROX_TOPK", 0.0)
+    # Streaming-insert headroom for the proj backend: EMPTY always-probed
+    # slabs appended at build so published rows encode into free slots
+    # instead of re-running the k-means build (a full rebuild at 10M is
+    # ~18 min of host k-means whose buffers OOM under serving; the
+    # reference's pgvector HNSW inserts incrementally — republish is its
+    # steady state, publish.py:27-481). Headroom = slabs × cluster pad;
+    # exhausting it falls back to a full rebuild. 0 disables.
+    ann_reserve_slabs: int = _env_int("MRAG_ANN_RESERVE_SLABS", 2)
     # Vector payload residency: "device" keeps the chunk matrix in HBM
     # (every config through ~8M int8 rows); "host" is the 10M regime —
     # HBM holds ONLY the PQ codes, the int8 rows live in host RAM and

@@ -84,8 +84,16 @@ def load_ann(path: str, *, to_device: bool = True) -> tuple[Any, dict[str, Any]]
     if cls is None:
         raise ValueError(f"unknown ANN table class {header['class']!r}")
     children = []
+    host_arrays = {}
     for f in cls.FIELDS:
         a = z[f]
+        host_arrays[f] = a
         children.append(_chunked_device_put(a) if to_device else a)
     aux = tuple(header["aux"])
-    return cls.tree_unflatten(aux, children), header.get("meta", {})
+    ann = cls.tree_unflatten(aux, children)
+    if header["class"] == "PackedProj":
+        # host slot-layout mirrors keep the engine's incremental
+        # insert path (reserved slabs) alive across restores
+        ann.build_rowids = np.array(host_arrays["rowids"])
+        ann.build_valid = np.array(host_arrays["valid"])
+    return ann, header.get("meta", {})

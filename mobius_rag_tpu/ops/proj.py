@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mobius_rag_tpu.ops.topk import NEG_INF
+from mobius_rag_tpu.ops.topk import NEG_INF, merged_topk
 
 
 @jax.tree_util.register_pytree_node_class
@@ -51,7 +51,8 @@ class PackedProj:
     FIELDS = ("centroids", "proj", "codes", "scales", "valid", "rowids")
 
     def __init__(self, centroids, proj, codes, scales, valid, rowids,
-                 nlist: int, pad: int, base_nlist: int | None = None):
+                 nlist: int, pad: int, base_nlist: int | None = None,
+                 reserve_start: int | None = None):
         self.centroids = centroids  # [nlist, D] f32
         self.proj = proj  # [p, D] f32 orthonormal rows
         self.codes = codes  # [nlist, pad, p] int8
@@ -61,14 +62,19 @@ class PackedProj:
         self.nlist = nlist
         self.pad = pad
         self.base_nlist = base_nlist if base_nlist is not None else nlist
+        # First reserved (streaming-insert) slab; == nlist when none.
+        # Static aux so it survives save/load and pytree round trips.
+        self.reserve_start = (reserve_start if reserve_start is not None
+                              else nlist)
 
     def tree_flatten(self):
         return (tuple(getattr(self, f) for f in self.FIELDS),
-                (self.nlist, self.pad, self.base_nlist))
+                (self.nlist, self.pad, self.base_nlist, self.reserve_start))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, nlist=aux[0], pad=aux[1], base_nlist=aux[2])
+        return cls(*children, nlist=aux[0], pad=aux[1], base_nlist=aux[2],
+                   reserve_start=aux[3] if len(aux) > 3 else None)
 
     @property
     def bytes_per_row(self) -> int:
@@ -77,14 +83,27 @@ class PackedProj:
     @classmethod
     def from_ivf(cls, ivf, vectors, *, p: int = 256, row_scales=None,
                  sample: int = 200_000, seed: int = 0,
-                 block: int = 65536) -> "PackedProj":
+                 block: int = 65536, reserve_slabs: int = 0) -> "PackedProj":
         """Fit the residual PCA + encode all rows cluster-contiguously.
 
         `vectors` may be a HOST numpy int8 matrix (the codes-only 10M
         regime — gathers happen host-side, raw int8 crosses to the
         device) or a device array. `row_scales` dequantizes int8
         storage. Mirrors PackedPQ.from_ivf's spill handling: overflow
-        rows fold into synthetic always-probed slabs."""
+        rows fold into synthetic always-probed slabs.
+
+        ``reserve_slabs`` appends that many EMPTY always-probed slabs
+        (zero centroid, valid 0) as streaming-insert headroom: the
+        engine's incremental path (SearchEngine._try_ann_incremental)
+        encodes published rows into these slots instead of re-running
+        the k-means build — a full rebuild at 10M is ~18 min of host
+        k-means whose buffers OOM under serving (the reference's
+        pgvector HNSW likewise inserts incrementally; republish is its
+        steady state, publish.py:27-481). Host mirrors of the slot
+        layout (``build_rowids``/``build_valid``, numpy) ride on the
+        instance for the engine's row→slot map; they are NOT pytree
+        children and vanish across tree ops — only the build-time
+        object carries them."""
         host_side = isinstance(vectors, np.ndarray)
         d = vectors.shape[1]
         p = int(min(p, d))
@@ -114,7 +133,7 @@ class PackedProj:
         spill = np.asarray(ivf.spill)[np.asarray(ivf.spill_valid) > 0]
         pad = ivf.pad
         extra = int(np.ceil(len(spill) / pad)) if len(spill) else 0
-        nlist = ivf.nlist + extra
+        nlist = ivf.nlist + extra + reserve_slabs
         rowids = np.zeros((nlist, pad), np.int32)
         valid = np.zeros((nlist, pad), np.float32)
         rowids[: ivf.nlist] = members
@@ -133,6 +152,11 @@ class PackedProj:
                 cents = np.concatenate(
                     [cents, (mvec / max(np.linalg.norm(mvec), 1e-6))[None]],
                     axis=0)
+        if reserve_slabs:
+            # zero centroids: reserved-slab scores are purely the
+            # projected code (residual vs 0 = the row itself)
+            cents = np.concatenate(
+                [cents, np.zeros((reserve_slabs, d), np.float32)], axis=0)
         cents_dev = jnp.asarray(cents)
 
         flat = rowids.reshape(-1)
@@ -141,11 +165,14 @@ class PackedProj:
         if not flat_valid.any():
             # empty (sub)corpus — e.g. one shard of a tiny sharded store
             eye = jnp.eye(p, d, dtype=jnp.float32)
-            return cls(cents_dev, eye,
-                       jnp.zeros((nlist, pad, p), jnp.int8),
-                       jnp.zeros((nlist, pad), jnp.float32),
-                       jnp.asarray(valid), jnp.asarray(rowids),
-                       nlist, pad, base_nlist=ivf.nlist)
+            obj = cls(cents_dev, eye,
+                      jnp.zeros((nlist, pad, p), jnp.int8),
+                      jnp.zeros((nlist, pad), jnp.float32),
+                      jnp.asarray(valid), jnp.asarray(rowids),
+                      nlist, pad, base_nlist=ivf.nlist,
+                      reserve_start=nlist - reserve_slabs)
+            obj.build_rowids, obj.build_valid = rowids, valid
+            return obj
 
         # ---- residual PCA: blockwise covariance + device eigh ----
         @jax.jit
@@ -191,8 +218,48 @@ class PackedProj:
 
         codes, scales = fill_cluster_packed(
             nlist, pad, enc, (jnp.int8, jnp.float32), (p, 0), block=block)
-        return cls(cents_dev, proj, codes, scales, jnp.asarray(valid),
-                   jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist)
+        obj = cls(cents_dev, proj, codes, scales, jnp.asarray(valid),
+                  jnp.asarray(rowids), nlist, pad, base_nlist=ivf.nlist,
+                  reserve_start=nlist - reserve_slabs)
+        obj.build_rowids, obj.build_valid = rowids, valid
+        return obj
+
+
+# ---------------------------------------------------------------------------
+# Incremental mutation (streaming publish/delete without a k-means rebuild)
+# ---------------------------------------------------------------------------
+# The engine (SearchEngine._try_ann_incremental) owns the bookkeeping
+# (row→slot map, reserved-slot cursor); these are the device halves. All
+# index arrays are padded to fixed blocks by the caller so XLA compiles
+# ONE scatter program per block size, not one per batch length — pads
+# repeat the last (cell, slot, value) triple, and duplicate scatter
+# writes of identical values are harmless.
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def scatter_slots(codes, scales, valid, rowids, cells, slots,
+                  new_codes, new_scales, new_valid, new_rowids):
+    """Write encoded rows into (cell, slot) positions in place (donated
+    buffers — no second copy of the multi-GB codes array)."""
+    return (codes.at[cells, slots].set(new_codes),
+            scales.at[cells, slots].set(new_scales),
+            valid.at[cells, slots].set(new_valid),
+            rowids.at[cells, slots].set(new_rowids))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def invalidate_slots(valid, cells, slots):
+    """Mask deleted rows' slots (codes stay — NEG_INF gating is enough)."""
+    return valid.at[cells, slots].set(0.0)
+
+
+@jax.jit
+def encode_reserved(proj, rows_f32):
+    """Encode rows for a RESERVED slab (zero centroid → the code is the
+    projection of the row itself, same int8 shape as enc_block)."""
+    pr = rows_f32 @ proj.T  # [n, p]
+    mx = jnp.maximum(jnp.max(jnp.abs(pr), axis=1), 1e-9)
+    scale = mx / 127.0
+    return jnp.round(pr / scale[:, None]).astype(jnp.int8), scale
 
 
 def stack_shard_proj(shards: "list[PackedProj]") -> PackedProj:
@@ -227,9 +294,10 @@ def stack_shard_proj(shards: "list[PackedProj]") -> PackedProj:
                       nlist=nlist, pad=pad, base_nlist=base)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "approx"))
 def proj_search_packed(pp: PackedProj, queries: jnp.ndarray,
-                       penalty: jnp.ndarray, k: int, nprobe: int):
+                       penalty: jnp.ndarray, k: int, nprobe: int,
+                       approx: float = 0.0):
     """Probed masked top-k over projected-residual codes. penalty
     indexes GLOBAL row ids, [C] shared or [B, C] per-query (same
     contract as every other scan op). Returns (scores [B, k], global
@@ -239,7 +307,10 @@ def proj_search_packed(pp: PackedProj, queries: jnp.ndarray,
     gathers every query's j-th cluster block [B, pad, p] and scores it
     as one batched int8 dot_general — nprobe MXU steps, not B·nprobe
     scalar micro-ops. Synthetic spill slabs (cells ≥ base_nlist) are
-    always probed."""
+    always probed. Probe scores accumulate as scan outputs and the
+    top-k runs ONCE at the end (ops.topk.merged_topk — optionally
+    approx_max_k via ``approx``); a per-step running top-k was
+    sort-bound at funnel widths."""
     b = queries.shape[0]
     q32 = queries.astype(jnp.float32)
     if penalty.ndim == 1:
@@ -263,8 +334,7 @@ def proj_search_packed(pp: PackedProj, queries: jnp.ndarray,
     q_scale = qmax / 127.0
     q8 = jnp.round(qp / q_scale[:, None]).astype(jnp.int8)
 
-    def scan_probe(carry, pc):
-        best_v, best_i = carry  # [B, k]
+    def scan_probe(tok, pc):
         blk = jnp.take(pp.codes, pc, axis=0)  # [B, pad, p] int8
         sc = jnp.take(pp.scales, pc, axis=0)  # [B, pad]
         ok = jnp.take(pp.valid, pc, axis=0)
@@ -276,16 +346,14 @@ def proj_search_packed(pp: PackedProj, queries: jnp.ndarray,
             + jnp.take_along_axis(cscores, pc[:, None], axis=1) \
             + jnp.take_along_axis(penalty, rid, axis=1) \
             + (1.0 - ok) * NEG_INF
-        vals = jnp.concatenate([best_v, s], axis=1)
-        ids = jnp.concatenate([best_i, rid], axis=1)
-        nv, pos = jax.lax.top_k(vals, k)
-        return (nv, jnp.take_along_axis(ids, pos, axis=1)), None
+        return tok, (s + tok, rid)
 
     # carry seeded from the shard-varying penalty (see
     # index.ivf.ivf_search_packed for why a constant init fails under
-    # shard_map)
+    # shard_map); it also rides the ys so they stay axis-varying
     veps = penalty[:, :1] * 0.0  # [B, 1]
-    init = (jnp.full((b, k), NEG_INF, jnp.float32) + veps,
-            jnp.zeros((b, k), jnp.int32) + veps.astype(jnp.int32))
-    (vals, idx), _ = jax.lax.scan(scan_probe, init, probe.T)
-    return vals, idx.astype(jnp.int32)
+    _, (ss, rids) = jax.lax.scan(scan_probe, veps, probe.T)
+    vals = jnp.moveaxis(ss, 0, 1).reshape(b, -1)  # [B, P*pad]
+    ids = jnp.moveaxis(rids, 0, 1).reshape(b, -1)
+    nv, ni = merged_topk(vals, ids, k, approx)
+    return nv, ni.astype(jnp.int32)

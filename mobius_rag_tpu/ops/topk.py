@@ -48,6 +48,37 @@ def _on_tpu() -> bool:
 # XLA reference path
 # ---------------------------------------------------------------------------
 
+def merged_topk(vals: jnp.ndarray, ids: jnp.ndarray, k: int,
+                approx_recall: float = 0.0):
+    """Final top-k over a flat candidate pool. vals/ids [B, S] → [B, k].
+
+    The probed scans (ivf/pq/proj *_search_packed) accumulate every
+    probe step's scores and select ONCE here, instead of carrying a
+    running top-k through the scan — lax.top_k at funnel width (k=1024)
+    is sort-bound, and nprobe per-step sorts dominated the config-5
+    vector arm (measured 90 ms/batch32 of the 2M device program; see
+    eval_artifacts/DIAG_host_funnel_2000000.json).
+
+    ``approx_recall`` > 0 selects jax.lax.approx_max_k on TPU — the
+    hardware-native partial-reduction top-k (per-call expected recall =
+    the target; exact everywhere else so CPU-mesh parity tests stay
+    bitwise). Candidate selection feeding a downstream exact re-rank
+    (the host funnel) tolerates this by construction."""
+    s = vals.shape[1]
+    if s < k:
+        b = vals.shape[0]
+        vals = jnp.concatenate(
+            [vals, jnp.full((b, k - s), NEG_INF, vals.dtype)], axis=1)
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((b, k - s), ids.dtype)], axis=1)
+    if approx_recall and jax.default_backend() not in ("cpu",):
+        v, pos = jax.lax.approx_max_k(
+            vals, k, recall_target=float(approx_recall))
+    else:
+        v, pos = jax.lax.top_k(vals, k)
+    return v, jnp.take_along_axis(ids, pos, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def cosine_topk_xla(vectors: jax.Array, queries: jax.Array, penalty: jax.Array, k: int):
     """Exact masked top-k via one XLA matmul.

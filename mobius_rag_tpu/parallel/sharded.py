@@ -114,12 +114,17 @@ def _sharded_run(mesh: Mesh, axis: str, over_fetch: int, rrf_k: int):
         c_total = index.valid.shape[0]
         c_local = c_total // s
         w = min(funnel, c_total)
-        # Per-shard over-fetch: the global top-(k*over_fetch) of an arm
-        # (and the global funnel top-w) can in the worst case live
-        # entirely on one shard.
-        m = min(max(k * over_fetch, w), c_local)
-        m_other = min(k * over_fetch, c_local)
-        m_global = min(k * over_fetch, c_total)
+        # Per-shard over-fetch: the global top-pool of an arm (and the
+        # global funnel top-w) can in the worst case live entirely on
+        # one shard. Under a funnel (host residency) `k` arrives ALREADY
+        # over-fetched (_device_k) and the exact host re-rank reorders
+        # fused-k + funnel-w — compounding over_fetch again here put the
+        # lex/d-tag arms' top_k at 64× the user k (see _search_compiled,
+        # DIAG_sig_stages_2000000.json staged_* bisect).
+        pool = k if funnel else k * over_fetch
+        m = min(max(pool, w), c_local)
+        m_other = min(pool, c_local)
+        m_global = min(pool, c_total)
         b = q["vec"].shape[0]
         b_pad = -(-b // dp) * dp
         if b_pad != b:

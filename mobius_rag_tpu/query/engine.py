@@ -307,22 +307,37 @@ def candidate_signals(index: DeviceIndex, q: dict, cand: jnp.ndarray):
     jpd = jnp.where(q_dcount > 0, jnp.minimum(jpd_hits / jnp.maximum(q_dcount, 1.0), 1.0), 0.0)
 
     # coverage: selectivity-weighted phrase presence with binary j-tag
-    # doc credit (v1.3 unified coverage).
+    # doc credit (v1.3 unified coverage). Slot bit tests run as batched
+    # MXU matmuls over the UNPACKED candidate bitsets instead of
+    # per-slot take_along_axis word gathers — the gather form was the
+    # single most expensive signal (71.7 of 285 ms at 2M×funnel-1024,
+    # DIAG_sig_stages_2000000.json sig_cov_bittests): XLA lowers the
+    # [B, M, S] word gather serially, while unpack(shift+mask) and a
+    # [M, P]×[P, S] dot are vector/matrix-unit native. {0, 1} values are
+    # exact in bf16; accumulation is f32.
     cand_pbits = jnp.take(index.phrase_bits, cand, axis=0)  # [B, M, PW]
     cand_jbits = jnp.take(index.j_tags, cand, axis=0)  # [B, M, TW]
-    s_word = q["slot_word"][:, None, :]  # [B, 1, S]
-    s_bit = q["slot_bit"][:, None, :]
-    s_jword = q["slot_jword"][:, None, :]
-    s_jbit = q["slot_jbit"][:, None, :]
+
+    def unpack_bits(bits):  # [B, M, W] u32 → [B, M, W·32] bf16 {0,1}
+        r = jnp.arange(32, dtype=jnp.uint32)
+        x = (bits[..., None] >> r) & jnp.uint32(1)
+        return x.reshape(*bits.shape[:-1], -1).astype(jnp.bfloat16)
+
+    def slot_mask(word, bit, p):  # [B, S] → [B, S, p] bf16 one-hot
+        pos = word.astype(jnp.int32) * 32 + bit.astype(jnp.int32)
+        return (pos[..., None] == jnp.arange(p, dtype=jnp.int32)
+                ).astype(jnp.bfloat16)
+
+    def test_bits(bits, word, bit):  # → [B, M, S] f32 {0,1}
+        up = unpack_bits(bits)
+        mask = slot_mask(word, bit, up.shape[-1])
+        return jnp.einsum("bmp,bsp->bms", up, mask,
+                          preferred_element_type=jnp.float32)
+
+    phrase_present = test_bits(cand_pbits, q["slot_word"], q["slot_bit"])
+    jtag_present = test_bits(cand_jbits, q["slot_jword"], q["slot_jbit"])
     s_isj = q["slot_isj"][:, None, :]  # {0,1}
     s_w = q["slot_weight"][:, None, :]  # 0 for inactive slots
-
-    def test_bits(bits, word, bit):  # bits [B,M,W]; word/bit [B,1,S] → [B,M,S]
-        w = jnp.take_along_axis(bits, word.repeat(bits.shape[1], 1), axis=2)
-        return ((w >> bit.astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.float32)
-
-    phrase_present = test_bits(cand_pbits, s_word, s_bit)
-    jtag_present = test_bits(cand_jbits, s_jword, s_jbit)
     present = jnp.where(s_isj > 0, jnp.maximum(jtag_present, phrase_present), phrase_present)
     cov_num = (present * s_w).sum(axis=2)  # [B, M]
     cov_den = q["slot_weight"].sum(axis=1)[:, None]
@@ -371,7 +386,7 @@ def _cand_cos(index: DeviceIndex, qvec: jnp.ndarray, idx: jnp.ndarray) -> jnp.nd
 
 def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
                    m_other: int | None = None, axis: str | None = None,
-                   ann=None, nprobe: int = 32):
+                   ann=None, nprobe: int = 32, approx: float = 0.0):
     """Per-(sub)index arm scan: top-m candidates per arm + their rerank
     signals. Shared by the single-chip pipeline and the sharded per-shard
     scan — with `axis` set, the strict count psums over the mesh (so all
@@ -447,7 +462,7 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
             # re-rank (SearchEngine._host_rerank) repairs ranking inside
             # the funnel.
             vec_vals, vec_idx = proj_search_packed(
-                ann, q["vec"], penalty, m, nprobe)
+                ann, q["vec"], penalty, m, nprobe, approx)
         elif isinstance(ann, PackedPQ):
             # ADC candidate generation (config-5 regime); the signal
             # gather below re-scores candidates with EXACT cosine, so
@@ -614,7 +629,7 @@ def fuse_and_rerank(vals, gidx, sigs, q, k: int, rrf_k: int, m_global: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k",
-                                             "nprobe", "funnel"))
+                                             "nprobe", "funnel", "approx"))
 def _search_compiled(
     index: DeviceIndex,
     q: dict,
@@ -624,6 +639,7 @@ def _search_compiled(
     ann=None,
     nprobe: int = 32,
     funnel: int = 0,
+    approx: float = 0.0,
 ):
     """One XLA program: all arms, fusion, rerank. q holds per-query arrays
     (see prepare_query for the schema). Fusion runs over the candidate
@@ -639,7 +655,17 @@ def _search_compiled(
     covers ~10x more competitors than at 1M, and recall is funnel-bound
     (measured: fused-80 0.20 vs funnel-1024 0.99 at 10M-geometry)."""
     c = index.valid.shape[0]
-    m_fuse = min(k * over_fetch, c)
+    # Under a funnel (host residency) `k` arrives ALREADY over-fetched
+    # (k = user_k·over_fetch, _device_k) — the exact host re-rank
+    # reorders that fused pool plus the funnel-wide vector list, so the
+    # per-arm fusion pool is k itself. Compounding over_fetch again here
+    # (k·of = 64× the user k) put the lex/d-tag arms' lax.top_k at width
+    # 640 over [B, C]: measured 200 ms of the 492 ms config-5 program at
+    # 2M×b32 (eval_artifacts/DIAG_sig_stages_2000000.json, staged_*
+    # bisect: identical program at pool width k runs 291 ms).
+    # (2·k, not k: the per-arm telemetry outputs below slice [:, :k·2]
+    # and the pack/unpack schema assumes those widths are exact.)
+    m_fuse = min(2 * k if funnel else k * over_fetch, c)
     w = min(funnel, c)
     m = max(m_fuse, w)
 
@@ -647,7 +673,8 @@ def _search_compiled(
     # on device so every downstream consumer sees f32.
     q = dict(q, vec=q["vec"].astype(jnp.float32))
     vals, gidx, sigs, strict_total = arm_candidates(
-        index, q, k, m, m_other=m_fuse, ann=ann, nprobe=nprobe)
+        index, q, k, m, m_other=m_fuse, ann=ann, nprobe=nprobe,
+        approx=approx)
     # Materialize the arm outputs ONCE. They have two consumers (the
     # fusion path and the raw per-arm telemetry outputs below), and
     # without the barrier XLA rematerializes the full [B, C] arm scan
@@ -829,6 +856,16 @@ class SearchEngine:
         self.vector_backend = vector_backend or self.cfg.vector_backend
         self._ann = None
         self._ann_generation = -1
+        # Incremental ANN maintenance (proj backend): store mutations
+        # queue here and _try_ann_incremental applies them as device
+        # scatters into reserved slabs instead of re-running the k-means
+        # build (~18 min of host k-means at 10M, whose buffers OOM under
+        # serving). bulk rewrites force the full rebuild.
+        self._ann_events: list[tuple[str, list[int]]] = []
+        self._ann_stale_hard = False
+        self._ann_slot_of_row: np.ndarray | None = None  # row → flat slot
+        self._ann_cursor = 0  # next free flat slot in the reserved region
+        store.listeners.append(self._on_store_mutation)
         # parallel.ShardedEngine over the SAME store: when attached, the
         # compiled stage runs sharded over the mesh and the whole host
         # stack (agent, strategies, API) serves multi-chip transparently.
@@ -869,16 +906,161 @@ class SearchEngine:
             self.vector_backend = backend
             self._ann = None
             self._ann_generation = -1
+            self._reset_ann_incremental()
         if self.sharded is not None:
             self.sharded.set_vector_backend(backend)
 
+    def _on_store_mutation(self, event: str, rows: list[int]) -> None:
+        """ChunkStore listener: queue row-level mutations for the
+        incremental ANN path. With no ANN built there is nothing to
+        patch (the first ensure_ann indexes the current state)."""
+        if self._ann is None:
+            return
+        if event in ("add", "delete") and rows:
+            self._ann_events.append((event, rows))
+        elif event == "grow":
+            pass  # capacity move: row ids unchanged, ANN is a separate pytree
+        else:  # "bulk" and anything unknown: whole-corpus rewrite
+            self._ann_stale_hard = True
+
+    def _reset_ann_incremental(self) -> None:
+        self._ann_events.clear()
+        self._ann_stale_hard = False
+        self._ann_slot_of_row = None
+        self._ann_cursor = 0
+
+    def _try_ann_incremental(self) -> bool:
+        """Apply queued adds/deletes to the live PackedProj tables as
+        in-place device scatters (donated buffers). Adds encode into the
+        reserved always-probed slabs (zero centroid — the code is the
+        projected row itself; the exact host/signal re-rank repairs
+        ranking as for every other candidate). Returns False when the
+        tables can't absorb the mutations (no reserved headroom left,
+        bulk rewrite, non-proj backend) — the caller falls back to the
+        full rebuild."""
+        from mobius_rag_tpu.ops.proj import (PackedProj, encode_reserved,
+                                             invalidate_slots, scatter_slots)
+
+        ann = self._ann
+        if (self._ann_stale_hard or not isinstance(ann, PackedProj)
+                or getattr(ann, "build_rowids", None) is None
+                or getattr(ann, "reserve_start", ann.nlist) >= ann.nlist):
+            return False
+        events, self._ann_events = self._ann_events, []
+        if not events:
+            # generation moved without row mutations (e.g. pure grow)
+            return True
+        pad = ann.pad
+        res_base = ann.reserve_start * pad
+        res_cap = (ann.nlist - ann.reserve_start) * pad
+        if self._ann_slot_of_row is None:
+            flat_rows = ann.build_rowids.reshape(-1)
+            flat_ok = ann.build_valid.reshape(-1) > 0
+            slot_of = np.full(self.store.capacity, -1, np.int64)
+            slot_of[flat_rows[flat_ok]] = np.flatnonzero(flat_ok)
+            self._ann_slot_of_row = slot_of
+            self._ann_cursor = int(
+                flat_ok[res_base:res_base + res_cap].sum())
+        slot_of = self._ann_slot_of_row
+        if len(slot_of) < self.store.capacity:  # store grew since the map
+            grown = np.full(self.store.capacity, -1, np.int64)
+            grown[: len(slot_of)] = slot_of
+            slot_of = self._ann_slot_of_row = grown
+
+        # Host pass first: replay events in order against the row→slot
+        # map, then reconcile to FINAL slot states (a row added and then
+        # deleted inside one batch must not resurrect). A capacity
+        # bail-out drops the (mid-mutation) map and leaves the device
+        # tables untouched for the rebuild path.
+        freed: list[int] = []
+        placed: list[tuple[int, int]] = []  # (row, fresh reserved slot)
+        cursor = self._ann_cursor
+        for event, rows in events:
+            for r in rows:
+                old = int(slot_of[r]) if r < len(slot_of) else -1
+                if old >= 0:
+                    freed.append(old)
+                    slot_of[r] = -1
+                if event == "add":
+                    if cursor >= res_cap:
+                        self._ann_slot_of_row = None
+                        return False
+                    s = res_base + cursor
+                    cursor += 1
+                    placed.append((r, s))
+                    slot_of[r] = s
+        self._ann_cursor = cursor
+        add_final = [(r, s) for r, s in placed if slot_of[r] == s]
+        live_slots = {s for _, s in add_final}
+        del_slots = sorted({s for s in freed if s not in live_slots})
+        add_rows = [r for r, _ in add_final]
+        add_slots = [s for _, s in add_final]
+        fv = ann.build_valid.reshape(-1)
+        fr = ann.build_rowids.reshape(-1)
+        if del_slots:
+            fv[np.asarray(del_slots, np.int64)] = 0.0
+        if add_rows:
+            ar = np.asarray(add_rows, np.int64)
+            asl = np.asarray(add_slots, np.int64)
+            fr[asl] = ar
+            fv[asl] = 1.0
+
+        # Device pass: fixed-size blocks (pads repeat the last entry →
+        # ONE compiled scatter program per block size).
+        BLK = 256
+        index = self.store.index
+
+        def blocks(arr: np.ndarray):
+            n = len(arr)
+            for off in range(0, n, BLK):
+                blk = arr[off:off + BLK]
+                if len(blk) < BLK:
+                    blk = np.concatenate(
+                        [blk, np.repeat(blk[-1:], BLK - len(blk), axis=0)])
+                yield blk
+
+        for blk in blocks(np.asarray(del_slots, np.int64)) if del_slots else ():
+            ann.valid = invalidate_slots(
+                ann.valid, jnp.asarray(blk // pad, jnp.int32),
+                jnp.asarray(blk % pad, jnp.int32))
+        if add_rows:
+            for rblk, sblk in zip(blocks(np.asarray(add_rows, np.int64)),
+                                  blocks(np.asarray(add_slots, np.int64))):
+                if self.store.host_vectors is not None:
+                    x = (self.store.host_vectors[rblk].astype(np.float32)
+                         * self.store.host_scales[rblk][:, None])
+                    xdev = jnp.asarray(x)
+                else:
+                    ridx = jnp.asarray(rblk)
+                    xdev = jnp.take(index.vectors, ridx, axis=0).astype(
+                        jnp.float32)
+                    if self.cfg.vector_dtype == "int8":
+                        xdev = xdev * jnp.take(index.vec_scales, ridx)[:, None]
+                codes, scales = encode_reserved(ann.proj, xdev)
+                (ann.codes, ann.scales, ann.valid, ann.rowids) = scatter_slots(
+                    ann.codes, ann.scales, ann.valid, ann.rowids,
+                    jnp.asarray(sblk // pad, jnp.int32),
+                    jnp.asarray(sblk % pad, jnp.int32),
+                    codes, scales,
+                    jnp.ones((BLK,), jnp.float32),
+                    jnp.asarray(rblk, jnp.int32))
+        return True
+
     def ensure_ann(self):
         """Build (or rebuild after store mutations) the ANN tables for
-        the configured backend. Returns None for exact."""
+        the configured backend. Returns None for exact. When tables
+        exist and the store moved, the incremental path
+        (_try_ann_incremental) absorbs row-level mutations in place;
+        only bulk rewrites / exhausted insert headroom re-run the
+        k-means build."""
         if self.vector_backend == "exact":
             return None
         if self._ann is not None and self._ann_generation == self.store.generation:
             return self._ann
+        if self._ann is not None and self._try_ann_incremental():
+            self._ann_generation = self.store.generation
+            return _sync_ann(self._ann)
+        self._reset_ann_incremental()
         from mobius_rag_tpu.index.ivf import IVFIndex, PackedIVF
 
         cfg = self.cfg
@@ -896,7 +1078,8 @@ class SearchEngine:
 
                 self._ann = PackedProj.from_ivf(
                     ivf, self.store.host_vectors, p=cfg.proj_p,
-                    row_scales=self.store.host_scales)
+                    row_scales=self.store.host_scales,
+                    reserve_slabs=cfg.ann_reserve_slabs)
             else:
                 from mobius_rag_tpu.ops.pq import PackedPQ, effective_m
 
@@ -924,7 +1107,8 @@ class SearchEngine:
             from mobius_rag_tpu.ops.proj import PackedProj
 
             self._ann = PackedProj.from_ivf(
-                ivf, index.vectors, p=cfg.proj_p, row_scales=scales)
+                ivf, index.vectors, p=cfg.proj_p, row_scales=scales,
+                reserve_slabs=cfg.ann_reserve_slabs)
         else:
             self._ann = ivf
         self._ann_generation = self.store.generation
@@ -970,6 +1154,7 @@ class SearchEngine:
         self._ann = ann
         self._ann_generation = self.store.generation
         self._ann_nprobe = meta.get("nprobe")
+        self._reset_ann_incremental()
         return meta
 
     def _logged_query_vectors(self, want: int) -> np.ndarray | None:
@@ -1337,7 +1522,8 @@ class SearchEngine:
                 prepared.append((q, exps))
                 outs.append(_search_compiled(
                     self.store.index, q, kd, self.cfg.over_fetch,
-                    self.cfg.rrf_k, ann, self.effective_nprobe, fw))
+                    self.cfg.rrf_k, ann, self.effective_nprobe, fw,
+                    self.cfg.ann_approx_topk))
             fetch_iter = self._iter_fetched(
                 outs, kd, functools.partial(unpack_out, w=fw))
         results = []
@@ -1407,7 +1593,8 @@ class SearchEngine:
             fw = self._device_funnel(k)
             out = unpack_out(jax.device_get(
                 _search_compiled(self.store.index, q, kd, cfg.over_fetch,
-                                 cfg.rrf_k, ann, self.effective_nprobe, fw)),
+                                 cfg.rrf_k, ann, self.effective_nprobe, fw,
+                                 self.cfg.ann_approx_topk)),
                 kd, w=fw)
             if kd != k or fw:
                 out = self._host_rerank(reqs, exps, out, k)

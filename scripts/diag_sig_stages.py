@@ -239,6 +239,58 @@ def main() -> None:
     res["full_w0_k80"] = timed(lambda: eng._search_compiled(
         index, qdev, kd, cfg.over_fetch, cfg.rrf_k, ann, nprobe, 0))
 
+    # -- F. bisect INSIDE one program: rebuild _search_compiled in
+    # stages, each its own jit, all returning a scalar — the first
+    # variant whose cost jumps owns the full-program overhead.
+    def staged(ix, qq, ann_, upto):
+        qq = dict(qq, vec=qq["vec"].astype(jnp.float32))
+        vals, gidx, sigs, st = eng.arm_candidates(
+            ix, qq, K, fw, m_other=m_fuse, ann=ann_, nprobe=nprobe)
+        vals, gidx, sigs, st = jax.lax.optimization_barrier(
+            (vals, gidx, sigs, st))
+        if upto == "barrier":
+            return vals.sum() + gidx.sum() + sigs.sum() + st.sum()
+        out = eng.fuse_and_rerank(vals[:, None], gidx[:, None],
+                                  sigs[:, None], qq, K, cfg.rrf_k, m_fuse)
+        if upto == "fused":
+            return sum(v.sum() for v in out.values())
+        out.update({
+            "vec_idx": gidx[0][:, : kd * 2], "vec_vals": vals[0][:, : kd * 2],
+            "lex_idx": gidx[1][:, : kd * 2], "lex_vals": vals[1][:, : kd * 2],
+            "dtag_idx": gidx[2][:, : kd * 2],
+            "dtag_vals": vals[2][:, : kd * 2],
+            "strict_count": st[:, 0],
+        })
+        out.update(eng.wide_outputs(vals, gidx, sigs, fw))
+        if upto == "wide":
+            return sum(v.sum() for v in out.values())
+        pf, pi = eng.pack_out(out, kd, fw)
+        if upto == "packed_sum":
+            return pf.sum() + pi.sum()
+        return pf, pi  # full arrays out (the real program shape)
+
+    staged_j = jax.jit(staged, static_argnames=("upto",))
+    for upto in ("barrier", "fused", "wide", "packed_sum", "arrays"):
+        res[f"staged_{upto}"] = timed(
+            lambda u=upto: staged_j(index, qdev, ann, u))
+
+    # -- G. proj scan alone: exact vs approx final top-k --
+    from mobius_rag_tpu.ops.proj import proj_search_packed
+    pen0 = jnp.zeros((B, N), jnp.float32)
+
+    @ft.partial(jax.jit, static_argnames=("approx",))
+    def proj_only(ann_, qq, pen, approx):
+        v, i = proj_search_packed(ann_, qq["vec"].astype(jnp.float32),
+                                  pen, fw, nprobe, approx)
+        return v.sum() + i.sum()
+
+    res["proj_w1024_exact"] = timed(lambda: proj_only(ann, qdev, pen0, 0.0))
+    try:
+        res["proj_w1024_approx95"] = timed(
+            lambda: proj_only(ann, qdev, pen0, 0.95))
+    except Exception as e:  # approx_max_k unsupported on this backend?
+        res["proj_w1024_approx95"] = f"ERROR {type(e).__name__}: {e}"[:200]
+
     log(json.dumps(res))
     print(json.dumps({"metric": f"diag_sig_stages_{N}", **res}))
     with open(f"/root/repo/eval_artifacts/DIAG_sig_stages_{N}.json", "w") as f:
