@@ -170,7 +170,9 @@ class EncoderModel:
     def __init__(self, cfg: EncoderConfig | None = None, params: dict | None = None,
                  seed: int = 0):
         from mobius_rag_tpu.models.tokenizer import HashTokenizer
+        from mobius_rag_tpu.utils import jit_cache
 
+        jit_cache.enable_persistent_cache()
         self.cfg = cfg or EncoderConfig.from_env()
         if params is None:
             params = init_params(self.cfg, jax.random.PRNGKey(seed))
@@ -221,7 +223,9 @@ class MeshEncoderModel:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from mobius_rag_tpu.models.tokenizer import HashTokenizer
+        from mobius_rag_tpu.utils import jit_cache
 
+        jit_cache.enable_persistent_cache()
         self.cfg = cfg or EncoderConfig.from_env()
         if params is None:
             params = init_params(self.cfg, jax.random.PRNGKey(seed))

@@ -41,6 +41,7 @@ from mobius_rag_tpu.index.store import ChunkStore, DeviceIndex, pack_bits
 from mobius_rag_tpu.ingest.featurize import query_lexical_weights
 from mobius_rag_tpu.ops.topk import NEG_INF
 from mobius_rag_tpu.query.lexicon import Lexicon, LexiconExpansion
+from mobius_rag_tpu.utils import jit_cache
 from mobius_rag_tpu.utils import native
 
 # Rerank weights — reranker v1.3. The reference's 6-weight split
@@ -844,6 +845,11 @@ class SearchEngine:
     def __init__(self, store: ChunkStore, lexicon: Lexicon | None = None,
                  cfg: Config | None = None, embed_fn=None, telemetry=None,
                  sharded=None, vector_backend: str | None = None):
+        # First-engine-in-process wins the race to point XLA's persistent
+        # compilation cache at disk (idempotent; MRAG_JIT_CACHE=0 opts out).
+        # On the 1-vCPU serving hosts the wide fused programs take minutes
+        # to compile — restarts must be cache hits, not recompiles.
+        jit_cache.enable_persistent_cache()
         self.store = store
         self.lexicon = lexicon
         self.cfg = cfg or get_config()

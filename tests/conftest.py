@@ -33,6 +33,12 @@ jax.config.update(
 import numpy as np
 import pytest
 
+# Persistent XLA compilation cache: the suite's wall time on 1-vCPU
+# hosts is dominated by CPU-backend compiles; cache them across runs.
+from mobius_rag_tpu.utils import jit_cache
+
+jit_cache.enable_persistent_cache()
+
 
 @pytest.fixture
 def rng():
