@@ -105,11 +105,11 @@ class AppContext:
 
         queue = JobQueue(os.path.join(
             get_config().data_dir, f"jobs-{_uuid.uuid4().hex[:8]}.sqlite"))
-        from mobius_rag_tpu.ingest.worker import FileDocumentStore
+        from mobius_rag_tpu.blobstore import get_document_store
 
         pipeline = IngestPipeline(store, lexicon, embed_fn, llm=llm,
                                   candidate_sink=candidates.record,
-                                  queue=queue, docs=FileDocumentStore())
+                                  queue=queue, docs=get_document_store())
         ctx = cls(store=store, engine=engine, agent=agent, pipeline=pipeline,
                   telemetry=telemetry, eval_db=EvalDB(),
                   llm_configs=LLMConfigRegistry(), prompts=PromptRegistry(),
@@ -255,18 +255,31 @@ def build_app(ctx: AppContext) -> web.Application:
 
     # ---- query ------------------------------------------------------------
 
+    # Adaptive micro-batching (query/microbatch.py): concurrent
+    # batch-of-1 arrivals fold into one compiled program invocation,
+    # and the engine call leaves the event loop (the reference blocks a
+    # worker per query; here the loop stays live during device time).
+    from mobius_rag_tpu.query.microbatch import make_batcher
+
+    batcher = make_batcher(ctx.engine)
+
     async def query(request):
         body = await request.json()
         if not body.get("query"):
             return _err("missing 'query'")
+        qreq = QueryRequest(
+            query=body["query"], mode=body.get("mode", "corpus"),
+            payer=body.get("payer", ""), state=body.get("state", ""),
+            program=body.get("program", ""),
+            min_similarity=float(body.get("min_similarity", 0.0)),
+            tag_mode=body.get("tag_mode", "strict"),
+        )
+        k = int(body.get("k", 10))
         try:
-            res = ctx.engine.search(QueryRequest(
-                query=body["query"], mode=body.get("mode", "corpus"),
-                payer=body.get("payer", ""), state=body.get("state", ""),
-                program=body.get("program", ""),
-                min_similarity=float(body.get("min_similarity", 0.0)),
-                tag_mode=body.get("tag_mode", "strict"),
-            ), k=int(body.get("k", 10)))[0]
+            if batcher is not None:
+                res = await batcher.search_one(qreq, k)
+            else:
+                res = ctx.engine.search(qreq, k=k)[0]
         except ValueError as e:
             return _err(str(e))
         return _json({
@@ -875,8 +888,35 @@ def build_app(ctx: AppContext) -> web.Application:
                                  notes=body.get("notes", ""))
         return _json(dataclasses.asdict(src))
 
+    async def microbatch_stats(request):
+        if batcher is None:
+            return _json({"enabled": False})
+        return _json({"enabled": True, **batcher.stats,
+                      "queue_depth": len(batcher._queue)})
+
     async def curator_stats(request):
         return _json(ctx.curator.stats())
+
+    async def curator_probe(request):
+        body = await request.json()
+        if not body.get("url"):
+            return _err("missing 'url'")
+        return _json(ctx.curator.probe(body["url"]))
+
+    async def curator_mark_ingested(request):
+        body = await request.json()
+        if not body.get("url"):
+            return _err("missing 'url'")
+        src = ctx.curator.mark_ingested(body["url"], body.get("doc_id", ""))
+        return _json(dataclasses.asdict(src))
+
+    async def curator_classify(request):
+        from mobius_rag_tpu.curator import classify_url
+
+        body = await request.json()
+        if not body.get("url"):
+            return _err("missing 'url'")
+        return _json(classify_url(body["url"]))
 
     # ---- integrity / nightly -----------------------------------------------------
 
@@ -1106,6 +1146,10 @@ def build_app(ctx: AppContext) -> web.Application:
     r.add_post("/api/curator/sources", curator_upsert)
     r.add_post("/api/curator/curate", curator_curate)
     r.add_get("/api/curator/stats", curator_stats)
+    r.add_post("/api/curator/probe", curator_probe)
+    r.add_post("/api/curator/mark-ingested", curator_mark_ingested)
+    r.add_post("/api/curator/classify", curator_classify)
+    r.add_get("/admin/microbatch", microbatch_stats)
     r.add_get("/admin/integrity", integrity)
     r.add_post("/admin/integrity/remediate", integrity_fix)
     r.add_post("/admin/nightly/run", nightly_run)

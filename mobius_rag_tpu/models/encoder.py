@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -160,7 +161,22 @@ def encode_jit(params, tokens, cfg: EncoderConfig):
 # Batch-size buckets: every distinct batch shape is a separate XLA
 # compilation (~30s+ each on a cold chip), so callers' ragged batch sizes
 # are padded up to the nearest bucket and results sliced back.
-_BATCH_BUCKETS = (1, 8, 32, 128)
+# MRAG_ENCODER_BATCH_BUCKETS extends the ladder (e.g. "1,8,32,128,512"
+# for bulk-ingest hosts where wider dispatches amortize tunnel RTT).
+_BATCH_BUCKETS = tuple(
+    int(x) for x in os.getenv("MRAG_ENCODER_BATCH_BUCKETS",
+                              "1,8,32,128").split(","))
+
+# Sequence buckets: chunks are ~100-200 tokens but the tokenizer pads to
+# max_seq (512 default) — attention is O(L²) and the MLP O(L), so
+# encoding at the 512 pad costs 2-4× the useful FLOPs. Each batch trims
+# to the smallest bucket covering its longest text; PAD columns are
+# masked out of attention AND pooling, so trimming them is exact (the
+# parity test pins bucketed == full-length). MRAG_ENCODER_SEQ_BUCKETS=0
+# disables (single full-length program).
+_SEQ_BUCKETS = tuple(
+    int(x) for x in os.getenv("MRAG_ENCODER_SEQ_BUCKETS",
+                              "64,128,256").split(",") if int(x or 0) > 0)
 
 
 class EncoderModel:
@@ -188,6 +204,18 @@ class EncoderModel:
                 return b
         return ((n + _BATCH_BUCKETS[-1] - 1) // _BATCH_BUCKETS[-1]) * _BATCH_BUCKETS[-1]
 
+    def _seq_bucket(self, tokens: np.ndarray) -> np.ndarray:
+        """Trim a [B, max_seq] token block to the smallest seq bucket
+        covering its longest text (exact: PAD columns are masked out of
+        attention and pooling — see _SEQ_BUCKETS)."""
+        if not _SEQ_BUCKETS:
+            return tokens
+        longest = int((tokens != 0).sum(axis=1).max()) if tokens.size else 0
+        for sb in _SEQ_BUCKETS:
+            if longest <= sb < tokens.shape[1]:
+                return tokens[:, :sb]
+        return tokens
+
     def __call__(self, texts: list[str]) -> np.ndarray:
         if not texts:
             return np.zeros((0, self.cfg.out_dim), np.float32)
@@ -199,6 +227,7 @@ class EncoderModel:
             b = self._bucket(len(chunk))
             if b != len(chunk):
                 tokens = np.pad(tokens, ((0, b - len(chunk)), (0, 0)))
+            tokens = self._seq_bucket(tokens)
             emb = encode_jit(self.params, jnp.asarray(tokens), self.cfg)
             out[off:off + len(chunk)] = np.asarray(emb)[: len(chunk)]
         return out
@@ -258,6 +287,7 @@ class MeshEncoderModel:
             b = self._bucket(len(chunk))
             if b != len(chunk):
                 tokens = np.pad(tokens, ((0, b - len(chunk)), (0, 0)))
+            tokens = EncoderModel._seq_bucket(self, tokens)
             sharded = jax.device_put(jnp.asarray(tokens), self._batch_shard)
             emb = encode_jit(self.params, sharded, self.cfg)
             out[off:off + len(chunk)] = np.asarray(emb)[: len(chunk)]

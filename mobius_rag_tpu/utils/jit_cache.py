@@ -10,9 +10,18 @@ hit, the same role the reference's long-lived uvicorn workers play for
 its per-process prepared-statement caches (reference: app/database.py
 pool reuse — there the "compile" being amortized is Postgres planning).
 
-Opt-out via ``MRAG_JIT_CACHE=0``; relocate via ``MRAG_JIT_CACHE_DIR``.
+Opt-out via ``MRAG_JIT_CACHE=0``; relocate via ``MRAG_JIT_CACHE_DIR``;
+bound on-disk size via ``MRAG_JIT_CACHE_MAX_SIZE`` bytes (JAX
+LRU-evicts past the bound; default 4 GiB so long-lived hosts don't
+grow the cache without limit across shape/config/JAX-version churn).
 Idempotent and safe to call from multiple entry points (engine
 construction, encoder construction, bench/CLI mains, test conftest).
+
+The enabled/disabled decision is memoized for the life of the process:
+a first-call failure (e.g. unwritable HOME) latches the cache off, and
+later changes to the MRAG_JIT_CACHE* env vars are ignored. That is by
+design — flipping jax_compilation_cache_dir mid-process would split
+compiled state across directories. Tests use :func:`_reset`.
 """
 from __future__ import annotations
 
@@ -21,6 +30,14 @@ import os
 
 _log = logging.getLogger("mobius_rag_tpu.jit_cache")
 _enabled: bool | None = None
+
+_DEFAULT_MAX_SIZE = 4 * 1024**3
+
+
+def _reset() -> None:
+    """Clear the process memo (tests only; see module docstring)."""
+    global _enabled
+    _enabled = None
 
 
 def enable_persistent_cache() -> bool:
@@ -48,6 +65,13 @@ def enable_persistent_cache() -> bool:
         # more than recompiling); no size floor.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        try:
+            jax.config.update(
+                "jax_compilation_cache_max_size",
+                int(os.getenv("MRAG_JIT_CACHE_MAX_SIZE",
+                              str(_DEFAULT_MAX_SIZE))))
+        except Exception:  # older JAX without the LRU bound
+            pass
         _enabled = True
         _log.info("persistent XLA compilation cache at %s", cache_dir)
     except Exception as exc:  # pragma: no cover - depends on jax build

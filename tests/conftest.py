@@ -34,7 +34,12 @@ import numpy as np
 import pytest
 
 # Persistent XLA compilation cache: the suite's wall time on 1-vCPU
-# hosts is dominated by CPU-backend compiles; cache them across runs.
+# hosts is dominated by CPU-backend compiles; cache them across runs —
+# but in a test-owned directory, not the serving cache (~/.cache/...):
+# suite runs must not pollute serving state nor depend on it.
+os.environ.setdefault(
+    "MRAG_JIT_CACHE_DIR",
+    os.path.join(tempfile.gettempdir(), "mrag-tests-jitcache"))
 from mobius_rag_tpu.utils import jit_cache
 
 jit_cache.enable_persistent_cache()

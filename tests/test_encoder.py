@@ -123,3 +123,43 @@ def test_mesh_encoder_parity_and_ingest():
     eng = SearchEngine(store, lex, embed_fn=dp)
     res = eng.search(QueryRequest(query="timely filing deadline"), k=2)[0]
     assert res.hits and res.hits[0].chunk_id == "m-c0"
+
+
+def test_seq_bucketing_matches_full_length(monkeypatch):
+    """Trimming PAD columns to a seq bucket is exact: masked attention +
+    masked pooling make PAD positions inert (encoder.py _SEQ_BUCKETS)."""
+    import numpy as np
+
+    from mobius_rag_tpu.models import encoder as enc_mod
+    from mobius_rag_tpu.models.encoder import EncoderConfig, EncoderModel
+
+    cfg = EncoderConfig.tiny()
+    model = EncoderModel(cfg, seed=3)
+    texts = ["timely filing deadline", "prior authorization for H0019",
+             "a much longer paragraph about claims submission windows "
+             "and corrected claim resubmission requirements"]
+
+    monkeypatch.setattr(enc_mod, "_SEQ_BUCKETS", ())
+    full = model(texts)
+    monkeypatch.setattr(enc_mod, "_SEQ_BUCKETS", (8, 16, 32))
+    bucketed = model(texts)
+    np.testing.assert_allclose(bucketed, full, rtol=2e-5, atol=2e-6)
+
+    # the short batch really did take a narrower program
+    toks = model.tokenizer.encode_batch(texts[:2])
+    assert model._seq_bucket(toks).shape[1] <= 16
+
+
+def test_seq_bucket_selection_bounds():
+    from mobius_rag_tpu.models import encoder as enc_mod
+    from mobius_rag_tpu.models.encoder import EncoderConfig, EncoderModel
+    import numpy as np
+
+    cfg = EncoderConfig.tiny()
+    model = EncoderModel(cfg, seed=0)
+    if not enc_mod._SEQ_BUCKETS:
+        return
+    # all-PAD block trims to the smallest bucket; over-long stays full
+    empty = np.zeros((2, cfg.max_seq), np.int32)
+    assert model._seq_bucket(empty).shape[1] == min(
+        b for b in enc_mod._SEQ_BUCKETS if b < cfg.max_seq or True)

@@ -1,0 +1,162 @@
+"""Adaptive micro-batching (query/microbatch.py): concurrent arrivals
+fold into batched engine calls; low-load requests run immediately;
+results route back to their callers with per-caller k."""
+import asyncio
+import time
+
+import pytest
+
+from mobius_rag_tpu.query.engine import QueryRequest
+from mobius_rag_tpu.query.microbatch import MicroBatcher, make_batcher
+
+
+class FakeResult:
+    def __init__(self, query, hits):
+        self.query = query
+        self.hits = hits
+
+
+class FakeEngine:
+    """Records batch sizes; sleeps to simulate device time so arrivals
+    during execution accumulate."""
+
+    def __init__(self, delay_s=0.03):
+        self.batches = []
+        self.delay_s = delay_s
+
+    def search(self, reqs, k=10):
+        self.batches.append(len(reqs))
+        time.sleep(self.delay_s)
+        return [FakeResult(r.query, list(range(k))) for r in reqs]
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_single_request_runs_immediately():
+    eng = FakeEngine(delay_s=0.0)
+    b = MicroBatcher(eng)
+
+    async def go():
+        res = await b.search_one(QueryRequest(query="q0"), 5)
+        assert res.query == "q0" and len(res.hits) == 5
+
+    _run(go())
+    assert eng.batches == [1]
+
+
+def test_concurrent_arrivals_batch_up():
+    eng = FakeEngine(delay_s=0.05)
+    b = MicroBatcher(eng)
+
+    async def go():
+        tasks = [asyncio.ensure_future(
+            b.search_one(QueryRequest(query=f"q{i}"), 10))
+            for i in range(9)]
+        # tiny stagger so the first launches alone and the rest queue
+        # behind its in-flight batch
+        await asyncio.sleep(0.01)
+        tasks += [asyncio.ensure_future(
+            b.search_one(QueryRequest(query=f"q{9 + i}"), 10))
+            for i in range(7)]
+        res = await asyncio.gather(*tasks)
+        assert [r.query for r in res] == [f"q{i}" for i in range(16)]
+
+    _run(go())
+    # first flush takes whatever queued during loop startup; the rest
+    # accumulate behind it → far fewer engine calls than queries
+    assert sum(eng.batches) >= 16  # padding counts
+    assert len(eng.batches) <= 4
+    assert b.stats["queries"] == 16
+    assert b.stats["max_batch_seen"] >= 7
+
+
+def test_bucket_padding():
+    eng = FakeEngine(delay_s=0.05)
+    b = MicroBatcher(eng)
+
+    async def go():
+        t1 = asyncio.ensure_future(b.search_one(QueryRequest(query="a"), 10))
+        await asyncio.sleep(0.01)
+        rest = [asyncio.ensure_future(
+            b.search_one(QueryRequest(query=f"b{i}"), 10)) for i in range(5)]
+        await asyncio.gather(t1, *rest)
+
+    _run(go())
+    # 5 queued requests pad to the 8-bucket (compile-shape reuse)
+    assert eng.batches[0] == 1
+    assert all(n in (1, 2, 4, 8, 16, 32) for n in eng.batches)
+
+
+def test_mixed_k_cuts_per_caller():
+    eng = FakeEngine(delay_s=0.05)
+    b = MicroBatcher(eng)
+
+    async def go():
+        t1 = asyncio.ensure_future(b.search_one(QueryRequest(query="x"), 10))
+        await asyncio.sleep(0.01)
+        t2 = asyncio.ensure_future(b.search_one(QueryRequest(query="k3"), 3))
+        t3 = asyncio.ensure_future(b.search_one(QueryRequest(query="k7"), 7))
+        r1, r2, r3 = await asyncio.gather(t1, t2, t3)
+        assert len(r1.hits) == 10
+        assert len(r2.hits) == 3
+        assert len(r3.hits) == 7
+
+    _run(go())
+
+
+def test_engine_error_propagates_to_all_waiters():
+    class Boom(FakeEngine):
+        def search(self, reqs, k=10):
+            raise ValueError("tag_mode bogus")
+
+    b = MicroBatcher(Boom())
+
+    async def go():
+        t1 = asyncio.ensure_future(b.search_one(QueryRequest(query="x"), 5))
+        t2 = asyncio.ensure_future(b.search_one(QueryRequest(query="y"), 5))
+        for t in (t1, t2):
+            with pytest.raises(ValueError, match="bogus"):
+                await t
+
+    _run(go())
+    # batcher recovers: a later request still works
+    b.engine = FakeEngine(delay_s=0.0)
+
+    async def again():
+        res = await b.search_one(QueryRequest(query="z"), 2)
+        assert len(res.hits) == 2
+
+    _run(again())
+
+
+def test_env_gate(monkeypatch):
+    monkeypatch.setenv("MRAG_MICROBATCH", "0")
+    assert make_batcher(object()) is None
+    monkeypatch.setenv("MRAG_MICROBATCH", "1")
+    assert isinstance(make_batcher(object()), MicroBatcher)
+
+
+def test_real_engine_through_batcher():
+    """End-to-end with the real engine on the toy corpus."""
+    from mobius_rag_tpu.index.store import ChunkStore
+    from mobius_rag_tpu.query.engine import SearchEngine
+    from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=20))
+    eng = SearchEngine(store, lex, embed_fn=hash_embed)
+    b = MicroBatcher(eng)
+
+    async def go():
+        tasks = [asyncio.ensure_future(b.search_one(QueryRequest(
+            query="timely filing deadline for sunshine health claims"), 5))
+            for _ in range(4)]
+        res = await asyncio.gather(*tasks)
+        assert all(r.hits for r in res)
+        rows = [tuple(h.row for h in r.hits) for r in res]
+        assert len(set(rows)) == 1  # identical queries, identical results
+
+    _run(go())
