@@ -135,10 +135,21 @@ class HTTPLLMClient:
 
 
 def get_llm_client(url: str | None = None, **kw) -> LLMClient:
-    """Env-selected generation client: MRAG_LLM_URL set → HTTP adapter,
-    else the offline extractive stub (zero-egress default)."""
+    """Env-selected generation client.
+
+    ``MRAG_LLM_PROVIDER=openai|vertex`` selects the concrete wire-format
+    adapters (providers_external.py); otherwise ``MRAG_LLM_URL`` set →
+    the generic JSON proxy adapter; else the offline extractive stub
+    (zero-egress default)."""
     import os
 
+    provider = os.getenv("MRAG_LLM_PROVIDER", "").strip().lower()
+    if provider in ("openai", "vertex"):
+        from mobius_rag_tpu import providers_external as pe
+
+        cls = (pe.OpenAILLMClient if provider == "openai"
+               else pe.VertexLLMClient)
+        return cls(**kw)
     url = url if url is not None else os.getenv("MRAG_LLM_URL", "")
     if url:
         return HTTPLLMClient(url, model=os.getenv("MRAG_LLM_MODEL", ""), **kw)

@@ -143,6 +143,74 @@ class HTTPDrive:
         return self._get(f"/files/{file_id}", {"alt": "media"})
 
 
+def oauth_device_flow(*, client_id: str | None = None,
+                      client_secret: str | None = None,
+                      scope: str = "https://www.googleapis.com/auth/drive.readonly",
+                      device_url: str | None = None,
+                      token_url: str | None = None,
+                      prompt: Any = print,
+                      sleep: Any = time.sleep,
+                      timeout_s: float = 30.0,
+                      max_wait_s: float = 600.0) -> dict[str, str]:
+    """OAuth2 *device flow* bootstrap (RFC 8628) — how a headless TPU VM
+    obtains the refresh token HTTPDrive's refresh-grant transport uses
+    (reference drive_sync.py runs the equivalent interactive consent in
+    the browser session of main.py:6365's /drive/auth flow).
+
+    POSTs the device-code request, surfaces ``user_code`` +
+    ``verification_url`` through ``prompt``, then polls the token
+    endpoint honoring ``interval``/``slow_down`` until the operator
+    approves. Returns the token payload (``refresh_token``,
+    ``access_token``); callers persist the refresh token into
+    MRAG_DRIVE_REFRESH_TOKEN. Endpoints overridable for gateway/test
+    stubs (MRAG_DRIVE_DEVICE_URL / MRAG_DRIVE_TOKEN_URL)."""
+    env = os.environ.get
+    client_id = client_id or env("MRAG_DRIVE_CLIENT_ID", "")
+    client_secret = client_secret or env("MRAG_DRIVE_CLIENT_SECRET", "")
+    if not client_id:
+        raise RuntimeError("device flow requires MRAG_DRIVE_CLIENT_ID")
+    device_url = device_url or env("MRAG_DRIVE_DEVICE_URL",
+                                   "https://oauth2.googleapis.com/device/code")
+    token_url = token_url or env("MRAG_DRIVE_TOKEN_URL",
+                                 "https://oauth2.googleapis.com/token")
+
+    def post(url: str, fields: dict[str, str]) -> dict[str, Any]:
+        req = urllib.request.Request(
+            url, data=urllib.parse.urlencode(fields).encode(), method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as r:
+                return json.loads(r.read().decode())
+        except urllib.error.HTTPError as e:
+            # OAuth polling errors ride 4xx bodies (authorization_pending
+            # / slow_down are not failures)
+            return json.loads(e.read().decode())
+
+    dev = post(device_url, {"client_id": client_id, "scope": scope})
+    if "device_code" not in dev:
+        raise RuntimeError(f"device-code request failed: {dev}")
+    prompt(f"Visit {dev.get('verification_url', dev.get('verification_uri'))}"
+           f" and enter code: {dev['user_code']}")
+    interval = float(dev.get("interval", 5))
+    waited = 0.0
+    while waited < min(max_wait_s, float(dev.get("expires_in", max_wait_s))):
+        sleep(interval)
+        waited += interval
+        tok = post(token_url, {
+            "client_id": client_id, "client_secret": client_secret,
+            "device_code": dev["device_code"],
+            "grant_type": "urn:ietf:params:oauth:grant-type:device_code",
+        })
+        err = tok.get("error", "")
+        if not err:
+            return tok
+        if err == "slow_down":
+            interval += 5
+        elif err != "authorization_pending":
+            raise RuntimeError(f"device flow failed: {err}")
+    raise TimeoutError("device flow not approved in time")
+
+
 _PAYERISH = re.compile(
     r"(sunshine|aetna|molina|ahca|medicaid|medicare)", re.IGNORECASE)
 # letter-boundaries rather than \b: filenames use underscores, which are

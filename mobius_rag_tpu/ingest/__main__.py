@@ -19,8 +19,8 @@ from mobius_rag_tpu.config import get_config
 from mobius_rag_tpu.index.store import ChunkStore
 from mobius_rag_tpu.ingest import shutdown
 from mobius_rag_tpu.ingest.queue import JobQueue
-from mobius_rag_tpu.ingest.worker import (ChunkingWorker, EmbeddingWorker,
-                                          FileDocumentStore)
+from mobius_rag_tpu.blobstore import get_document_store
+from mobius_rag_tpu.ingest.worker import ChunkingWorker, EmbeddingWorker
 from mobius_rag_tpu.observability import setup_logging
 from mobius_rag_tpu.providers import get_embedding_provider
 from mobius_rag_tpu.query.lexicon import Lexicon
@@ -105,7 +105,7 @@ def main() -> None:
     if args.kind == "chunking":
         # durable blob store: a chunking worker process must see blobs the
         # API process uploaded (the GCS-bucket role)
-        worker = ChunkingWorker(queue, FileDocumentStore(), lexicon)
+        worker = ChunkingWorker(queue, get_document_store(), lexicon)
         log.info("chunking worker up")
         n = 0
         while not shutdown.is_shutting_down():

@@ -103,10 +103,26 @@ class ExternalHTTPProvider:
     __call__ = embed
 
 
+def _openai_factory() -> EmbeddingProvider:
+    from mobius_rag_tpu.providers_external import OpenAIEmbeddingProvider
+
+    return OpenAIEmbeddingProvider()
+
+
+def _vertex_factory() -> EmbeddingProvider:
+    from mobius_rag_tpu.providers_external import VertexEmbeddingProvider
+
+    return VertexEmbeddingProvider()
+
+
 _PROVIDER_FACTORIES: dict[str, Callable[[], EmbeddingProvider]] = {
     "onchip": OnChipProvider,
     "hash": HashProvider,
     "external": lambda: ExternalHTTPProvider(os.getenv("MRAG_EMBED_URL", "")),
+    # concrete wire-format adapters (providers_external.py) — the
+    # reference's two SDK providers (embedding_provider.py:24-149)
+    "openai": _openai_factory,
+    "vertex": _vertex_factory,
 }
 
 
