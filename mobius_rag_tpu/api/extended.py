@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import sqlite3
+import time
 from typing import Any
 
 import numpy as np
@@ -377,15 +378,46 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
     async def facts_browse(request):
         limit = min(int(request.query.get("limit", 100)), 1000)
         offset = int(request.query.get("offset", 0))
+        need = request.query.get("needs_review", "") in ("1", "true")
         facts = []
         for rec in ctx.store.records:
             if rec is not None and rec.extra.get("kind") == "fact":
+                review = rec.extra.get("review") or {}
+                if need and review.get("verdict"):
+                    continue
                 facts.append({"doc_id": rec.doc_id, "fact_id": rec.source_id,
                               "text": rec.text,
                               "critique_score": rec.extra.get("critique_score"),
+                              "review": review,
                               "section_path": rec.section_path})
         return _json({"total": len(facts),
                       "facts": facts[offset:offset + limit]})
+
+    async def fact_review(request):
+        """Human fact review (reference ReviewFactsTab workflow): record
+        an accept/reject verdict on an extracted fact; ``remove=true``
+        on reject also unpublishes it (the delete path)."""
+        body = await request.json()
+        doc_id = body.get("doc_id", "")
+        fact_id = body.get("fact_id", "")
+        verdict = body.get("verdict", "")
+        if verdict not in ("accepted", "rejected"):
+            return _err("verdict must be accepted|rejected")
+        all_recs = [rec for _, rec in _doc_records(ctx, doc_id)]
+        target = next((rec for rec in all_recs if rec.source_id == fact_id
+                       and rec.extra.get("kind") == "fact"), None)
+        if target is None:
+            return _err("fact not found", 404)
+        target.extra["review"] = {"verdict": verdict,
+                                  "note": body.get("note", ""),
+                                  "ts": time.time()}
+        removed = False
+        if verdict == "rejected" and body.get("remove"):
+            keep = [rec for rec in all_recs if rec is not target]
+            _republish(doc_id, keep)
+            removed = True
+        return _json({"doc_id": doc_id, "fact_id": fact_id,
+                      "verdict": verdict, "removed": removed})
 
     async def facts_sections(request):
         sections: dict[str, int] = {}
@@ -791,6 +823,7 @@ def register_extended_routes(r, ctx) -> None:  # noqa: C901 — route table
     r.add_put("/documents/{doc_id}/facts/{fact_id}", doc_fact_put)
     r.add_delete("/documents/{doc_id}/facts/{fact_id}", doc_fact_delete)
     r.add_get("/facts", facts_browse)
+    r.add_post("/facts/review", fact_review)
     r.add_get("/facts/sections", facts_sections)
     r.add_get("/policy/lexicon/overview", lexicon_overview)
     r.add_get("/policy/lexicon/stats", lexicon_stats)

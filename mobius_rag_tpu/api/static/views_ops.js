@@ -113,14 +113,49 @@ async function loadCuration() {
       (agg.candidates || []).map((x) => `<tr><td>${UI.esc(x.phrase)}</td>
         <td>${UI.esc(x.kind_hint)}</td><td>${x.occurrences}</td><td>${x.n_docs}</td>
         <td>${UI.esc(x.status)}</td><td class=meta>${UI.esc(x.promoted_code || "")}</td></tr>`))
-    + `<p class=meta style="margin-top:10px">discovered sources</p>`
-    + UI.table(["url", "payer", "status", "authority"],
+    + `<p class=meta style="margin-top:10px">discovered sources
+       (reference SourcesTab: register → classify → probe → curate →
+       mark ingested)</p>`
+    + `<div class=row><input id="srcurl" placeholder="https://payer.example/manuals"
+         style="max-width:420px">
+       <button onclick="srcAdd()">register</button>
+       <button onclick="srcClassify()">classify</button></div>`
+    + UI.table(["url", "payer", "status", "authority", ""],
       (src.sources || []).map((x) => `<tr><td>${UI.esc(x.url)}</td>
         <td>${UI.esc(x.payer)}</td><td>${UI.esc(x.status)}</td>
-        <td>${x.authority_level ?? ""}</td></tr>`));
+        <td>${x.authority_level ?? ""}</td>
+        <td><button onclick="srcCurate('${UI.esc(x.url)}', true)">approve</button>
+            <button onclick="srcCurate('${UI.esc(x.url)}', false)">reject</button>
+            <button onclick="srcProbe('${UI.esc(x.url)}')">probe</button>
+            <button onclick="srcIngested('${UI.esc(x.url)}')">mark ingested</button></td></tr>`))
+    + `<div id="srcout"></div>`;
 }
 async function reviewCand(phrase, approve) {
   await UI.post("/api/lexicon/candidates/review", { phrase, approve });
+  loadCuration();
+}
+async function srcAdd() {
+  const url = document.getElementById("srcurl").value.trim();
+  if (!url) return;
+  await UI.post("/api/curator/sources", { url });
+  loadCuration();
+}
+async function srcClassify() {
+  const url = document.getElementById("srcurl").value.trim();
+  if (!url) return;
+  const r = await UI.post("/api/curator/classify", { url });
+  document.getElementById("srcout").innerHTML = UI.pre(r);
+}
+async function srcCurate(url, approve) {
+  await UI.post("/api/curator/curate", { url, approve });
+  loadCuration();
+}
+async function srcProbe(url) {
+  const r = await UI.post("/api/curator/probe", { url });
+  document.getElementById("srcout").innerHTML = UI.pre(r);
+}
+async function srcIngested(url) {
+  await UI.post("/api/curator/mark-ingested", { url });
   loadCuration();
 }
 

@@ -124,7 +124,10 @@ UI.tab("upload", `
     <input id="ustate" placeholder="state" style="max-width:90px">
     <input id="uprog" placeholder="program" style="max-width:140px">
     <button class="go" onclick="doUpload()">upload (instant)</button></div>
+  <div class="row"><input type="file" id="ufile" style="max-width:320px">
+    <button class="go" onclick="doFileUpload()">upload file (queued + progress)</button></div>
   <textarea id="utext" rows="10" placeholder="document text"></textarea>
+  <div id="uprogress"></div>
   <div id="uout"></div>`);
 
 async function doUpload() {
@@ -133,6 +136,42 @@ async function doUpload() {
     program: uprog.value || "", instant: "1" });
   const r = await fetch("/upload?" + qs, { method: "POST", body: utext.value }).then(UI.J);
   uout.innerHTML = UI.pre(r);
+}
+
+/* File upload with progress: queued path, then poll the document's job
+   status until published/failed (reference UploadTab progress bar over
+   chunking/embedding job events). */
+async function doFileUpload() {
+  const f = document.getElementById("ufile").files[0];
+  if (!f) { uout.innerHTML = UI.pre("pick a file first"); return; }
+  const qs = new URLSearchParams({ filename: ufn.value || f.name,
+    payer: upayer.value || "", state: ustate.value || "",
+    program: uprog.value || "" });
+  const r = await fetch("/upload?" + qs, { method: "POST", body: f }).then(UI.J);
+  uout.innerHTML = UI.pre(r);
+  if (r.doc_id) pollUpload(r.doc_id, 0);
+}
+async function pollUpload(docId, n) {
+  const box = document.getElementById("uprogress");
+  let st;
+  try { st = await UI.get(`/documents/${docId}/status`); }
+  catch (e) { st = { jobs: [] }; }
+  // stage = the most advanced live job, else published/pending
+  const jobs = st.jobs || [];
+  const active = jobs.find((j) => j.status === "running" || j.status === "pending");
+  const failed = jobs.find((j) => j.status === "failed");
+  const published = (st.published_chunks || 0) > 0 && !active;
+  const stage = failed ? `failed: ${failed.kind}` :
+    active ? `${active.kind} ${active.status}` :
+    published ? "published" : "pending";
+  const pct = published ? 100 : active && active.kind === "embedding" ? 66 :
+    active ? 33 : 5;
+  box.innerHTML = `<div class=hit><b>${UI.esc(docId)}</b>
+    <span class=meta> ${UI.esc(stage)} · ${st.published_chunks ?? 0} chunks published
+      · ${st.embedded_units ?? 0} embedded</span>
+    <div style="background:#0c1115;border:1px solid #2a3742;border-radius:6px;height:10px;margin-top:6px">
+      <div style="background:${failed ? "var(--bad)" : "var(--acc)"};height:100%;border-radius:6px;width:${pct}%"></div></div></div>`;
+  if (!published && !failed && n < 120) setTimeout(() => pollUpload(docId, n + 1), 1000);
 }
 
 UI.tab("import", `
@@ -188,18 +227,46 @@ async function importScraped() {
 }
 
 UI.tab("facts", `
-  <p class=meta>Path-A extracted facts (fact-kind chunks; edit republishes)</p>
-  <div id="fout">…</div>`, loadFacts);
+  <p class=meta>Path-A fact review (reference ReviewFactsTab): accept /
+  reject / edit — edits re-embed + republish; reject can unpublish</p>
+  <div class=row>
+    <button class=go onclick="loadFacts(true)">needs review</button>
+    <button onclick="loadFacts(false)">all facts</button>
+    <span class=meta id="fstats"></span></div>
+  <div id="fout">…</div>`, () => loadFacts(true));
 
-async function loadFacts() {
-  const r = await UI.get("/facts?limit=200");
-  fout.innerHTML = UI.table(["doc", "fact", "critique", ""],
-    (r.facts || []).map((f) => `<tr><td class=meta>${UI.esc(f.doc_id)}</td>
-      <td>${UI.esc((f.text || "").slice(0, 90))}</td>
-      <td>${f.critique_score ?? ""}</td>
-      <td><button onclick="delFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}')">delete</button></td></tr>`));
+async function loadFacts(needsReview) {
+  const r = await UI.get(`/facts?limit=200${needsReview ? "&needs_review=1" : ""}`);
+  document.getElementById("fstats").textContent =
+    `${r.total} fact${r.total === 1 ? "" : "s"}${needsReview ? " awaiting review" : ""}`;
+  fout.innerHTML = UI.table(["doc", "fact", "critique", "review", ""],
+    (r.facts || []).map((f, i) => {
+      const v = (f.review || {}).verdict || "";
+      return `<tr><td class=meta>${UI.esc(f.doc_id)}</td>
+      <td id="ftext-${i}">${UI.esc((f.text || "").slice(0, 110))}</td>
+      <td class="${(f.critique_score ?? 1) < 0.6 ? "lbl-low" : ""}">${f.critique_score ?? ""}</td>
+      <td>${v ? UI.lbl(v === "accepted" ? "correct" : "incorrect") + " " + UI.esc(v) : "<span class=meta>—</span>"}</td>
+      <td><button onclick="reviewFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}','accepted')">accept</button>
+          <button onclick="reviewFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}','rejected')">reject</button>
+          <button onclick="editFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}',${i})">edit</button>
+          <button onclick="delFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}')">delete</button></td></tr>`;
+    }));
+}
+async function reviewFact(doc, fid, verdict) {
+  const remove = verdict === "rejected" &&
+    confirm("Also unpublish this fact from retrieval?");
+  await UI.post("/facts/review", { doc_id: doc, fact_id: fid,
+    verdict, remove });
+  loadFacts(false);
+}
+async function editFact(doc, fid, i) {
+  const cur = document.getElementById(`ftext-${i}`).textContent;
+  const text = prompt("Edit fact (re-embeds + republishes):", cur);
+  if (text === null || !text.trim()) return;
+  await UI.post(`/documents/${doc}/facts/${fid}`, { text }, "PUT");
+  loadFacts(false);
 }
 async function delFact(doc, fid) {
   await UI.post(`/documents/${doc}/facts/${fid}`, undefined, "DELETE");
-  loadFacts();
+  loadFacts(false);
 }

@@ -438,3 +438,138 @@ def _check_js_brackets(path: str) -> None:
         i += 1
     assert not stack, f"{path}: unclosed {stack[-3:]}"
     assert not mode, f"{path}: unterminated template literal"
+
+
+def test_console_js_urls_resolve_to_routes(ctx):
+    """Every URL literal the console JS fetches must match a registered
+    route (method-aware) — the headless stand-in for a browser-driven
+    click-through (no JS engine in this image). Template interpolations
+    become single-segment wildcards; route `{vars}` likewise."""
+    import os
+    import re
+
+    api_dir = os.path.join(os.path.dirname(__file__), "..",
+                           "mobius_rag_tpu", "api")
+    js = "".join(
+        open(os.path.join(api_dir, "static", f)).read()
+        for f in sorted(os.listdir(os.path.join(api_dir, "static"))))
+
+    calls: list[tuple[str, str]] = []
+    for m in re.finditer(r'UI\.get\(\s*[`"\']([^`"\']+)[`"\']', js):
+        calls.append(("GET", m.group(1)))
+    for m in re.finditer(r'UI\.post\(\s*[`"\']([^`"\']+)[`"\']', js):
+        # explicit method rides as the LAST string arg before the close
+        # (UI.post(url, body, "PUT")); bodies span lines, so look ahead
+        # to the statement end
+        tail = js[m.end():js.index(";", m.end())]
+        mm = re.search(r'"(GET|PUT|PATCH|DELETE)"\s*\)\s*$', tail.strip())
+        calls.append((mm.group(1) if mm else "POST", m.group(1)))
+    for m in re.finditer(r'fetch\(\s*"([^"?]+)[^)]*?', js):
+        tail = js[m.start():m.start() + 200]
+        mm = re.search(r'method:\s*"(\w+)"', tail)
+        calls.append((mm.group(1) if mm else "GET", m.group(1)))
+    assert len(calls) > 40, f"extraction regressed: {len(calls)}"
+
+    app = build_app(ctx)
+    routes = set()
+    for r in app.router.routes():
+        info = r.resource.get_info() if r.resource else {}
+        pattern = info.get("path") or info.get("formatter") or ""
+        if pattern:
+            routes.add((r.method, pattern))
+
+    def seg_norm(path: str) -> tuple[str, ...]:
+        path = path.split("?")[0]
+        return tuple("*" if ("${" in s or (s.startswith("{") and
+                                           s.endswith("}"))) else s
+                     for s in path.strip("/").split("/"))
+
+    route_index: dict[str, set[tuple[str, ...]]] = {}
+    for method, pattern in routes:
+        route_index.setdefault(method, set()).add(seg_norm(pattern))
+
+    def matches(method: str, path: str) -> bool:
+        want = seg_norm(path)
+        for have in route_index.get(method, ()):
+            if len(have) == len(want) and all(
+                    a == b or a == "*" or b == "*"
+                    for a, b in zip(have, want)):
+                return True
+        return False
+
+    missing = [(m, p) for m, p in calls
+               if not p.startswith("http") and not matches(m, p)]
+    assert not missing, f"console JS calls without routes: {missing}"
+
+
+def test_fact_review_workflow(ctx):
+    """Accept/reject/edit review loop (reference ReviewFactsTab)."""
+    async def scenario():
+        lex = ctx.engine.lexicon
+        recs = [_fact_record("revdoc", i, t, lex) for i, t in enumerate([
+            "Claims must be received within 180 days of service.",
+            "Prior authorization is required for H0019.",
+        ])]
+        ctx.store.publish_document("revdoc", recs)
+        client = TestClient(TestServer(build_app(ctx)))
+        await client.start_server()
+        try:
+            r = await client.get("/facts?needs_review=1")
+            pool = [f for f in (await r.json())["facts"]
+                    if f["doc_id"] == "revdoc"]
+            assert len(pool) == 2
+            fid = pool[0]["fact_id"]
+
+            r = await client.post("/facts/review", json={
+                "doc_id": "revdoc", "fact_id": fid, "verdict": "accepted",
+                "note": "checked against the manual"})
+            assert (await r.json())["verdict"] == "accepted"
+            r = await client.get("/facts?needs_review=1")
+            pool = [f for f in (await r.json())["facts"]
+                    if f["doc_id"] == "revdoc"]
+            assert len(pool) == 1  # accepted one left the queue
+
+            # reject + remove unpublishes the fact
+            fid2 = pool[0]["fact_id"]
+            r = await client.post("/facts/review", json={
+                "doc_id": "revdoc", "fact_id": fid2, "verdict": "rejected",
+                "remove": True})
+            body = await r.json()
+            assert body["removed"] is True
+            r = await client.get("/documents/revdoc/facts")
+            left = (await r.json())["facts"]
+            assert [f["fact_id"] for f in left] == [fid]
+
+            # bad verdict refused
+            r = await client.post("/facts/review", json={
+                "doc_id": "revdoc", "fact_id": fid, "verdict": "maybe"})
+            assert r.status == 400
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
+def test_curator_probe_classify_ingested(ctx):
+    async def scenario():
+        client = TestClient(TestServer(build_app(ctx)))
+        await client.start_server()
+        try:
+            url = "https://www.sunshinehealth.com/providers/manual.pdf"
+            r = await client.post("/api/curator/sources", json={"url": url})
+            assert (await r.json())["url"] == url
+            r = await client.post("/api/curator/classify", json={"url": url})
+            body = await r.json()
+            assert body["payer"]
+            r = await client.post("/api/curator/probe", json={"url": url})
+            assert "probed" in (await r.json())
+            r = await client.post("/api/curator/mark-ingested",
+                                  json={"url": url, "doc_id": "d1"})
+            assert (await r.json())["status"] == "ingested"
+            for ep in ("probe", "classify", "mark-ingested"):
+                r = await client.post(f"/api/curator/{ep}", json={})
+                assert r.status == 400
+        finally:
+            await client.close()
+
+    _run(scenario())
