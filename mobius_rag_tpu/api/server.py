@@ -66,7 +66,8 @@ class AppContext:
     extra_state: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
-    def build(cls, *, embed_fn=None, lexicon=None, llm=None) -> "AppContext":
+    def build(cls, *, embed_fn=None, lexicon=None, llm=None,
+              store=None) -> "AppContext":
         from mobius_rag_tpu.curator import Curator
         from mobius_rag_tpu.providers import get_embedding_provider
         from mobius_rag_tpu.query.lexicon import Lexicon
@@ -76,7 +77,7 @@ class AppContext:
         # default = packaged full lexicon) — never the toy test sample.
         lexicon = lexicon or Lexicon.from_yaml(get_config().lexicon_path)
         embed_fn = embed_fn or get_embedding_provider().embed
-        store = ChunkStore()
+        store = store or ChunkStore()  # serve a pre-built index when given
         telemetry = TelemetryStore()
         engine = SearchEngine(store, lexicon, embed_fn=embed_fn,
                               telemetry=telemetry)
