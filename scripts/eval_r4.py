@@ -39,6 +39,15 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+if "--cpu" in sys.argv:
+    # JAX_PLATFORMS env alone does NOT override the axon plugin's
+    # pinned jax.config (see .claude/skills/verify) — set the config
+    # before any backend-initializing call.
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def log(msg):
     print(f"[eval_r4] {msg}", file=sys.stderr, flush=True)
