@@ -187,11 +187,27 @@ def main():
             and not r["checks"]["routing"]["ok"]],
     }
 
-    # oracle / headroom (the reference's central calibration number)
+    # oracle / headroom (the reference's central calibration number).
+    # Run it on BOTH banks: the core bank saturates at recall 1.0 by
+    # corpus construction (headroom degenerates to 0), so the
+    # paraphrase bank — where arms genuinely differ — carries the
+    # meaningful oracle/headroom figure.
     matrix = run_matrix(agent, bank_cmhc, strategies=("a", "b", "c", "d"))
     analysis = analyze_matrix(
         matrix, natural_run={"mean_chunk_recall":
                              out_core2.aggregates["mean_chunk_recall"]})
+    para_matrix = run_matrix(agent, bank_para,
+                             strategies=("a", "b", "c", "d"))
+    para_analysis = analyze_matrix(
+        para_matrix, natural_run={"mean_chunk_recall":
+                                  out_para.aggregates["mean_chunk_recall"]})
+    artifact["oracle_headroom_paraphrase"] = {
+        k: para_analysis[k] for k in ("oracle_recall", "natural_recall",
+                                      "routing_headroom", "arm_stats",
+                                      "winner_distribution")}
+    log(f"paraphrase oracle={para_analysis['oracle_recall']} "
+        f"natural={para_analysis['natural_recall']} "
+        f"headroom={para_analysis['routing_headroom']}")
     artifact["oracle_headroom"] = {
         k: analysis[k] for k in ("oracle_recall", "natural_recall",
                                  "routing_headroom", "arm_stats",
