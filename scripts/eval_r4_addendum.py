@@ -1,0 +1,128 @@
+"""Round-4 eval addendum — merged into EVAL_r4_cmhc.json.
+
+1. Paraphrase-bank oracle/headroom matrix (the core bank saturates at
+   recall 1.0 by corpus construction, so its headroom degenerates).
+2. Coverage-matched routing pass: the core bank's c/d-expected queries
+   carry "corpus thin on X" notes — their expectation encodes the
+   REFERENCE production corpus's coverage gaps (queries_cmhc.yaml
+   notes), while our fixture corpus was authored to COVER the bank's
+   fact surface, so routing them to strategy a is corpus-correct and
+   routing_match_rate is structurally capped at 15/22 = 0.68. This
+   pass reconstructs the reference's condition: unpublish the chunks
+   holding each c/d query's must_facts, then require the agent's
+   adaptive loop to detect the gap and escalate into c/d.
+
+Run AFTER scripts/eval_r4.py:
+  PYTHONPATH="$PYTHONPATH:/root/repo" python scripts/eval_r4_addendum.py --cpu
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def log(msg):
+    print(f"[addendum] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "eval_artifacts"))
+    ap.add_argument("--distractor-docs", type=int, default=1200)
+    args = ap.parse_args()
+
+    from mobius_rag_tpu.eval_harness.bank import load_bank
+    from mobius_rag_tpu.eval_harness.fact_checker import check_facts
+    from mobius_rag_tpu.eval_harness.fixture_corpus import derive_selectivity
+    from mobius_rag_tpu.eval_harness.matrix import analyze_matrix, run_matrix
+    from mobius_rag_tpu.eval_harness.run import run_eval
+    from scripts.eval_r4 import build_blind_stack
+
+    # ---- 1. paraphrase oracle/headroom ------------------------------------
+    agent, engine, store, lexicon, bank_cmhc = build_blind_stack(
+        7, args.distractor_docs)
+    bank_para = load_bank("cmhc_paraphrase")
+    out_para = run_eval(agent, bank_para)
+    matrix = run_matrix(agent, bank_para, strategies=("a", "b", "c", "d"))
+    analysis = analyze_matrix(
+        matrix, natural_run={"mean_chunk_recall":
+                             out_para.aggregates["mean_chunk_recall"]})
+    para_oracle = {k: analysis[k] for k in
+                   ("oracle_recall", "natural_recall", "routing_headroom",
+                    "arm_stats", "winner_distribution")}
+    log(f"paraphrase oracle={analysis['oracle_recall']} "
+        f"natural={analysis['natural_recall']} "
+        f"headroom={analysis['routing_headroom']}")
+
+    # ---- 2. coverage-matched routing --------------------------------------
+    cd_queries = [q for q in bank_cmhc.queries
+                  if q.expected.get("strategy") in ("c", "d")]
+    drop_rows: dict[str, set[int]] = {}
+    for q in cd_queries:
+        for row in range(store.capacity):
+            rec = store.record(row)
+            if rec is None:
+                continue
+            if check_facts(q.must_facts, [rec.text]).recall >= 0.5:
+                drop_rows.setdefault(rec.doc_id, set()).add(row)
+    n_drop = sum(len(v) for v in drop_rows.values())
+    log(f"unpublishing {n_drop} chunks across {len(drop_rows)} docs "
+        f"(the c/d queries' fact surface)")
+    for doc_id, rows in drop_rows.items():
+        keep = [store.record(r) for r in store.rows_for_document(doc_id)
+                if r not in rows and store.record(r) is not None]
+        store.publish_document(doc_id, keep)
+    derive_selectivity(store, lexicon)
+    agent._tag_docs_cache = None
+
+    out_cm = run_eval(agent, bank_cmhc)
+    match_rate = out_cm.aggregates.get("routing_match_rate")
+    per_cd = [
+        {"query_id": r["query_id"],
+         "expected": r["checks"]["routing"]["expected"],
+         "chain": r["checks"]["routing"]["chain"],
+         "ok": r["checks"]["routing"]["ok"]}
+        for r in out_cm.results
+        if r.get("checks", {}).get("routing")
+        and r["checks"]["routing"]["expected"] in ("c", "d")]
+    log(f"coverage-matched routing_match_rate: {match_rate}")
+    for row in per_cd:
+        log(f"  {row}")
+
+    # ---- merge ------------------------------------------------------------
+    path = os.path.join(args.out, "EVAL_r4_cmhc.json")
+    art = json.load(open(path)) if os.path.exists(path) else {"round": 4}
+    art["oracle_headroom_paraphrase"] = para_oracle
+    art["routing_coverage_matched"] = {
+        "note": ("c/d routing expectations encode the reference corpus's "
+                 "thin spots (queries_cmhc.yaml notes); this pass "
+                 "unpublishes those queries' fact chunks so the gap is "
+                 "real, then requires escalation into c/d"),
+        "chunks_unpublished": n_drop,
+        "match_rate": match_rate,
+        "cd_queries": per_cd,
+        "aggregates": out_cm.aggregates,
+    }
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1, default=str)
+    log(f"merged into {path}")
+    print(json.dumps({"paraphrase_oracle": analysis["oracle_recall"],
+                      "paraphrase_headroom": analysis["routing_headroom"],
+                      "coverage_matched_routing": match_rate}))
+
+
+if __name__ == "__main__":
+    main()
