@@ -226,12 +226,13 @@ def main() -> None:
 
     @jax.jit
     def scan_block(qs, tgt, blk8, bsc, base):
-        # int8 values are EXACT in bf16 (8-bit mantissa covers ±127), so
-        # a bf16 multiply with f32 accumulation reads the same matrix the
-        # host re-rank uses at half the cast transient and MXU-native
-        # speed; query-side bf16 rounding (~0.4%) is far inside the
-        # graded-copy distance bands of this corpus.
-        s = jnp.dot(qs.astype(jnp.bfloat16), blk8.astype(jnp.bfloat16).T,
+        # f32-exact multiply (int8 values are exact in f32): the oracle's
+        # boundary score is the tie-aware recall floor below, so its
+        # arithmetic must match the host re-rank's exact f32 scoring —
+        # bf16 query rounding (~1e-3 relative) would blur the boundary
+        # by more than the near-dup copy gaps. Runs FIRST (empty HBM),
+        # so the per-block f32 cast transient (1.5 GB at 250k rows) fits.
+        s = jnp.dot(qs, blk8.astype(jnp.float32).T,
                     preferred_element_type=jnp.float32) * bsc[None, :]
         if strict:
             rows = base + jnp.arange(blk8.shape[0], dtype=jnp.int32)
@@ -240,11 +241,12 @@ def main() -> None:
         vals, idx = jax.lax.top_k(s, K)
         return vals, idx + base
 
-    ocache = (f"/tmp/bench10m_oracle_{N}_{args.oracle_queries}"
-              f"{'_strict' if strict else ''}.npy")
+    ocache = (f"/tmp/bench10m_oracle_v2_{N}_{args.oracle_queries}"
+              f"{'_strict' if strict else ''}.npz")
     t0 = time.perf_counter()
     if os.path.exists(ocache):
-        best_i = np.load(ocache)
+        z = np.load(ocache)
+        best_i, best_v = z["idx"], z["vals"]
         log(f"oracle loaded from {ocache}")
     else:
         best_v = np.full((args.oracle_queries, K), -1e30, np.float32)
@@ -264,7 +266,7 @@ def main() -> None:
             if off % 2_000_000 < OB:
                 log(f"  oracle {off // 1_000_000}M/{N // 1_000_000}M "
                     f"({time.perf_counter() - t0:.0f}s)")
-        np.save(ocache, best_i)
+        np.savez(ocache, idx=best_i, vals=best_v)
         log(f"exact oracle scan: {time.perf_counter() - t0:.0f}s "
             f"(cached to {ocache})")
     oracle_sets = [set(map(int, row)) for row in best_i]
@@ -343,12 +345,29 @@ def main() -> None:
         [QueryRequest(query="", embedding=qv[i], tag_mode=tm,
                       payer=payers[q_tgt[i]] if strict else "")
          for i in range(len(qv))], k=K)
-    recalls = []
+    recalls, recalls_tie = [], []
     for i, r in enumerate(res):
-        got = {h.row for h in r.hits}
-        recalls.append(len(got & oracle_sets[i]) / K)
+        got = [h.row for h in r.hits]
+        recalls.append(len(set(got) & oracle_sets[i]) / K)
+        # Tie-aware recall: this corpus carries EXACT duplicate rows
+        # (templated near-dup families — ~2.6 rows per distinct text at
+        # 1M bases), so the oracle's 10th/11th scores tie EXACTLY
+        # (measured margin 0.0) and id-membership recall is capped by
+        # arbitrary tie ordering, not retrieval quality. A hit whose
+        # EXACT f32 score >= the oracle's k-th score (within f32
+        # rounding) is correct by value — the metric the reference's
+        # over-fetch tie-crowding trick exists for
+        # (corpus_search.py:1453-1457).
+        rows = np.asarray(got, np.int64)
+        hv = host_vec[rows].astype(np.float32)
+        sc = (hv @ qv[i]) * host_sca[rows]
+        floor = best_v[i, K - 1] - 1e-6 * abs(best_v[i, K - 1])
+        ok = (np.isin(rows, best_i[i]) | (sc >= floor))
+        recalls_tie.append(float(ok.sum()) / K)
     recall = float(np.mean(recalls))
-    log(f"engine hybrid recall@{K} vs exact oracle: {recall:.4f}")
+    recall_tie = float(np.mean(recalls_tie))
+    log(f"engine hybrid recall@{K} vs exact oracle: {recall:.4f} "
+        f"(tie-aware {recall_tie:.4f})")
 
     def median3(f):
         vals = []
@@ -402,7 +421,12 @@ def main() -> None:
         "unit": "queries/sec",
         "pipelined_qps": round(pipe_qps, 1),
         "sync_qps": round(sync_qps, 1),
-        "recall_at_10_vs_exact": round(recall, 4),
+        "recall_at_10_vs_exact": round(recall_tie, 4),
+        "recall_at_10_id_membership": round(recall, 4),
+        "recall_note": ("tie-aware: hits scoring >= the oracle's k-th "
+                        "score count (exact-duplicate rows make the "
+                        "oracle's k-boundary an exact tie; id-membership "
+                        "recall caps at arbitrary tie ordering)"),
         "tag_mode": tm,
         "batch": B,
         "backend": engine.vector_backend,

@@ -105,14 +105,18 @@ class Config:
     # per-element recall target for jax.lax.approx_max_k, the TPU-native
     # partial-reduction top-k. Candidate selection feeding a downstream
     # exact re-rank (the host funnel / signal-gather re-score) tolerates
-    # sub-1.0 targets by construction. 0 = exact lax.top_k. Default ON
-    # (r4): the probed-scan exact top-k at funnel width measured ~70 ms
-    # vs ~1 ms for approx_max_k on the chip (session-12 diag), and the
-    # recall delta through the funnel+exact-re-rank stack is pinned ≈0
-    # by tests/test_approx_topk_recall.py. merged_topk backend-gates the
-    # op: CPU (the parity mesh) always takes exact lax.top_k, so
-    # CPU-mesh parity tests stay bitwise regardless of this value.
-    ann_approx_topk: float = _env_float("MRAG_ANN_APPROX_TOPK", 0.95)
+    # sub-1.0 targets by construction. 0 = exact lax.top_k. Default OFF
+    # — measured, not assumed (r4 2M strict sweep, /tmp sweep logs →
+    # ROUND4_NOTES): through the funnel + exact-host-re-rank stack,
+    # approx_max_k at recall_target 0.95 cost 0.96→0.83 recall@10 and
+    # even 0.99 cost 0.96→0.85 — the true top-k rows rank DEEP in the
+    # approximate (projected-residual) ordering, exactly the boundary
+    # region where approx_max_k's per-element retention is weakest, so
+    # the funnel loses them unrecoverably. The ~70 ms/batch the exact
+    # top-k costs (session-12 diag) buys ~0.13 recall; keep exact.
+    # merged_topk still backend-gates the op for anyone opting in:
+    # CPU (the parity mesh) always takes exact lax.top_k.
+    ann_approx_topk: float = _env_float("MRAG_ANN_APPROX_TOPK", 0.0)
     # Streaming-insert headroom for the proj backend: EMPTY always-probed
     # slabs appended at build so published rows encode into free slots
     # instead of re-running the k-means build (a full rebuild at 10M is

@@ -1,16 +1,19 @@
-"""approx_max_k default-on (r4): backend gating + recall-delta contract.
+"""approx_max_k recall-delta contract (r4 VERDICT item 3 — resolved by
+MEASUREMENT, against the hypothesis).
 
-The probed scans' final top-k uses jax.lax.approx_max_k on TPU
-(cfg.ann_approx_topk, default 0.95) — measured ~70x faster than exact
-lax.top_k at funnel width on the chip. These tests pin:
-- the default is ON (non-zero) so serving gets the fast path;
+The probed scans' final top-k optionally uses jax.lax.approx_max_k on
+TPU (cfg.ann_approx_topk) — ~70x faster than exact lax.top_k at funnel
+width. The r4 2M strict sweep measured the recall delta through the
+funnel + exact-host-re-rank stack: recall_target 0.95 → recall@10
+0.96→0.83; even 0.99 → 0.85 (true top-k rows rank deep in the
+approximate ordering, the boundary region where approx_max_k retention
+is weakest). So the default is EXACT (0.0); the op stays available by
+env for workloads whose candidates rank shallow. These tests pin:
+- the default is OFF (0.0) per the measurement above;
 - merged_topk on the CPU parity mesh stays EXACT regardless of the
-  approx setting (bitwise mesh parity, the round-3 objection to
-  enabling it);
-- the engine's end-to-end recall with the default config matches the
-  exact-top-k config on the CPU mesh bit-for-bit (same gating).
-The on-TPU recall delta vs exact is measured by the bench drives
-(bench_10m.py / scripts/ann_recall_curve.py artifacts).
+  approx setting (bitwise mesh parity);
+- the engine's end-to-end results are identical either way on the CPU
+  mesh (same gating).
 """
 import jax
 import jax.numpy as jnp
@@ -20,10 +23,10 @@ from mobius_rag_tpu.config import get_config
 from mobius_rag_tpu.ops.topk import merged_topk
 
 
-def test_default_is_enabled(monkeypatch):
+def test_default_is_exact(monkeypatch):
     monkeypatch.delenv("MRAG_ANN_APPROX_TOPK", raising=False)
     cfg = get_config()
-    assert cfg.ann_approx_topk > 0.0
+    assert cfg.ann_approx_topk == 0.0
 
 
 def test_cpu_backend_stays_exact():
