@@ -132,6 +132,21 @@ def main():
     cfg = get_config()
     log(f"backend={jax.default_backend()} devices={len(jax.devices())}")
     artifact: dict = {"round": 4, "backend": jax.default_backend()}
+    path = os.path.join(args.out, "EVAL_r4_cmhc.json")
+
+    def save():
+        # incremental checkpointing: a killed run keeps its finished
+        # sections (merge-preserving: never drop keys an earlier or
+        # parallel invocation already landed)
+        merged = {}
+        if os.path.exists(path):
+            try:
+                merged = json.load(open(path))
+            except Exception:
+                merged = {}
+        merged.update(artifact)
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1, default=str)
 
     # ---- item 5: paraphrase bank + routing loop ---------------------------
     agent, engine, store, lexicon, bank_cmhc = build_blind_stack(
@@ -149,6 +164,7 @@ def main():
     log(f"paraphrase (full agent): "
         f"recall={out_para.aggregates['mean_chunk_recall']} "
         f"citation={out_para.aggregates['citation_rate']}")
+    save()
 
     out_core = run_eval(agent, bank_cmhc)
     routing_before = out_core.aggregates.get("routing_match_rate")
@@ -208,6 +224,7 @@ def main():
     log(f"paraphrase oracle={para_analysis['oracle_recall']} "
         f"natural={para_analysis['natural_recall']} "
         f"headroom={para_analysis['routing_headroom']}")
+    save()
     artifact["oracle_headroom"] = {
         k: analysis[k] for k in ("oracle_recall", "natural_recall",
                                  "routing_headroom", "arm_stats",
@@ -217,6 +234,7 @@ def main():
         st["mean_recall"] for st in analysis["arm_stats"].values())
     artifact["oracle_headroom"]["router_beats_every_single_arm"] = \
         router_beats_every_arm
+    save()
     log(f"oracle={analysis['oracle_recall']} "
         f"natural={analysis['natural_recall']} "
         f"headroom={analysis['routing_headroom']} "
@@ -285,6 +303,7 @@ def main():
             f"recall@10={trained_scores['fact_recall_at_10']} | hash "
             f"cite@10={hash_scores['citation_at_10']} "
             f"recall@10={hash_scores['fact_recall_at_10']}")
+        save()
 
     # ---- item 4: σ-banded baseline ----------------------------------------
     if not args.skip_sigma:
@@ -303,6 +322,9 @@ def main():
                     out.aggregates["latency_ms_median"])
             log(f"σ run {i + 1}/{args.sigma_runs} (seed {seed}): "
                 f"{ {k: v[-1] for k, v in series.items()} }")
+            artifact["sigma_runs_partial"] = {k: list(v)
+                                              for k, v in series.items()}
+            save()
         bands = {}
         for strat, vals in series.items():
             mu = statistics.mean(vals)
@@ -338,9 +360,8 @@ def main():
         artifact["sigma_bands"] = bands
         log(f"σ bands: { {k: (v['mean'], v['sigma']) for k, v in bands.items()} }")
 
-    path = os.path.join(args.out, "EVAL_r4_cmhc.json")
-    with open(path, "w") as f:
-        json.dump(artifact, f, indent=1, default=str)
+    artifact.pop("sigma_runs_partial", None)
+    save()
     log(f"artifact written: {path}")
     print(json.dumps({
         "paraphrase_recall": out_para.aggregates["mean_chunk_recall"],
