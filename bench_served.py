@@ -73,10 +73,14 @@ QUERIES = [
 ]
 
 
-async def drive(app, qps: float, seconds: float, warmup: int = 12):
+async def drive(ctx, qps: float, seconds: float, warmup: int = 12):
     from aiohttp.test_utils import TestClient, TestServer
 
-    client = TestClient(TestServer(app))
+    from mobius_rag_tpu.api.server import build_app
+
+    # build the app INSIDE the driving loop: aiohttp binds an
+    # Application to the loop that first serves it
+    client = TestClient(TestServer(build_app(ctx)))
     await client.start_server()
     try:
         async def one(i: int):
@@ -126,14 +130,11 @@ def main():
 
     log(f"backend={jax.default_backend()} {jax.devices()}")
     ctx = build_ctx(args.n)
-    from mobius_rag_tpu.api.server import build_app
-
-    app = build_app(ctx)
 
     results = {}
     for qps in (args.qps, args.qps / 4):
         lat, achieved, mb = asyncio.new_event_loop().run_until_complete(
-            drive(app, qps, args.seconds))
+            drive(ctx, qps, args.seconds))
         arr = np.asarray(sorted(lat))
         results[f"offered_{int(qps)}qps"] = {
             "achieved_qps": round(achieved, 1),
