@@ -153,9 +153,7 @@ def main():
         body = (q.expected.get("golden_answer") or "") + "\n" + \
             "\n".join(q.must_facts)
         pages[f"https://provider.example/{q.id}"] = body
-    agent.web = SeededWeb(pages)
-    for sid in ("c", "d"):
-        pass  # strategies read agent.web at call time
+    agent.web = SeededWeb(pages)  # strategies read agent.web at call time
 
     calib2 = calibrate(agent, bank_cmhc)
     tmp2 = os.path.join(args.out, "derived_priors_thin_web.json")
