@@ -345,7 +345,7 @@ def main() -> None:
         [QueryRequest(query="", embedding=qv[i], tag_mode=tm,
                       payer=payers[q_tgt[i]] if strict else "")
          for i in range(len(qv))], k=K)
-    recalls, recalls_tie = [], []
+    recalls, recalls_tie, recalls_fam = [], [], []
     for i, r in enumerate(res):
         got = [h.row for h in r.hits]
         recalls.append(len(set(got) & oracle_sets[i]) / K)
@@ -364,10 +364,19 @@ def main() -> None:
         floor = best_v[i, K - 1] - 1e-6 * abs(best_v[i, K - 1])
         ok = (np.isin(rows, best_i[i]) | (sc >= floor))
         recalls_tie.append(float(ok.sum()) / K)
+        # Family-grain recall: copies of one base row are revisions of
+        # the SAME source text (near-tied scores ~1e-4 apart at the
+        # k-boundary); retrieving a different revision of the text the
+        # oracle picked is production success, so score at the family
+        # grain: |engine families ∩ oracle families| / |oracle families|
+        fam_e = {int(r) % nb for r in rows}
+        fam_o = {int(r) % nb for r in best_i[i]}
+        recalls_fam.append(len(fam_e & fam_o) / max(len(fam_o), 1))
     recall = float(np.mean(recalls))
     recall_tie = float(np.mean(recalls_tie))
+    recall_fam = float(np.mean(recalls_fam))
     log(f"engine hybrid recall@{K} vs exact oracle: {recall:.4f} "
-        f"(tie-aware {recall_tie:.4f})")
+        f"(tie-aware {recall_tie:.4f}, family {recall_fam:.4f})")
 
     def median3(f):
         vals = []
@@ -423,6 +432,7 @@ def main() -> None:
         "sync_qps": round(sync_qps, 1),
         "recall_at_10_vs_exact": round(recall_tie, 4),
         "recall_at_10_id_membership": round(recall, 4),
+        "recall_at_10_family": round(recall_fam, 4),
         "recall_note": ("tie-aware: hits scoring >= the oracle's k-th "
                         "score count (exact-duplicate rows make the "
                         "oracle's k-boundary an exact tie; id-membership "
