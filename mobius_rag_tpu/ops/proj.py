@@ -42,6 +42,16 @@ import numpy as np
 from mobius_rag_tpu.ops.topk import NEG_INF, merged_topk
 
 
+def _scan_impl() -> str:
+    """Probed-scan implementation: "xla" (default) | "pallas"
+    (ops/pallas_proj.py block-DMA kernel). Read at TRACE time — set
+    MRAG_PROJ_SCAN before the first search; an in-process flip after
+    tracing does not retrace (tests exercise the kernel directly)."""
+    import os
+
+    return os.getenv("MRAG_PROJ_SCAN", "xla").strip().lower()
+
+
 @jax.tree_util.register_pytree_node_class
 class PackedProj:
     """Cluster-contiguous int8 projected-residual codes over an IVF
@@ -333,6 +343,29 @@ def proj_search_packed(pp: PackedProj, queries: jnp.ndarray,
     qmax = jnp.maximum(jnp.max(jnp.abs(qp), axis=1), 1e-9)
     q_scale = qmax / 127.0
     q8 = jnp.round(qp / q_scale[:, None]).astype(jnp.int8)
+
+    if _scan_impl() == "pallas":
+        # Pallas cluster-block scan (ops/pallas_proj.py): pipelined
+        # block DMA + MXU dot replaces the gather-bound jnp.take path
+        # (1950 ms/batch32 at 10M, DIAG_sig_stages_10000000). The raw
+        # dots are integer-exact (see module docstring); scaling,
+        # centroid, penalty, validity stay here as fused elementwise +
+        # 4-byte-per-slot gathers.
+        from mobius_rag_tpu.ops.pallas_proj import proj_blocks_pallas
+
+        raw = proj_blocks_pallas(probe, pp.codes, q8)  # [B, P, pad]
+        sc = jnp.take(pp.scales, probe, axis=0)
+        ok = jnp.take(pp.valid, probe, axis=0)
+        rid = jnp.take(pp.rowids, probe, axis=0)
+        cs = jnp.take_along_axis(cscores, probe, axis=1)
+        pen = jnp.take_along_axis(
+            penalty, rid.reshape(b, -1), axis=1).reshape(rid.shape)
+        s = (raw * sc * q_scale[:, None, None] + cs[..., None] + pen
+             + (1.0 - ok) * NEG_INF)
+        vals = s.reshape(b, -1)
+        ids = rid.reshape(b, -1)
+        nv, ni = merged_topk(vals, ids, k, approx)
+        return nv, ni.astype(jnp.int32)
 
     def scan_probe(tok, pc):
         blk = jnp.take(pp.codes, pc, axis=0)  # [B, pad, p] int8
