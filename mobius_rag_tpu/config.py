@@ -125,6 +125,19 @@ class Config:
     # steady state, publish.py:27-481). Headroom = slabs × cluster pad;
     # exhausting it falls back to a full rebuild. 0 disables.
     ann_reserve_slabs: int = _env_int("MRAG_ANN_RESERVE_SLABS", 2)
+    # Filter-gate evaluation: "dense" materializes the [B, C]
+    # eligibility masks + penalty (the ≤~1M default), "local" evaluates
+    # the gate candidate-locally — inside the Pallas probed scan for
+    # the vector arm, on the postings union for the lexical arm, and
+    # over per-tag inverted postings for the d-tag arm (query/gating.py;
+    # requires the proj backend). "auto" = local exactly in the
+    # host-residency proj regime, where the dense masks cost ~1.2 s/
+    # batch32 at 10M rows (DIAG_sig_stages_10000000.json).
+    gating: str = _env_str("MRAG_GATING", "auto")
+    # Candidate-local d-tag arm: per-tag postings width (top-Pd members
+    # by authority; a tag with more live members than this serves its
+    # highest-authority subset — see gating.DTagPostings).
+    dtag_postings: int = _env_int("MRAG_DTAG_POSTINGS", 4096)
     # Vector payload residency: "device" keeps the chunk matrix in HBM
     # (every config through ~8M int8 rows); "host" is the 10M regime —
     # HBM holds ONLY the PQ codes, the int8 rows live in host RAM and
@@ -249,6 +262,11 @@ class Config:
             )
         if self.tag_words <= 0 or self.phrase_words <= 0:
             problems.append("tag_words and phrase_words must be positive")
+        if self.gating not in ("auto", "dense", "local"):
+            problems.append(
+                f"MRAG_GATING={self.gating!r} must be auto|dense|local")
+        if self.dtag_postings < 8:
+            problems.append("MRAG_DTAG_POSTINGS must be >= 8")
         if self.initial_capacity < 128:
             problems.append("MRAG_INITIAL_CAPACITY must be >= 128")
         return problems

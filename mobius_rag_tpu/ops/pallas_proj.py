@@ -101,3 +101,195 @@ def proj_blocks_pallas(probe, codes, q8):
     Falls back to interpret mode off-TPU (parity tests).
     """
     return _proj_blocks(probe, codes, q8, interpret=not _on_tpu())
+
+
+# ---------------------------------------------------------------------------
+# Fused GATED scan: codes + scales + eligibility metadata + rowids all
+# ride the same pipelined block DMA, and the strict/relaxed/auto filter
+# gate (query/engine.py filter_masks + gate_penalty semantics,
+# reference corpus_search.py:1427-1555) evaluates IN-KERNEL from
+# scalar-prefetched per-query params. This removes every [B, C]-sized
+# input of the probed scan — the round-4 path still gathered a
+# [B, C] penalty (plus scales/valid/rowids) through XLA's serial
+# gather, which dominated the 10M program after the raw-dot kernel
+# landed (DIAG_sig_stages_10000000: arms_nosig 3136 ms of which the
+# XLA scan itself was 1950 ms).
+#
+# Eligibility packing (ops/proj.py build_gate_pack), three cluster-
+# layout arrays so each compiled variant DMAs only the words its gate
+# actually reads (a partial last-dim block would violate Mosaic's
+# block-shape rule — the last two block dims must equal the array dims
+# or the (8, 128) tile):
+#   meta [nlist, pad, 2] i32:
+#     word 0: payer u16 | state u16 << 16      (0xFFFF = none/-1)
+#     word 1: program u16 | valid bit 16 | regulator bit 17
+#   jw   [nlist, pad, TW] i32: j-tag bitset  (strict gating)
+#   dpw  [nlist, pad, 2*TW] i32: d-tag + p-tag bitsets (relaxed gating)
+# `tag_level` picks the variant: 0 = meta only (batch carries no tag
+# bits — 8 B/slot), 1 = meta + j, 2 = meta + j + dp.
+#
+# qmeta [B, 8] i32 (scalar prefetch): payer, state, program, tag_mode,
+# strict_ok, inherit, has_j, has_dp. qbits [B, 3*TW] i32: the query's
+# j/d/p tag words (bitcast u32→i32; AND/!=0 tests are bit-pattern
+# exact in either signedness).
+
+_QM_PAYER, _QM_STATE, _QM_PROGRAM, _QM_TAGMODE = 0, 1, 2, 3
+_QM_STRICTOK, _QM_INHERIT, _QM_HASJ, _QM_HASDP = 4, 5, 6, 7
+_NEG_INF = -1e30
+
+
+def _gated_kernel(tw: int, tag_level: int, probe_ref, qmeta_ref, qbits_ref,
+                  *refs):
+    if tag_level == 0:
+        codes_ref, scales_ref, meta_ref, rowids_ref, q_ref = refs[:5]
+        jw_ref = dpw_ref = None
+    elif tag_level == 1:
+        codes_ref, scales_ref, meta_ref, jw_ref, rowids_ref, q_ref = refs[:6]
+        dpw_ref = None
+    else:
+        (codes_ref, scales_ref, meta_ref, jw_ref, dpw_ref, rowids_ref,
+         q_ref) = refs[:7]
+    out_ref, rid_ref = refs[-2], refs[-1]
+
+    bi = pl.program_id(0)
+    blk = codes_ref[0].astype(jnp.float32)  # [pad, p]
+    q_all = q_ref[...].astype(jnp.float32)  # [B, p]
+    acc = jax.lax.dot_general(
+        blk, q_all, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [pad, B]
+    nb = q_all.shape[0]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) == bi
+              ).astype(jnp.float32)  # [1, B]
+    raw = jax.lax.dot_general(
+        acc, onehot, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)[:, 0]  # [pad]
+
+    # All gate logic in i32 {0,1} arithmetic — Mosaic cannot legalize
+    # vector-i1 selects (arith.select on vector<i1> fails), so AND = *,
+    # OR = maximum, and the final blend is multiplicative.
+    meta = meta_ref[0]  # [pad, 2] i32
+    e0, e1 = meta[:, 0], meta[:, 1]
+    none16 = jnp.int32(0xFFFF)
+    payer = e0 & none16
+    state = (e0 >> 16) & none16
+    program = e1 & none16
+    valid = (e1 >> 16) & 1
+    reg = (e1 >> 17) & 1
+
+    qp = qmeta_ref[bi, _QM_PAYER]
+    qs = qmeta_ref[bi, _QM_STATE]
+    qg = qmeta_ref[bi, _QM_PROGRAM]
+    tm = qmeta_ref[bi, _QM_TAGMODE]
+    s_ok = qmeta_ref[bi, _QM_STRICTOK]  # {0,1}
+    inherit = qmeta_ref[bi, _QM_INHERIT]
+    has_j = qmeta_ref[bi, _QM_HASJ]
+    has_dp = qmeta_ref[bi, _QM_HASDP]
+
+    def as01(cond):  # i1 vector → i32 {0,1}
+        return cond.astype(jnp.int32)
+
+    # query ids arrive pre-encoded in the same u16 space (-1 → 0xFFFE
+    # "any", -2 → 0xFFFD "none"; see proj.py encode_qmeta) so slot
+    # 0xFFFF (no value) never matches a real filter and "any" passes all
+    any_p = as01(qp == jnp.int32(0xFFFE))
+    ok_p = jnp.maximum(jnp.maximum(any_p, as01(payer == qp)),
+                       inherit * reg)
+    ok_s = jnp.maximum(as01(qs == jnp.int32(0xFFFE)), as01(state == qs))
+    ok_g = jnp.maximum(as01(qg == jnp.int32(0xFFFE)), as01(program == qg))
+    meta_ok = ok_p * ok_s * ok_g
+
+    if tag_level >= 1:
+        j_ov = jnp.zeros_like(valid)
+        jw = jw_ref[0]  # [pad, TW]
+        for w in range(tw):
+            j_ov = jnp.maximum(j_ov, as01((jw[:, w] & qbits_ref[bi, w]) != 0))
+        strict = valid * meta_ok * jnp.maximum(j_ov, 1 - has_j)
+    else:
+        strict = valid * meta_ok
+    if tag_level >= 2:
+        dp_ov = jnp.zeros_like(valid)
+        dpw = dpw_ref[0]  # [pad, 2*TW]
+        for w in range(tw):
+            dp_ov = jnp.maximum(
+                dp_ov, as01((dpw[:, w] & qbits_ref[bi, tw + w]) != 0))
+            dp_ov = jnp.maximum(
+                dp_ov,
+                as01((dpw[:, tw + w] & qbits_ref[bi, 2 * tw + w]) != 0))
+        relaxed = valid * meta_ok * jnp.maximum(dp_ov, 1 - has_dp)
+    else:
+        relaxed = valid * meta_ok
+    auto = s_ok * strict + (1 - s_ok) * jnp.maximum(strict, relaxed)
+    is0 = as01(tm == 0)
+    is1 = as01(tm == 1)
+    gate = (is0 * auto + is1 * relaxed
+            + (1 - is0) * (1 - is1) * valid).astype(jnp.float32)
+
+    score = raw * scales_ref[0, 0] * gate + (1.0 - gate) * _NEG_INF
+    out_ref[0, 0, 0] = score
+    rid_ref[0, 0, 0] = rowids_ref[0, 0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tw", "tag_level", "interpret"))
+def _proj_gated(probe, qmeta, qbits, codes, scales, meta, jw, dpw,
+                rowids, q8, *, tw: int, tag_level: int, interpret: bool):
+    b, np_ = probe.shape
+    nlist, pad, p = codes.shape
+
+    def blk3(width):
+        return pl.BlockSpec(
+            (1, pad, width),
+            lambda bi, j, probe_ref, *_: (probe_ref[bi, j], 0, 0))
+
+    def blk_row():
+        # [nlist, 1, pad] layout: the last two block dims (1, pad) then
+        # EQUAL the array dims — a plain (1, pad) block over a 2-D
+        # array violates Mosaic's (8, 128)-or-full rule
+        return pl.BlockSpec(
+            (1, 1, pad),
+            lambda bi, j, probe_ref, *_: (probe_ref[bi, j], 0, 0))
+
+    in_specs = [blk3(p), blk_row(), blk3(2)]
+    inputs = [codes, scales[:, None, :], meta]
+    if tag_level >= 1:
+        in_specs.append(blk3(tw))
+        inputs.append(jw)
+    if tag_level >= 2:
+        in_specs.append(blk3(2 * tw))
+        inputs.append(dpw)
+    in_specs += [blk_row(),
+                 pl.BlockSpec((b, p), lambda bi, j, probe_ref, *_: (0, 0))]
+    inputs += [rowids[:, None, :], q8]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, np_),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, pad),
+                         lambda bi, j, probe_ref, *_: (bi, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, pad),
+                         lambda bi, j, probe_ref, *_: (bi, j, 0, 0)),
+        ],
+    )
+    out, rid = pl.pallas_call(
+        functools.partial(_gated_kernel, tw, tag_level),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, np_, 1, pad), jnp.float32),
+                   jax.ShapeDtypeStruct((b, np_, 1, pad), jnp.int32)],
+        interpret=interpret,
+    )(probe, qmeta, qbits, *inputs)
+    return out.reshape(b, np_, pad), rid.reshape(b, np_, pad)
+
+
+def proj_gated_blocks_pallas(probe, qmeta, qbits, codes, scales, meta,
+                             jw, dpw, rowids, q8, *, tw: int,
+                             tag_level: int):
+    """Gated block scores for every probed cluster: [B, P, pad] f32
+    (raw int dot × dequant scale where the row passes the query's
+    filter gate, NEG_INF otherwise) + the slot row ids [B, P, pad] i32.
+    The caller adds the per-cluster centroid score and the query-side
+    dequant scale (both per-[B, P] — cheap XLA elementwise)."""
+    return _proj_gated(probe, qmeta, qbits, codes, scales, meta, jw, dpw,
+                       rowids, q8, tw=tw, tag_level=tag_level,
+                       interpret=not _on_tpu())

@@ -52,6 +52,18 @@ def _scan_impl() -> str:
     return os.getenv("MRAG_PROJ_SCAN", "xla").strip().lower()
 
 
+def _gated_impl() -> str:
+    """Gated-scan implementation: "auto" (pallas kernel on TPU, XLA
+    block scan elsewhere) | "pallas" | "xla". Trace-time, like
+    _scan_impl."""
+    import os
+
+    mode = os.getenv("MRAG_PROJ_GATED_SCAN", "auto").strip().lower()
+    if mode == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return mode
+
+
 @jax.tree_util.register_pytree_node_class
 class PackedProj:
     """Cluster-contiguous int8 projected-residual codes over an IVF
@@ -387,6 +399,262 @@ def proj_search_packed(pp: PackedProj, queries: jnp.ndarray,
     veps = penalty[:, :1] * 0.0  # [B, 1]
     _, (ss, rids) = jax.lax.scan(scan_probe, veps, probe.T)
     vals = jnp.moveaxis(ss, 0, 1).reshape(b, -1)  # [B, P*pad]
+    ids = jnp.moveaxis(rids, 0, 1).reshape(b, -1)
+    nv, ni = merged_topk(vals, ids, k, approx)
+    return nv, ni.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Candidate-local gating: the [B, C]-free config-5 query program
+# ---------------------------------------------------------------------------
+# Round-4 diagnosis (DIAG_sig_stages_10000000.json): after the raw-dot
+# Pallas kernel, the 10M program's remaining seconds were the
+# [B, C]-sized filter gate (strict/relaxed/open masks + penalty over
+# 10M rows) and its scattered per-candidate gather inside the scan.
+# ProjGate packs every per-row input of the filter gate
+# (query/engine.py filter_masks semantics; reference SQL WHERE at
+# corpus_search.py:1427-1555) into the SAME cluster-contiguous layout
+# as the codes, so the probed scan evaluates eligibility on the blocks
+# it already streams — no corpus-sized per-query buffer exists at all.
+
+class ProjGate:
+    """Cluster-layout eligibility pack for a PackedProj table.
+
+    meta [nlist, pad, 2] i32   (payer u16 | state<<16; program u16 |
+                                valid bit 16 | regulator bit 17)
+    jw   [nlist, pad, TW] i32  j-tag bitset words
+    dpw  [nlist, pad, 2TW] i32 d-tag then p-tag bitset words
+    """
+
+    def __init__(self, meta, jw, dpw, tw: int):
+        self.meta, self.jw, self.dpw, self.tw = meta, jw, dpw, int(tw)
+
+    @staticmethod
+    def pack_rows(index, rows) -> jnp.ndarray:
+        """Per-row packed gate words [n, 2 + 3TW] i32 for `rows` of the
+        DeviceIndex (elementwise encode + row gather — used by the full
+        build and by the engine's incremental insert path)."""
+        rid = jnp.asarray(rows, jnp.int32)
+        c = index.valid.shape[0]
+        safe = jnp.clip(rid, 0, c - 1)
+
+        def enc16(col):
+            v = jnp.take(col, safe)
+            return jnp.where(v < 0, jnp.int32(0xFFFF), v) & jnp.int32(0xFFFF)
+
+        payer_raw = jnp.take(index.payer, safe)
+        w0 = enc16(index.payer) | (enc16(index.state) << 16)
+        valid = (jnp.take(index.valid, safe) > 0) & (rid >= 0) & (rid < c)
+        reg = (jnp.take(index.authority, safe) >= 0.999) & (payer_raw < 0)
+        w1 = (enc16(index.program)
+              | (valid.astype(jnp.int32) << 16)
+              | (reg.astype(jnp.int32) << 17))
+        jw = _as_i32(jnp.take(index.j_tags, safe, axis=0))
+        dw = _as_i32(jnp.take(index.d_tags, safe, axis=0))
+        pw = _as_i32(jnp.take(index.p_tags, safe, axis=0))
+        return jnp.concatenate(
+            [w0[:, None], w1[:, None], jw, dw, pw], axis=1)
+
+    @classmethod
+    def build(cls, pp: PackedProj, index) -> "ProjGate":
+        tw = index.j_tags.shape[1]
+        nlist, pad = pp.rowids.shape
+        packed = _gate_pack_rows_jit(index, pp.rowids.reshape(-1))
+        # slots without a live row must carry valid=0 whatever row id
+        # the pad slot holds
+        slot_ok = (pp.valid.reshape(-1) > 0)
+        w1 = jnp.where(slot_ok, packed[:, 1],
+                       packed[:, 1] & ~jnp.int32(1 << 16))
+        packed = packed.at[:, 1].set(w1)
+        meta = packed[:, :2].reshape(nlist, pad, 2)
+        jw = packed[:, 2:2 + tw].reshape(nlist, pad, tw)
+        dpw = packed[:, 2 + tw:].reshape(nlist, pad, 2 * tw)
+        return cls(meta, jw, dpw, tw)
+
+    def scatter(self, cells, slots, packed) -> None:
+        """Write freshly packed rows into (cell, slot) positions (the
+        engine's incremental insert path; donated in-place updates)."""
+        tw = self.tw
+        self.meta, self.jw, self.dpw = _gate_scatter(
+            self.meta, self.jw, self.dpw, cells, slots,
+            packed[:, :2], packed[:, 2:2 + tw], packed[:, 2 + tw:])
+
+    def invalidate(self, cells, slots) -> None:
+        self.meta = _gate_invalidate(self.meta, cells, slots)
+
+
+def _as_i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32) \
+        if x.dtype != jnp.int32 else x
+
+
+@jax.jit
+def _gate_pack_rows_jit(index, rows):
+    return ProjGate.pack_rows(index, rows)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _gate_scatter(meta, jw, dpw, cells, slots, m_new, j_new, dp_new):
+    return (meta.at[cells, slots].set(m_new),
+            jw.at[cells, slots].set(j_new),
+            dpw.at[cells, slots].set(dp_new))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _gate_invalidate(meta, cells, slots):
+    w1 = meta[cells, slots, 1] & ~jnp.int32(1 << 16)
+    return meta.at[cells, slots, 1].set(w1)
+
+
+def encode_qmeta(q: dict, strict_ok) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-query gate params for the gated scan: qmeta [B, 8] i32 and
+    qbits [B, 3TW] i32. Metadata ids re-encode into the pack's u16
+    space (-1 "any" → 0xFFFE, -2 "unknown value, match nothing" →
+    0xFFFD — both distinct from the slot-side 0xFFFF "no value")."""
+
+    def enc(col):
+        v = q[col].astype(jnp.int32)
+        return jnp.where(v == -1, jnp.int32(0xFFFE),
+                         jnp.where(v < 0, jnp.int32(0xFFFD), v))
+
+    has_j = (q["j_bits"].sum(axis=1) > 0)
+    has_dp = (q["d_bits"].sum(axis=1) + q["p_bits"].sum(axis=1) > 0)
+    qmeta = jnp.stack([
+        enc("payer"), enc("state"), enc("program"),
+        q["tag_mode"].astype(jnp.int32),
+        strict_ok.astype(jnp.int32),
+        (q["inherit_authority"] > 0).astype(jnp.int32),
+        has_j.astype(jnp.int32),
+        has_dp.astype(jnp.int32),
+    ], axis=1)
+    qbits = jnp.concatenate(
+        [_as_i32(q["j_bits"]), _as_i32(q["d_bits"]), _as_i32(q["p_bits"])],
+        axis=1)
+    return qmeta, qbits
+
+
+def meta_ok_from_words(meta_blk, qmeta):
+    """Metadata eligibility from packed gate words: meta_blk [..., 2]
+    i32 vs qmeta [B, 8] → (meta_ok, valid) bools broadcast over the
+    candidate axes. The d-tag arm gates on exactly this (dense form:
+    engine.dtag_raw's valid + meta_ok penalties)."""
+    e0, e1 = meta_blk[..., 0], meta_blk[..., 1]
+    m16 = jnp.int32(0xFFFF)
+    payer, state = e0 & m16, (e0 >> 16) & m16
+    program = e1 & m16
+    valid = ((e1 >> 16) & 1) > 0
+    reg = ((e1 >> 17) & 1) > 0
+    qp, qs, qg = (qmeta[:, 0:1], qmeta[:, 1:2], qmeta[:, 2:3])
+    inherit = qmeta[:, 5:6] > 0
+    any16 = jnp.int32(0xFFFE)
+    ok = (((qp == any16) | (payer == qp) | (inherit & reg))
+          & ((qs == any16) | (state == qs))
+          & ((qg == any16) | (program == qg)))
+    return ok, valid
+
+
+def _gate_blocks_xla(meta_blk, jw_blk, dpw_blk, qmeta, qbits, tw: int,
+                     tag_level: int):
+    """XLA mirror of the Pallas kernel's gate math over gathered blocks
+    meta_blk [B, S, 2] (+ jw [B, S, TW], dpw [B, S, 2TW]) → bool [B, S].
+    Shared by the CPU/parity path and by the candidate-local lexical/
+    d-tag arms (query/gating.py) so every consumer computes the exact
+    same gate."""
+    ok, valid = meta_ok_from_words(meta_blk, qmeta)
+    tm = qmeta[:, 3:4]
+    strict_ok = qmeta[:, 4:5] > 0
+    has_j, has_dp = qmeta[:, 6:7] > 0, qmeta[:, 7:8] > 0
+    if tag_level >= 1:
+        j_ov = jnp.zeros_like(valid)
+        for w in range(tw):
+            j_ov = j_ov | ((jw_blk[..., w] & qbits[:, w:w + 1]) != 0)
+        strict = valid & ok & (j_ov | ~has_j)
+    else:
+        strict = valid & ok
+    if tag_level >= 2:
+        dp_ov = jnp.zeros_like(valid)
+        for w in range(tw):
+            dp_ov = dp_ov | ((dpw_blk[..., w] & qbits[:, tw + w:tw + w + 1]) != 0)
+            dp_ov = dp_ov | (
+                (dpw_blk[..., tw + w] & qbits[:, 2 * tw + w:2 * tw + w + 1]) != 0)
+        relaxed = valid & ok & (dp_ov | ~has_dp)
+    else:
+        relaxed = valid & ok
+    auto = jnp.where(strict_ok, strict, strict | relaxed)
+    return jnp.where(tm == 0, auto, jnp.where(tm == 1, relaxed, valid))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "approx",
+                                             "tag_level"))
+def proj_search_gated(pp: PackedProj, gate: "tuple", queries: jnp.ndarray,
+                      qmeta: jnp.ndarray, qbits: jnp.ndarray, k: int,
+                      nprobe: int, approx: float = 0.0,
+                      tag_level: int = 2):
+    """Probed top-k over projected-residual codes with the filter gate
+    evaluated CANDIDATE-LOCALLY on the streamed cluster blocks — the
+    [B, C]-free form of proj_search_packed. `gate` is the ProjGate
+    arrays (meta, jw, dpw) as a tuple (jit-traceable). `qmeta`/`qbits`
+    from encode_qmeta (strict_ok already folded in). `tag_level`
+    statically selects how many gate words the scan reads: 0 = metadata
+    only, 1 = + j words, 2 = + d/p words (the caller derives it from
+    which tag bits the batch actually carries)."""
+    g_meta, g_jw, g_dpw = gate
+    tw = g_jw.shape[-1]
+    b = queries.shape[0]
+    q32 = queries.astype(jnp.float32)
+    cscores = jnp.dot(q32, pp.centroids.T,
+                      preferred_element_type=jnp.float32)  # [B, nlist]
+    p_eff = min(nprobe, pp.base_nlist)
+    _, probe = jax.lax.top_k(cscores[:, : pp.base_nlist], p_eff)
+    n_spill = pp.nlist - pp.base_nlist
+    if n_spill:
+        spill_cells = jnp.broadcast_to(
+            jnp.arange(pp.base_nlist, pp.nlist, dtype=probe.dtype)[None, :],
+            (b, n_spill))
+        probe = jnp.concatenate([probe, spill_cells], axis=1)
+
+    qp = q32 @ pp.proj.T  # [B, p]
+    qmax = jnp.maximum(jnp.max(jnp.abs(qp), axis=1), 1e-9)
+    q_scale = qmax / 127.0
+    q8 = jnp.round(qp / q_scale[:, None]).astype(jnp.int8)
+
+    if _gated_impl() == "pallas":
+        from mobius_rag_tpu.ops.pallas_proj import proj_gated_blocks_pallas
+
+        gated, rid = proj_gated_blocks_pallas(
+            probe, qmeta, qbits, pp.codes, pp.scales, g_meta, g_jw,
+            g_dpw, pp.rowids, q8, tw=tw, tag_level=tag_level)
+        cs = jnp.take_along_axis(cscores, probe, axis=1)  # [B, P]
+        s = jnp.where(gated > NEG_INF / 2,
+                      gated * q_scale[:, None, None] + cs[..., None],
+                      NEG_INF)
+        nv, ni = merged_topk(s.reshape(b, -1), rid.reshape(b, -1), k,
+                             approx)
+        return nv, ni.astype(jnp.int32)
+
+    def scan_probe(tok, pc):
+        blk = jnp.take(pp.codes, pc, axis=0)  # [B, pad, p] int8
+        sc = jnp.take(pp.scales, pc, axis=0)  # [B, pad]
+        rid = jnp.take(pp.rowids, pc, axis=0)
+        meta_blk = jnp.take(g_meta, pc, axis=0)  # [B, pad, 2]
+        jw_blk = jnp.take(g_jw, pc, axis=0) if tag_level >= 1 else None
+        dpw_blk = jnp.take(g_dpw, pc, axis=0) if tag_level >= 2 else None
+        acc = jax.lax.dot_general(
+            blk, q8, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32).astype(jnp.float32)  # [B, pad]
+        ok = _gate_blocks_xla(meta_blk, jw_blk, dpw_blk, qmeta, qbits,
+                              tw, tag_level)
+        gated = jnp.where(ok, acc * sc, NEG_INF)
+        s = jnp.where(
+            gated > NEG_INF / 2,
+            gated * q_scale[:, None]
+            + jnp.take_along_axis(cscores, pc[:, None], axis=1),
+            NEG_INF) + tok
+        return tok, (s, rid)
+
+    veps = q_scale[:, None] * 0.0  # [B, 1] axis-varying token
+    _, (ss, rids) = jax.lax.scan(scan_probe, veps, probe.T)
+    vals = jnp.moveaxis(ss, 0, 1).reshape(b, -1)
     ids = jnp.moveaxis(rids, 0, 1).reshape(b, -1)
     nv, ni = merged_topk(vals, ids, k, approx)
     return nv, ni.astype(jnp.int32)

@@ -40,6 +40,7 @@ from mobius_rag_tpu.config import Config, get_config
 from mobius_rag_tpu.index.store import ChunkStore, DeviceIndex, pack_bits
 from mobius_rag_tpu.ingest.featurize import query_lexical_weights
 from mobius_rag_tpu.ops.topk import NEG_INF
+from mobius_rag_tpu.query.gating import query_dtag_ids as _query_dtag_ids
 from mobius_rag_tpu.query.lexicon import Lexicon, LexiconExpansion
 from mobius_rag_tpu.utils import jit_cache
 from mobius_rag_tpu.utils import native
@@ -387,7 +388,8 @@ def _cand_cos(index: DeviceIndex, qvec: jnp.ndarray, idx: jnp.ndarray) -> jnp.nd
 
 def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
                    m_other: int | None = None, axis: str | None = None,
-                   ann=None, nprobe: int = 32, approx: float = 0.0):
+                   ann=None, nprobe: int = 32, approx: float = 0.0,
+                   local=None, tag_level: int = 2):
     """Per-(sub)index arm scan: top-m candidates per arm + their rerank
     signals. Shared by the single-chip pipeline and the sharded per-shard
     scan — with `axis` set, the strict count psums over the mesh (so all
@@ -410,20 +412,62 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
     the device analogue of swapping pgvector's seqscan for HNSW
     (vector_store.py:274-287).
 
+    ``local`` switches the config-5 candidate-local path (query/
+    gating.py): (gate_tuple, dtag_tuple) of ProjGate/DTagPostings
+    arrays. NO [B, C]-sized buffer exists in that mode — the filter
+    gate evaluates on the probed cluster blocks inside the Pallas scan,
+    the lexical arm scores only its postings union, and the d-tag arm
+    reads per-tag inverted postings. `tag_level` statically bounds the
+    gate words read (gating.batch_tag_level). Requires a PackedProj
+    ann; unsupported under `axis` (the sharded path stays dense).
+
     Returns (vals [3,B,m], gidx [3,B,m] i32, sigs [3,B,m,N_SIG],
     strict_total [B,1])."""
     m_oth = min(m_other or m, m)
-    strict, relaxed, open_mask, meta_ok = filter_masks(index, q)
-    strict_local = strict.sum(axis=1)
-    if axis is None:
+    if local is not None:
+        from mobius_rag_tpu.ops.proj import (PackedProj, encode_qmeta,
+                                             proj_search_gated)
+        from mobius_rag_tpu.query import gating
+
+        assert axis is None, "candidate-local gating is single-chip"
+        assert isinstance(ann, PackedProj)
+        gate_t, dtag_t = local
+        strict_local = gating.strict_counts(index, q)
         strict_total = strict_local[:, None]
         offset = 0
-    else:
-        strict_total = jax.lax.psum(strict_local, axis)[:, None]
-        offset = jax.lax.axis_index(axis) * index.valid.shape[0]
-    penalty = gate_penalty(strict, relaxed, open_mask, q, k, strict_total)
+        strict_ok = strict_local >= k
+        qmeta, qbits = encode_qmeta(q, strict_ok)
+        vec_vals, vec_idx = proj_search_gated(
+            ann, gate_t, q["vec"], qmeta, qbits, m, nprobe, approx,
+            tag_level)
+        vec_vals = vec_vals + jnp.where(
+            vec_vals < q["min_sim"][:, None], NEG_INF, 0.0)
+        cos = None
+        vec_vals, vec_idx, tok = jax.lax.optimization_barrier(
+            (vec_vals, vec_idx, vec_vals[:1, :1] * 0.0))
+        lex_vals, lex_idx, lex_best = gating.lexical_candidates_local(
+            index, q, qmeta, qbits, m_oth, tag_level, tok=tok)
+        lex_vals, lex_idx, lex_best, tok = jax.lax.optimization_barrier(
+            (lex_vals, lex_idx, lex_best, lex_vals[:1, :1] * 0.0))
+        dtag_vals, dtag_idx = gating.dtag_candidates_local(
+            dtag_t, q, qmeta, m_oth, tok=tok)
 
-    if ann is None:
+        def lex_sig_of(idx_):
+            return gating.lex_signal_join(idx_, lex_idx, lex_vals)
+    else:
+        strict, relaxed, open_mask, meta_ok = filter_masks(index, q)
+        strict_local = strict.sum(axis=1)
+        if axis is None:
+            strict_total = strict_local[:, None]
+            offset = 0
+        else:
+            strict_total = jax.lax.psum(strict_local, axis)[:, None]
+            offset = jax.lax.axis_index(axis) * index.valid.shape[0]
+        penalty = gate_penalty(strict, relaxed, open_mask, q, k, strict_total)
+
+    if local is not None:
+        pass  # arms computed above
+    elif ann is None:
         cos, lex_raw, dtag_scores, _, _ = arm_scores(
             index, q, k, penalty=penalty, meta_ok=meta_ok,
             strict_count=strict_total[:, 0],
@@ -497,6 +541,10 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
         dtag_scores = dtag_raw(index, q, meta_ok, tok=tok)
         dtag_vals, dtag_idx = jax.lax.top_k(dtag_scores, m_oth)
 
+    if local is None:
+        def lex_sig_of(idx_):
+            return jnp.take_along_axis(lex_raw, idx_, axis=1)
+
     # No dense payload in HBM (host residency): the exact-cosine signal
     # gather is impossible device-side. The vector arm's ADC value (=
     # approx cosine for eligible rows) stands in for its candidates;
@@ -517,11 +565,7 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
         else:
             cand_cos = jnp.zeros_like(vals)
         sig = jnp.stack(
-            [
-                cand_cos,
-                jnp.take_along_axis(lex_raw, idx, axis=1),
-                auth, lsig, jpd, cov,
-            ],
+            [cand_cos, lex_sig_of(idx), auth, lsig, jpd, cov],
             axis=-1,
         )  # [B, m, N_SIG]
         pad = m - vals.shape[1]
@@ -630,7 +674,8 @@ def fuse_and_rerank(vals, gidx, sigs, q, k: int, rrf_k: int, m_global: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "over_fetch", "rrf_k",
-                                             "nprobe", "funnel", "approx"))
+                                             "nprobe", "funnel", "approx",
+                                             "tag_level"))
 def _search_compiled(
     index: DeviceIndex,
     q: dict,
@@ -641,6 +686,8 @@ def _search_compiled(
     nprobe: int = 32,
     funnel: int = 0,
     approx: float = 0.0,
+    local=None,
+    tag_level: int = 2,
 ):
     """One XLA program: all arms, fusion, rerank. q holds per-query arrays
     (see prepare_query for the schema). Fusion runs over the candidate
@@ -675,7 +722,7 @@ def _search_compiled(
     q = dict(q, vec=q["vec"].astype(jnp.float32))
     vals, gidx, sigs, strict_total = arm_candidates(
         index, q, k, m, m_other=m_fuse, ann=ann, nprobe=nprobe,
-        approx=approx)
+        approx=approx, local=local, tag_level=tag_level)
     # Materialize the arm outputs ONCE. They have two consumers (the
     # fusion path and the raw per-arm telemetry outputs below), and
     # without the barrier XLA rematerializes the full [B, C] arm scan
@@ -871,6 +918,15 @@ class SearchEngine:
         self._ann_stale_hard = False
         self._ann_slot_of_row: np.ndarray | None = None  # row → flat slot
         self._ann_cursor = 0  # next free flat slot in the reserved region
+        # Candidate-local gating structures (query/gating.py): the
+        # cluster-layout eligibility pack + per-tag inverted postings.
+        # Built alongside the proj ANN when the local regime is active;
+        # the d-tag postings rebuild lazily when TAGGED rows mutate
+        # (untagged streaming inserts — the common republish shape —
+        # cost nothing).
+        self._ann_gate = None
+        self._dtag_postings = None
+        self._dtag_stale = False
         store.listeners.append(self._on_store_mutation)
         # parallel.ShardedEngine over the SAME store: when attached, the
         # compiled stage runs sharded over the mesh and the whole host
@@ -919,7 +975,18 @@ class SearchEngine:
     def _on_store_mutation(self, event: str, rows: list[int]) -> None:
         """ChunkStore listener: queue row-level mutations for the
         incremental ANN path. With no ANN built there is nothing to
-        patch (the first ensure_ann indexes the current state)."""
+        patch (the first ensure_ann indexes the current state).
+        D-tag postings staleness is decided HERE (records for deleted
+        rows are gone by the time the queue drains): any mutated row
+        that carries d-tags — or whose record can't be checked —
+        forces a lazy postings rebuild."""
+        if self._dtag_postings is not None and not self._dtag_stale \
+                and event in ("add", "delete", "bulk"):
+            for r in rows or [None]:
+                rec = self.store.record(r) if r is not None else None
+                if rec is None or rec.d_tags:
+                    self._dtag_stale = True
+                    break
         if self._ann is None:
             return
         if event in ("add", "delete") and rows:
@@ -934,6 +1001,51 @@ class SearchEngine:
         self._ann_stale_hard = False
         self._ann_slot_of_row = None
         self._ann_cursor = 0
+        self._ann_gate = None
+        self._dtag_postings = None
+        self._dtag_stale = False
+
+    # -- candidate-local gating ([B, C]-free config-5 path) -----------------
+
+    def _local_gating_active(self) -> bool:
+        """MRAG_GATING: "local" forces, "dense" disables, "auto" =
+        proj backend + host vector residency (the 10M regime whose
+        [B, C] buffers the local path exists to eliminate)."""
+        mode = self.cfg.gating
+        if mode == "dense" or self.sharded is not None:
+            return False
+        if self.vector_backend != "proj":
+            return False
+        if mode == "local":
+            return True
+        return self.store.host_vectors is not None
+
+    def _ensure_local_structs(self, ann):
+        """Build/refresh the ProjGate + DTagPostings for the current
+        ann tables. Returns the `local` tuple for arm_candidates, or
+        None when local gating is off."""
+        from mobius_rag_tpu.ops.proj import PackedProj, ProjGate
+        from mobius_rag_tpu.query.gating import DTagPostings
+
+        if not self._local_gating_active() or not isinstance(ann, PackedProj):
+            return None
+        if self._ann_gate is None:
+            self._ann_gate = ProjGate.build(ann, self.store.index)
+        if self._dtag_postings is None or self._dtag_stale:
+            self._dtag_postings = DTagPostings.build(
+                self.store.index, self.cfg.dtag_postings)
+            self._dtag_stale = False
+        return ((self._ann_gate.meta, self._ann_gate.jw,
+                 self._ann_gate.dpw), self._dtag_postings.as_tuple())
+
+    @staticmethod
+    def _batch_tag_level(exps) -> int:
+        """Static gate width for a prepared batch (see
+        gating.batch_tag_level): over-approximates from the lexicon
+        expansions, which is safe (extra words DMA'd, same gate)."""
+        if any(exp.tag_ids["d"] or exp.tag_ids["p"] for exp in exps):
+            return 2
+        return 1 if any(exp.tag_ids["j"] for exp in exps) else 0
 
     def _try_ann_incremental(self) -> bool:
         """Apply queued adds/deletes to the live PackedProj tables as
@@ -1026,10 +1138,14 @@ class SearchEngine:
                 yield blk
 
         for blk in blocks(np.asarray(del_slots, np.int64)) if del_slots else ():
-            ann.valid = invalidate_slots(
-                ann.valid, jnp.asarray(blk // pad, jnp.int32),
-                jnp.asarray(blk % pad, jnp.int32))
+            cells = jnp.asarray(blk // pad, jnp.int32)
+            slots = jnp.asarray(blk % pad, jnp.int32)
+            ann.valid = invalidate_slots(ann.valid, cells, slots)
+            if self._ann_gate is not None:
+                self._ann_gate.invalidate(cells, slots)
         if add_rows:
+            from mobius_rag_tpu.ops.proj import ProjGate
+
             for rblk, sblk in zip(blocks(np.asarray(add_rows, np.int64)),
                                   blocks(np.asarray(add_slots, np.int64))):
                 if self.store.host_vectors is not None:
@@ -1043,13 +1159,16 @@ class SearchEngine:
                     if self.cfg.vector_dtype == "int8":
                         xdev = xdev * jnp.take(index.vec_scales, ridx)[:, None]
                 codes, scales = encode_reserved(ann.proj, xdev)
+                cells = jnp.asarray(sblk // pad, jnp.int32)
+                slots = jnp.asarray(sblk % pad, jnp.int32)
                 (ann.codes, ann.scales, ann.valid, ann.rowids) = scatter_slots(
                     ann.codes, ann.scales, ann.valid, ann.rowids,
-                    jnp.asarray(sblk // pad, jnp.int32),
-                    jnp.asarray(sblk % pad, jnp.int32),
-                    codes, scales,
+                    cells, slots, codes, scales,
                     jnp.ones((BLK,), jnp.float32),
                     jnp.asarray(rblk, jnp.int32))
+                if self._ann_gate is not None:
+                    packed = ProjGate.pack_rows(index, jnp.asarray(rblk))
+                    self._ann_gate.scatter(cells, slots, packed)
         return True
 
     def ensure_ann(self):
@@ -1401,6 +1520,10 @@ class SearchEngine:
             "slot_jbit": s_jbit,
             "slot_isj": s_isj,
             "slot_weight": s_weight,
+            # explicit d-tag id list for the candidate-local d-tag arm
+            # (the dense arm reads the packed bits; this rides along —
+            # 64 B/query — so one prepared dict serves both modes)
+            "d_tag_ids": _query_dtag_ids(exp.tag_ids["d"], cfg.tag_words),
         }
         if len(self._prep_cache) >= self._prep_cache_max:
             self._prep_cache.popitem(last=False)
@@ -1522,6 +1645,7 @@ class SearchEngine:
             # interleave host prep with device execution: each batch
             # dispatches the moment it's prepared (dispatch is async), so
             # batch i+1's string work overlaps batch i's device scan
+            local = self._ensure_local_structs(ann)
             prepared, outs = [], []
             for b in batches:
                 q, exps = self.prepare_batch(b)
@@ -1529,7 +1653,8 @@ class SearchEngine:
                 outs.append(_search_compiled(
                     self.store.index, q, kd, self.cfg.over_fetch,
                     self.cfg.rrf_k, ann, self.effective_nprobe, fw,
-                    self.cfg.ann_approx_topk))
+                    self.cfg.ann_approx_topk, local,
+                    self._batch_tag_level(exps) if local else 2))
             fetch_iter = self._iter_fetched(
                 outs, kd, functools.partial(unpack_out, w=fw))
         results = []
@@ -1595,12 +1720,14 @@ class SearchEngine:
                 out = self._host_rerank(reqs, exps, out, k)
         else:
             ann = self.ensure_ann()
+            local = self._ensure_local_structs(ann)
             kd = self._device_k(k)
             fw = self._device_funnel(k)
             out = unpack_out(jax.device_get(
                 _search_compiled(self.store.index, q, kd, cfg.over_fetch,
                                  cfg.rrf_k, ann, self.effective_nprobe, fw,
-                                 self.cfg.ann_approx_topk)),
+                                 self.cfg.ann_approx_topk, local,
+                                 self._batch_tag_level(exps) if local else 2)),
                 kd, w=fw)
             if kd != k or fw:
                 out = self._host_rerank(reqs, exps, out, k)
