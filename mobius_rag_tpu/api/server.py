@@ -260,27 +260,49 @@ def build_app(ctx: AppContext) -> web.Application:
     # batch-of-1 arrivals fold into one compiled program invocation,
     # and the engine call leaves the event loop (the reference blocks a
     # worker per query; here the loop stays live during device time).
-    from mobius_rag_tpu.query.microbatch import make_batcher
+    from mobius_rag_tpu.query.microbatch import OverloadedError, make_batcher
 
     batcher = make_batcher(ctx.engine)
+
+    # Per-request input validation lives HERE, before the batcher:
+    # engine.search validates per-request fields but raises for the
+    # whole batch, so a malformed request co-batched with valid ones
+    # would 400 its neighbors (round-4 advisor finding). k is clamped
+    # so one caller can't force a new compile shape / memory spike on
+    # the shared batch.
+    _QUERY_MODES = ("corpus", "precision", "recall")
+    _TAG_MODES = ("strict", "relaxed", "none")
+    MAX_QUERY_K = int(os.getenv("MRAG_MAX_QUERY_K", "100"))
 
     async def query(request):
         body = await request.json()
         if not body.get("query"):
             return _err("missing 'query'")
+        mode = body.get("mode", "corpus")
+        if mode not in _QUERY_MODES:
+            return _err(f"mode must be one of {_QUERY_MODES}")
+        tag_mode = body.get("tag_mode", "strict")
+        if tag_mode not in _TAG_MODES:
+            return _err(f"tag_mode must be one of {_TAG_MODES}")
+        try:
+            min_sim = float(body.get("min_similarity", 0.0))
+            k = max(1, min(int(body.get("k", 10)), MAX_QUERY_K))
+        except (TypeError, ValueError):
+            return _err("k and min_similarity must be numbers")
         qreq = QueryRequest(
-            query=body["query"], mode=body.get("mode", "corpus"),
+            query=body["query"], mode=mode,
             payer=body.get("payer", ""), state=body.get("state", ""),
             program=body.get("program", ""),
-            min_similarity=float(body.get("min_similarity", 0.0)),
-            tag_mode=body.get("tag_mode", "strict"),
+            min_similarity=min_sim,
+            tag_mode=tag_mode,
         )
-        k = int(body.get("k", 10))
         try:
             if batcher is not None:
                 res = await batcher.search_one(qreq, k)
             else:
                 res = ctx.engine.search(qreq, k=k)[0]
+        except OverloadedError as e:
+            return _json({"error": str(e)}, status=503)
         except ValueError as e:
             return _err(str(e))
         return _json({

@@ -9,6 +9,15 @@ const UI = (() => {
   const J = (r) => r.json();
   const esc = (s) => String(s ?? "").replace(/[&<>"]/g,
     (c) => ({ "&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;" }[c]));
+  // Safe argument embedding for inline handlers: esc() covers HTML
+  // context but NOT a single-quoted JS string inside an inline handler
+  // attribute — a value containing ' would break out (stored script
+  // injection in the operator console). arg() percent-encodes
+  // (including ', which encodeURIComponent leaves alone); d() decodes
+  // at call time: handler(UI.d('${UI.arg(value)}')).
+  const arg = (s) => encodeURIComponent(String(s ?? ""))
+    .replace(/'/g, "%27");
+  const d = decodeURIComponent;
 
   async function get(url) {
     const r = await fetch(url);
@@ -82,5 +91,5 @@ const UI = (() => {
     } catch (e) { /* server warming */ }
   }
 
-  return { tab, boot, show, get, post, table, pre, lbl, hits, esc, J };
+  return { tab, boot, show, get, post, table, pre, lbl, hits, esc, arg, d, J };
 })();

@@ -76,12 +76,12 @@ async function loadEvalRuns() {
   const r = await UI.get("/api/eval/runs");
   eout.innerHTML = UI.table(
     ["run (click for detail)", "bank", "acc", "recall", "p50 ms", ""],
-    r.runs.map((x) => `<tr class=click onclick="loadRunDetail('${x.run_id}')">
+    r.runs.map((x) => `<tr class=click onclick="loadRunDetail(UI.d('${UI.arg(x.run_id)}'))">
       <td>${UI.esc(x.run_id.slice(0, 10))}</td><td>${UI.esc(x.bank_name)}</td>
       <td>${x.aggregates?.accuracy ?? ""}</td>
       <td>${x.aggregates?.mean_chunk_recall ?? ""}</td>
       <td>${x.aggregates?.latency_ms_median ?? ""}</td>
-      <td><button onclick="event.stopPropagation(); loadPr('${x.run_id}')">PR curve</button></td></tr>`))
+      <td><button onclick="event.stopPropagation(); loadPr(UI.d('${UI.arg(x.run_id)}'))">PR curve</button></td></tr>`))
     + "<div id=erun></div>";
 }
 async function loadRunDetail(id) {
@@ -92,8 +92,8 @@ async function loadRunDetail(id) {
     <td>${UI.esc(x.effective_verdict || x.verdict || "")}</td>
     <td>${(x.chunk_recall ?? "")}</td>
     <td>
-      <button onclick="setVerdict('${id}','${UI.esc(x.query_id)}','correct')">✓</button>
-      <button onclick="setVerdict('${id}','${UI.esc(x.query_id)}','incorrect')">✗</button></td></tr>`);
+      <button onclick="setVerdict(UI.d('${UI.arg(id)}'),UI.d('${UI.arg(x.query_id)}'),'correct')">✓</button>
+      <button onclick="setVerdict(UI.d('${UI.arg(id)}'),UI.d('${UI.arg(x.query_id)}'),'incorrect')">✗</button></td></tr>`);
   document.getElementById("erun").innerHTML =
     `<p class=meta>run ${UI.esc(id)} · aggregates ${UI.esc(JSON.stringify(r.aggregates))}</p>`
     + UI.table(["query", "strategy", "conf", "verdict", "recall", "human override"], rows);

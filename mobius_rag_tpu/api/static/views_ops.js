@@ -105,8 +105,8 @@ async function loadCuration() {
     + UI.table(["phrase", "kind", "occurs", "docs", ""],
       c.candidates.map((x) => `<tr><td>${UI.esc(x.phrase)}</td><td>${UI.esc(x.kind_hint)}</td>
         <td>${x.occurrences}</td><td>${x.docs.length}</td>
-        <td><button onclick="reviewCand('${UI.esc(x.phrase)}', true)">approve</button>
-            <button onclick="reviewCand('${UI.esc(x.phrase)}', false)">reject</button></td></tr>`))
+        <td><button onclick="reviewCand(UI.d('${UI.arg(x.phrase)}'), true)">approve</button>
+            <button onclick="reviewCand(UI.d('${UI.arg(x.phrase)}'), false)">reject</button></td></tr>`))
     + `<p class=meta style="margin-top:10px">corpus-wide aggregate (doc spread
        + review state — /policy/candidates/aggregate)</p>`
     + UI.table(["phrase", "kind", "occurs", "n docs", "status", "promoted"],
@@ -124,10 +124,10 @@ async function loadCuration() {
       (src.sources || []).map((x) => `<tr><td>${UI.esc(x.url)}</td>
         <td>${UI.esc(x.payer)}</td><td>${UI.esc(x.status)}</td>
         <td>${x.authority_level ?? ""}</td>
-        <td><button onclick="srcCurate('${UI.esc(x.url)}', true)">approve</button>
-            <button onclick="srcCurate('${UI.esc(x.url)}', false)">reject</button>
-            <button onclick="srcProbe('${UI.esc(x.url)}')">probe</button>
-            <button onclick="srcIngested('${UI.esc(x.url)}')">mark ingested</button></td></tr>`))
+        <td><button onclick="srcCurate(UI.d('${UI.arg(x.url)}'), true)">approve</button>
+            <button onclick="srcCurate(UI.d('${UI.arg(x.url)}'), false)">reject</button>
+            <button onclick="srcProbe(UI.d('${UI.arg(x.url)}'))">probe</button>
+            <button onclick="srcIngested(UI.d('${UI.arg(x.url)}'))">mark ingested</button></td></tr>`))
     + `<div id="srcout"></div>`;
 }
 async function reviewCand(phrase, approve) {
@@ -166,7 +166,7 @@ async function loadPolicy() {
   const s = await UI.get("/policy/lexicon/stats");
   const d = await UI.get("/policy/lexicon/doc-stats");
   const rows = Object.entries(d.tag_doc_counts).sort((a, b) => b[1] - a[1])
-    .map(([tag, n]) => `<tr class=click onclick="loadTagDetail('${UI.esc(tag)}')">
+    .map(([tag, n]) => `<tr class=click onclick="loadTagDetail(UI.d('${UI.arg(tag)}'))">
       <td>${UI.esc(tag)}</td><td>${n}</td></tr>`);
   pout.innerHTML = `<p class=meta>entries ${o.entries} · phrases ${o.phrases}
       · by kind ${UI.esc(JSON.stringify(o.by_kind))}
@@ -193,7 +193,7 @@ async function loadErrors() {
         <td class="lbl-${e.severity === "critical" ? "low" : "medium"}">${UI.esc(e.severity)}</td>
         <td>${UI.esc(e.message.slice(0, 80))}</td>
         <td>${e.resolved ? "<span class=meta>resolved</span>"
-          : `<button onclick="resolveErr('${e.error_id}')">resolve</button>`}</td></tr>`));
+          : `<button onclick="resolveErr(UI.d('${UI.arg(e.error_id)}'))">resolve</button>`}</td></tr>`));
 }
 async function resolveErr(id) {
   await UI.post(`/errors/${id}/resolve`);

@@ -24,7 +24,7 @@ async function searchRepo() {
 }
 function renderRepo(docs) {
   rout.innerHTML = UI.table(["doc (click for detail)", "payer", "state", "chunks"],
-    docs.map((d) => `<tr class=click onclick="loadDocDetail('${UI.esc(d.doc_id)}')">
+    docs.map((d) => `<tr class=click onclick="loadDocDetail(UI.d('${UI.arg(d.doc_id)}'))">
       <td>${UI.esc(d.doc_id)}</td><td>${UI.esc(d.payer)}</td>
       <td>${UI.esc(d.state)}</td><td>${d.chunks}</td></tr>`))
     + "<div id=docdetail></div>";
@@ -45,29 +45,29 @@ async function loadDocDetail(id) {
         · <a href="/documents/${id}/download/markdown" style="color:var(--acc)">markdown</a>
         · <a href="/documents/${id}/file" style="color:var(--acc)">original</a></span>
       <div class=row style="margin-top:8px">
-        <button onclick="docAct('${id}','chunking/restart',{drain:true})">restart chunking</button>
-        <button onclick="docAct('${id}','chunking/start')">chunk</button>
-        <button onclick="docAct('${id}','chunking/stop')">stop</button>
-        <button onclick="docAct('${id}','chunking/kill-and-reset')">kill+reset</button>
-        <button onclick="docAct('${id}','embedding/start')">re-embed</button>
-        <button onclick="docAct('${id}','embedding/reset')">reset embeddings</button>
-        <button onclick="docAct('${id}','publish')">publish</button>
-        <button onclick="docAct('${id}','retag')">retag</button></div>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'chunking/restart',{drain:true})">restart chunking</button>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'chunking/start')">chunk</button>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'chunking/stop')">stop</button>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'chunking/kill-and-reset')">kill+reset</button>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'embedding/start')">re-embed</button>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'embedding/reset')">reset embeddings</button>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'publish')">publish</button>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'retag')">retag</button></div>
       <div class=row style="margin-top:4px">
-        <button onclick="docAct('${id}','retry')">retry failed</button>
-        <button onclick="docAct('${id}','extract/restart',{drain:true})">re-extract</button>
-        <button onclick="docAct('${id}','errors/resolve-all')">resolve errors</button>
-        <button onclick="loadDocPages('${id}')">pages</button>
-        <button onclick="loadDocParagraphs('${id}')">paragraphs</button>
-        <button onclick="loadDocCandidates('${id}')">candidates</button></div>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'retry')">retry failed</button>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'extract/restart',{drain:true})">re-extract</button>
+        <button onclick="docAct(UI.d('${UI.arg(id)}'),'errors/resolve-all')">resolve errors</button>
+        <button onclick="loadDocPages(UI.d('${UI.arg(id)}'))">pages</button>
+        <button onclick="loadDocParagraphs(UI.d('${UI.arg(id)}'))">paragraphs</button>
+        <button onclick="loadDocCandidates(UI.d('${UI.arg(id)}'))">candidates</button></div>
       <div class=row style="margin-top:4px">
         <input id="mpayer" value="${UI.esc(det?.payer || "")}" placeholder="payer" style="max-width:160px">
         <input id="mstate" value="${UI.esc(det?.state || "")}" placeholder="state" style="max-width:80px">
         <input id="mprog" value="${UI.esc(det?.program || "")}" placeholder="program" style="max-width:140px">
-        <button onclick="patchDocMeta('${id}')">save metadata (republishes)</button></div>
+        <button onclick="patchDocMeta(UI.d('${UI.arg(id)}'))">save metadata (republishes)</button></div>
       <div class=row style="margin-top:4px">
         <input id="ttag" placeholder="add text-tag e.g. d:benefits.dme" style="max-width:280px">
-        <button onclick="addTextTag('${id}')">tag</button>
+        <button onclick="addTextTag(UI.d('${UI.arg(id)}'))">tag</button>
         <span class=meta id="ttags">${UI.esc(JSON.stringify(tags && tags.tags))}</span></div>
       <pre>${UI.esc(JSON.stringify({ status: st, detail: det,
         policy: pol && pol.tag_chunk_counts,
@@ -246,10 +246,10 @@ async function loadFacts(needsReview) {
       <td id="ftext-${i}">${UI.esc((f.text || "").slice(0, 110))}</td>
       <td class="${(f.critique_score ?? 1) < 0.6 ? "lbl-low" : ""}">${f.critique_score ?? ""}</td>
       <td>${v ? UI.lbl(v === "accepted" ? "correct" : "incorrect") + " " + UI.esc(v) : "<span class=meta>—</span>"}</td>
-      <td><button onclick="reviewFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}','accepted')">accept</button>
-          <button onclick="reviewFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}','rejected')">reject</button>
-          <button onclick="editFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}',${i})">edit</button>
-          <button onclick="delFact('${UI.esc(f.doc_id)}','${UI.esc(f.fact_id)}')">delete</button></td></tr>`;
+      <td><button onclick="reviewFact(UI.d('${UI.arg(f.doc_id)}'),UI.d('${UI.arg(f.fact_id)}'),'accepted')">accept</button>
+          <button onclick="reviewFact(UI.d('${UI.arg(f.doc_id)}'),UI.d('${UI.arg(f.fact_id)}'),'rejected')">reject</button>
+          <button onclick="editFact(UI.d('${UI.arg(f.doc_id)}'),UI.d('${UI.arg(f.fact_id)}'),${i})">edit</button>
+          <button onclick="delFact(UI.d('${UI.arg(f.doc_id)}'),UI.d('${UI.arg(f.fact_id)}'))">delete</button></td></tr>`;
     }));
 }
 async function reviewFact(doc, fid, verdict) {

@@ -74,15 +74,15 @@ async function loadDecisions() {
   }
   dout.innerHTML = UI.table(
     ["query", "strategy", "chain", "class", "contour", "conf", "ms", "grade"],
-    r.decisions.map((d) => `<tr class=click onclick="loadTrace('${d.agent_id}')">
+    r.decisions.map((d) => `<tr class=click onclick="loadTrace(UI.d('${UI.arg(d.agent_id)}'))">
       <td>${UI.esc(d.query.slice(0, 60))}</td><td>${UI.esc(d.strategy)}</td>
       <td>${UI.esc(d.chain.join("→"))}</td><td>${UI.esc(d.query_class)}</td>
       <td>${UI.esc(d.contour)}</td><td>${UI.lbl(d.confidence)}</td>
       <td>${(d.latency_ms || 0).toFixed(0)}</td>
       <td onclick="event.stopPropagation()">
         ${d.grade ? UI.lbl(d.grade === "good" ? "high" : "low") + UI.esc(" " + d.grade)
-          : `<button onclick="gradeDec('${d.agent_id}','good')">✓</button>
-             <button onclick="gradeDec('${d.agent_id}','bad')">✗</button>`}
+          : `<button onclick="gradeDec(UI.d('${UI.arg(d.agent_id)}'),'good')">✓</button>
+             <button onclick="gradeDec(UI.d('${UI.arg(d.agent_id)}'),'bad')">✗</button>`}
       </td></tr>`)) + "<div id=trace></div>";
 }
 async function gradeDec(id, grade) {

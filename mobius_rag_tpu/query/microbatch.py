@@ -33,25 +33,46 @@ from mobius_rag_tpu.query.engine import QueryRequest, SearchResult
 _BUCKETS = (1, 2, 4, 8, 16, 32)
 
 
+class OverloadedError(RuntimeError):
+    """Queue depth exceeded — the server should shed with a 503 rather
+    than let latency and memory grow without bound (round-4 advisor
+    finding: an unbounded queue under sustained overload accumulates
+    futures forever; predictable degradation beats silent pile-up)."""
+
+
 class MicroBatcher:
     """Fold concurrent single-query arrivals into batched engine calls.
 
     ``search_one`` is the awaitable the HTTP handlers use; it resolves
     with that caller's SearchResult. All queued requests run with the
     max requested k of their batch and are cut back per caller.
+
+    Input validation is the CALLER's job (the HTTP handler): the engine
+    raises per-batch, so a malformed co-batched request would fail its
+    neighbors. The batcher itself only bounds the queue.
     """
 
-    def __init__(self, engine, *, max_batch: int | None = None):
+    def __init__(self, engine, *, max_batch: int | None = None,
+                 max_queue: int | None = None):
         self.engine = engine
         self.max_batch = max_batch or int(
             os.getenv("MRAG_MICROBATCH_MAX", "32"))
+        # shed threshold: beyond this many waiting requests, reject —
+        # default 16 full batches of headroom
+        self.max_queue = max_queue or int(
+            os.getenv("MRAG_MICROBATCH_MAX_QUEUE", str(self.max_batch * 16)))
         self._queue: list[tuple[QueryRequest, int, asyncio.Future]] = []
         self._running = False
         self._pool = ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="mrag-microbatch")
-        self.stats = {"batches": 0, "queries": 0, "max_batch_seen": 0}
+        self.stats = {"batches": 0, "queries": 0, "max_batch_seen": 0,
+                      "shed": 0}
 
     async def search_one(self, req: QueryRequest, k: int) -> SearchResult:
+        if len(self._queue) >= self.max_queue:
+            self.stats["shed"] += 1
+            raise OverloadedError(
+                f"query queue full ({self.max_queue} waiting); retry later")
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         self._queue.append((req, int(k), fut))

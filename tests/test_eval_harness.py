@@ -137,3 +137,62 @@ def test_calibrate_and_derive_priors(agent, tmp_path):
     from mobius_rag_tpu.query.router import Router
     r = Router(priors_path=out_path)
     assert r.decide({"query_class": "tight_pool", "canonicality": 0.0}).strategy
+
+
+def test_derive_priors_reports_deltas_and_skips(tmp_path):
+    """The r4 artifact bug: the caller read a key that didn't exist and
+    reported 0 cells as success. derive_priors now returns explicit
+    deltas (before/after per cell) and skip reasons."""
+    import json
+
+    from mobius_rag_tpu.eval_harness.derive_priors import derive_priors
+    from mobius_rag_tpu.query.router import _default_priors_path
+
+    src = json.load(open(_default_priors_path()))
+    p = tmp_path / "priors.json"
+    p.write_text(json.dumps(src))
+    sid = next(iter(src["priors"]))
+    qc = next(iter(src["priors"][sid]))
+    matrix = {
+        sid: {qc: {"n": 5, "accuracy": 0.77, "accuracy_std": 0.1,
+                   "recall": 0.66},
+              "zz_missing": {"n": 5, "accuracy": 0.5,
+                             "accuracy_std": 0.0, "recall": 0.5}},
+        "natural": {qc: {"n": 5, "accuracy": 0.9, "accuracy_std": 0.0,
+                         "recall": 0.9}},
+    }
+    out = derive_priors(matrix, "cafebabe", priors_path=str(p),
+                        out_path=str(p), min_n=3)
+    assert out["updated_cells"] == 1
+    assert out["deltas"][0]["sid"] == sid
+    assert out["deltas"][0]["after"]["accuracy"] == 0.77
+    assert out["deltas"][0]["before"]["accuracy"] is not None
+    assert any(s.get("reason") == "no prior cell" for s in out["skipped"])
+    got = json.loads(p.read_text())
+    assert got["priors"][sid][qc]["accuracy"] == 0.77
+    assert got["priors_version"] == "calib-cafebabe"
+    # min_n gate produces a skip entry, not silence
+    out2 = derive_priors(
+        {sid: {qc: {"n": 1, "accuracy": 0.1, "accuracy_std": 0.0,
+                    "recall": 0.1}}},
+        "deadbeef", priors_path=str(p), out_path=str(p), min_n=3)
+    assert out2["updated_cells"] == 0
+    assert any("min_n" in s.get("reason", "") for s in out2["skipped"])
+
+
+def test_merge_matrices_pools_n_and_stats():
+    from mobius_rag_tpu.eval_harness.derive_priors import merge_matrices
+
+    m1 = {"a": {"factual": {"n": 2, "accuracy": 1.0, "accuracy_std": 0.0,
+                            "recall": 0.8, "recall_std": 0.0,
+                            "answer_rate": 1.0, "latency_ms_median": 10}}}
+    m2 = {"a": {"factual": {"n": 2, "accuracy": 0.0, "accuracy_std": 0.0,
+                            "recall": 0.4, "recall_std": 0.0,
+                            "answer_rate": 0.5, "latency_ms_median": 30}}}
+    merged = merge_matrices([m1, m2])
+    cell = merged["a"]["factual"]
+    assert cell["n"] == 4
+    assert cell["accuracy"] == 0.5
+    assert cell["recall"] == 0.6
+    # between-run variance shows up in the pooled std
+    assert cell["accuracy_std"] == 0.5

@@ -160,3 +160,38 @@ def test_real_engine_through_batcher():
         assert len(set(rows)) == 1  # identical queries, identical results
 
     _run(go())
+
+
+def test_overload_sheds_with_bounded_queue():
+    """Beyond max_queue waiting requests the batcher raises
+    OverloadedError (the server maps it to 503) instead of queueing
+    without bound — and already-queued requests still complete."""
+    from mobius_rag_tpu.query.microbatch import OverloadedError
+
+    class SlowEngine:
+        def search(self, reqs, k=10):
+            import time as _t
+            _t.sleep(0.05)
+            return [FakeResult(r.query, list(range(k))) for r in reqs]
+
+    b = MicroBatcher(SlowEngine(), max_batch=2, max_queue=3)
+
+    async def go():
+        tasks = []
+        shed = 0
+        for i in range(10):
+            try:
+                tasks.append(asyncio.ensure_future(
+                    b.search_one(QueryRequest(query=f"q{i}"), 5)))
+            except OverloadedError:
+                shed += 1
+            # the coroutine itself raises before awaiting when full
+            await asyncio.sleep(0)
+        done = await asyncio.gather(*tasks, return_exceptions=True)
+        shed += sum(isinstance(r, OverloadedError) for r in done)
+        ok = [r for r in done if not isinstance(r, Exception)]
+        assert shed > 0, "no request was shed at queue depth 3"
+        assert ok, "queued requests must still complete"
+        assert b.stats["shed"] == shed
+
+    _run(go())
