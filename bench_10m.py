@@ -443,6 +443,8 @@ def main() -> None:
         "nprobe": cfg.ivf_nprobe,
         "proj_p": cfg.proj_p,
         "host_funnel": cfg.host_funnel,
+        "gating": "local" if engine._local_gating_active() else "dense",
+        "proj_scan": "pallas-gated" if engine._local_gating_active() else "xla",
         "streaming_ingest_chunks_per_s": round(ing_rate, 1),
         "fresh_inserts_served": live_ok,
         "memory_budget": {
@@ -468,8 +470,8 @@ def main() -> None:
     print(json.dumps(art))
     os.makedirs("/root/repo/eval_artifacts", exist_ok=True)
     tag = "_tag_gated" if strict else ""
-    name = (f"BENCH_r4_10m_e2e{tag}.json" if N >= 10_000_000
-            else f"BENCH_r4_{N // 1_000_000}m_e2e_validation{tag}.json")
+    name = (f"BENCH_r5_10m_e2e{tag}.json" if N >= 10_000_000
+            else f"BENCH_r5_{N // 1_000_000}m_e2e_validation{tag}.json")
     with open(f"/root/repo/eval_artifacts/{name}", "w") as f:
         json.dump(art, f, indent=1)
 

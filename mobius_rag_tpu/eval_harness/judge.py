@@ -133,6 +133,41 @@ def score_from_verdicts(v: FactVerdicts) -> float:
     return round(score, 4)
 
 
+def get_judge_llm() -> "LLMClient | None":
+    """Env-selected judge LLM — the rubric judge's live path through
+    the concrete wire adapters (reference: eval/judge.py:376 scores via
+    the LLM manager; verdict bands stay deterministic here either way).
+
+    MRAG_JUDGE_PROVIDER=openai|vertex → providers_external adapters
+    (model override MRAG_JUDGE_MODEL); =proxy → the generic JSON proxy
+    (MRAG_JUDGE_URL). Unset → None (the offline overlap matcher, the
+    zero-egress default).
+
+    One-command real-endpoint eval:
+      MRAG_JUDGE_PROVIDER=openai MRAG_OPENAI_API_KEY=… \
+        bin/mrageval --bank cmhc --judge llm
+    (or MRAG_JUDGE_PROVIDER=vertex with MRAG_VERTEX_PROJECT/TOKEN).
+    CI exercises the same path against a local fake chat/completions
+    server: tests/test_judge_llm.py."""
+    import os
+
+    sel = os.getenv("MRAG_JUDGE_PROVIDER", "").strip().lower()
+    if not sel:
+        return None
+    model = os.getenv("MRAG_JUDGE_MODEL", "")
+    if sel in ("openai", "vertex"):
+        from mobius_rag_tpu import providers_external as pe
+
+        cls = pe.OpenAILLMClient if sel == "openai" else pe.VertexLLMClient
+        return cls(model=model) if model else cls()
+    if sel == "proxy":
+        from mobius_rag_tpu.clients import HTTPLLMClient
+
+        return HTTPLLMClient(os.environ["MRAG_JUDGE_URL"], model=model)
+    raise ValueError(
+        f"MRAG_JUDGE_PROVIDER={sel!r} must be openai|vertex|proxy")
+
+
 def judge_answer(
     answer: str,
     must_facts: Sequence[str],

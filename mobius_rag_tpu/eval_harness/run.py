@@ -165,6 +165,7 @@ def run_eval(
             "refused": res.refused,
             "judge_score": jr.score,
             "judge_verdict": jr.verdict,
+            "judge_method": jr.method,
             # answer-level forbidden check: did the SYNTHESIZED answer
             # assert a rubric-forbidden fact? (distinct from the
             # retrieval-level trap_forbidden_hit below — retrieval may
@@ -249,6 +250,10 @@ def _main() -> None:
     ap.add_argument("--corpus", default=None, choices=["toy", "fixture"],
                     help="fixture = ingest data/corpus_cmhc through the full "
                          "pipeline (the CMHC quality-loop corpus)")
+    ap.add_argument("--judge", default="overlap", choices=["overlap", "llm"],
+                    help="llm = rubric judge through the env-selected "
+                         "adapter (MRAG_JUDGE_PROVIDER=openai|vertex|proxy; "
+                         "see eval_harness.judge.get_judge_llm)")
     ap.add_argument("--calibrate", action="store_true",
                     help="forced-arm calibration matrix instead of a single run")
     ap.add_argument("--derive-priors", default=None, metavar="OUT_JSON",
@@ -270,10 +275,18 @@ def _main() -> None:
             store = ChunkStore()
             store.add_chunks(toy_corpus(lex))
         agent = CorpusSearchAgent(SearchEngine(store, lex, embed_fn=hash_embed))
+    judge_llm = None
+    if args.judge == "llm":
+        from mobius_rag_tpu.eval_harness.judge import get_judge_llm
+
+        judge_llm = get_judge_llm()
+        if judge_llm is None:
+            ap.error("--judge llm needs MRAG_JUDGE_PROVIDER "
+                     "(openai|vertex|proxy) + its credentials")
     if args.calibrate:
         from mobius_rag_tpu.eval_harness.calibrate import calibrate
 
-        out = calibrate(agent, args.bank, k=args.k)
+        out = calibrate(agent, args.bank, k=args.k, judge_llm=judge_llm)
         if args.derive_priors:
             from mobius_rag_tpu.eval_harness.derive_priors import derive_priors
 
@@ -282,7 +295,8 @@ def _main() -> None:
             out["derived_priors"] = info
         print(json.dumps(out, default=str))
         return
-    out = run_eval(agent, args.bank, forced_mode=args.mode, k=args.k)
+    out = run_eval(agent, args.bank, forced_mode=args.mode, k=args.k,
+                   judge_llm=judge_llm)
     print(json.dumps({"run_id": out.run_id, **out.aggregates}))
 
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import urllib.error
 import urllib.request
@@ -261,3 +262,182 @@ class VertexLLMClient:
             raise LLMHTTPError(
                 f"malformed generateContent response: {list(body)[:8]}"
             ) from e
+
+
+# ---------------------------------------------------------------------------
+# Web search (strategy d's external arm)
+# ---------------------------------------------------------------------------
+# Reference parity: corpus_search_strategy_d.py:461-534 implements
+# Google/Vertex web search with a DuckDuckGo fallback, then parallel
+# page fetches (:600). Same wire protocols here over urllib: the Google
+# Custom Search JSON API and DuckDuckGo's HTML endpoint, selected via
+# MRAG_WEB_PROVIDER=google|ddg|google+ddg (the last = Google first,
+# DDG when Google errors or returns nothing — the reference's fallback
+# shape). Contract-tested against local fake servers
+# (tests/test_web_providers.py); the agent keeps OfflineWebStub when
+# the env var is unset, so zero-egress runs are unchanged.
+
+
+def _get_text(url: str, headers: dict[str, str], *, timeout_s: float,
+              max_retries: int = 2, backoff_s: float = 0.5) -> str:
+    last: Exception | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            req = urllib.request.Request(url, headers=headers)
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                charset = resp.headers.get_content_charset() or "utf-8"
+                return resp.read().decode(charset, errors="replace")
+        except urllib.error.HTTPError as e:
+            if e.code < 500 and e.code != 429:
+                raise LLMHTTPError(f"HTTP {e.code} from {url}") from e
+            last = e
+        except (urllib.error.URLError, TimeoutError, OSError) as e:
+            last = e
+        if attempt < max_retries:
+            time.sleep(backoff_s * (2 ** attempt))
+    raise LLMHTTPError(f"{url} unreachable: {last}")
+
+
+class GoogleCSEWebClient:
+    """Google Custom Search JSON API:
+    ``GET {base}/customsearch/v1?key=…&cx=…&q=…&num=N`` →
+    {"items": [{"title", "link", "snippet"}]}.
+
+    Env: MRAG_GOOGLE_CSE_KEY, MRAG_GOOGLE_CSE_CX,
+    MRAG_GOOGLE_CSE_BASE_URL (default https://www.googleapis.com)."""
+
+    offline = False
+
+    def __init__(self, *, base_url: str | None = None, key: str | None = None,
+                 cx: str | None = None, timeout_s: float = 10.0):
+        self.base_url = (base_url or os.getenv(
+            "MRAG_GOOGLE_CSE_BASE_URL", "https://www.googleapis.com")
+        ).rstrip("/")
+        self.key = key or os.getenv("MRAG_GOOGLE_CSE_KEY", "")
+        self.cx = cx or os.getenv("MRAG_GOOGLE_CSE_CX", "")
+        if not self.key or not self.cx:
+            raise ValueError(
+                "GoogleCSEWebClient needs MRAG_GOOGLE_CSE_KEY and "
+                "MRAG_GOOGLE_CSE_CX")
+        self.timeout_s = timeout_s
+
+    def search(self, query: str, *, max_results: int = 5
+               ) -> list[dict[str, str]]:
+        import urllib.parse
+
+        qs = urllib.parse.urlencode({
+            "key": self.key, "cx": self.cx, "q": query,
+            "num": min(max_results, 10)})
+        body = json.loads(_get_text(
+            f"{self.base_url}/customsearch/v1?{qs}", {},
+            timeout_s=self.timeout_s))
+        out = []
+        for item in body.get("items", [])[:max_results]:
+            out.append({"title": item.get("title", ""),
+                        "url": item.get("link", ""),
+                        "snippet": item.get("snippet", "")})
+        return out
+
+    def fetch(self, url: str, *, timeout_s: float = 8.0) -> str:
+        return _get_text(url, {"User-Agent": _UA}, timeout_s=timeout_s)
+
+
+_UA = "Mozilla/5.0 (compatible; mobius-rag-tpu/1.0)"
+
+# DuckDuckGo HTML endpoint result anchors: class="result__a" with the
+# target (possibly via the /l/?uddg= redirect), snippet in
+# class="result__snippet".
+_DDG_A = re.compile(
+    r'<a[^>]*class="[^"]*result__a[^"]*"[^>]*href="([^"]+)"[^>]*>(.*?)</a>',
+    re.S)
+_DDG_SNIPPET = re.compile(
+    r'class="[^"]*result__snippet[^"]*"[^>]*>(.*?)</(?:a|div|span)>', re.S)
+_TAGS = re.compile(r"<[^>]+>")
+
+
+class DDGHTMLWebClient:
+    """DuckDuckGo HTML endpoint: ``GET {base}/html/?q=…`` parsed with
+    regexes (the endpoint is plain server-rendered HTML). Result hrefs
+    that go through the ``/l/?uddg=<urlencoded>`` redirect are
+    unwrapped. Env: MRAG_DDG_BASE_URL (default
+    https://html.duckduckgo.com)."""
+
+    offline = False
+
+    def __init__(self, *, base_url: str | None = None,
+                 timeout_s: float = 10.0):
+        self.base_url = (base_url or os.getenv(
+            "MRAG_DDG_BASE_URL", "https://html.duckduckgo.com")).rstrip("/")
+        self.timeout_s = timeout_s
+
+    def search(self, query: str, *, max_results: int = 5
+               ) -> list[dict[str, str]]:
+        import html as _html
+        import urllib.parse
+
+        page = _get_text(
+            f"{self.base_url}/html/?q={urllib.parse.quote_plus(query)}",
+            {"User-Agent": _UA}, timeout_s=self.timeout_s)
+        snippets = [_html.unescape(_TAGS.sub("", s)).strip()
+                    for s in _DDG_SNIPPET.findall(page)]
+        out = []
+        for i, (href, title_html) in enumerate(_DDG_A.findall(page)):
+            if len(out) >= max_results:
+                break
+            url = _html.unescape(href)
+            if "uddg=" in url:
+                q = urllib.parse.urlparse(url).query
+                target = urllib.parse.parse_qs(q).get("uddg", [""])[0]
+                url = target or url
+            title = _html.unescape(_TAGS.sub("", title_html)).strip()
+            out.append({"title": title, "url": url,
+                        "snippet": snippets[i] if i < len(snippets) else ""})
+        return out
+
+    def fetch(self, url: str, *, timeout_s: float = 8.0) -> str:
+        return _get_text(url, {"User-Agent": _UA}, timeout_s=timeout_s)
+
+
+class FallbackWebClient:
+    """Primary-then-fallback chain (the reference's Google → DDG shape,
+    strategy_d.py:461-534): fall through when the primary raises or
+    returns no results."""
+
+    offline = False
+
+    def __init__(self, primary, fallback):
+        self.primary, self.fallback = primary, fallback
+
+    def search(self, query: str, *, max_results: int = 5
+               ) -> list[dict[str, str]]:
+        try:
+            out = self.primary.search(query, max_results=max_results)
+            if out:
+                return out
+        except Exception:
+            pass
+        return self.fallback.search(query, max_results=max_results)
+
+    def fetch(self, url: str, *, timeout_s: float = 8.0) -> str:
+        try:
+            return self.primary.fetch(url, timeout_s=timeout_s)
+        except Exception:
+            return self.fallback.fetch(url, timeout_s=timeout_s)
+
+
+
+def get_web_client():
+    """Env-selected web transport (MRAG_WEB_PROVIDER): "google" |
+    "ddg" | "google+ddg" (Google primary, DDG fallback). Returns None
+    when unset — the agent keeps its zero-egress OfflineWebStub."""
+    sel = os.getenv("MRAG_WEB_PROVIDER", "").strip().lower()
+    if not sel:
+        return None
+    if sel == "google":
+        return GoogleCSEWebClient()
+    if sel == "ddg":
+        return DDGHTMLWebClient()
+    if sel in ("google+ddg", "google,ddg", "chain"):
+        return FallbackWebClient(GoogleCSEWebClient(), DDGHTMLWebClient())
+    raise ValueError(
+        f"MRAG_WEB_PROVIDER={sel!r} must be google|ddg|google+ddg")

@@ -134,6 +134,13 @@ class CorpusSearchAgent:
         version = router_version or os.getenv("ROUTER_VERSION", "v1")
         self.router = router or Router(version=version)
         self.llm = llm or OfflineLLMStub()
+        if web is None:
+            # env-selected concrete transport (MRAG_WEB_PROVIDER:
+            # Google CSE / DDG HTML / chained — providers_external.py);
+            # unset keeps the zero-egress stub
+            from mobius_rag_tpu.providers_external import get_web_client
+
+            web = get_web_client()
         self.web = web or OfflineWebStub()
         self.fact_store = fact_store
         # discovered-source registry backing strategy c's citation

@@ -310,3 +310,18 @@ for lvl in (0, 1, 2):
         np.testing.assert_allclose(b[:, :k][live], a[:, :k][live],
                                    rtol=1e-6)
         np.testing.assert_array_equal(b[:, k:][live], a[:, k:][live])
+
+
+def test_strict_counts_blocked_matches_naive(stores):
+    """The lax.scan block reduction (corpus > _COUNT_BLOCK) must equal
+    the one-shot form — forced by shrinking the block size."""
+    lex, dense_store, _ = stores
+    engine = SearchEngine(dense_store, lex, cfg=dense_store.cfg,
+                          embed_fn=hash_embed)
+    q, _ = _prep(engine, QUERIES)
+    q = dict(q, vec=q["vec"].astype(jnp.float32))
+    want = np.asarray(gating.strict_counts(dense_store.index, q))
+    import unittest.mock as mock
+    with mock.patch.object(gating, "_COUNT_BLOCK", 64):
+        got = np.asarray(gating.strict_counts(dense_store.index, q))
+    np.testing.assert_array_equal(got, want)

@@ -30,7 +30,7 @@ def test_queries_trigger_no_selective_lexicon_expansion(full_lexicon, bank):
     question can hardly avoid saying Texas. Payer tags and d/p TOPIC
     phrases — the selective signals the lexical/tag arms actually rank
     by — must not fire."""
-    assert len(bank.queries) >= 12
+    assert len(bank.queries) >= 40
     allowed = ("j:state.", "j:program.")
     offenders = {}
     for q in bank.queries:
@@ -72,4 +72,6 @@ def test_golden_citations_resolve(bank):
     files = set(os.listdir(corpus_dir))
     for q in bank.queries:
         doc = (q.expected.get("golden_citation") or {}).get("document")
+        if doc is None and q.expected.get("expected_contour"):
+            continue  # gate-contour probes have no target document
         assert doc in files, f"{q.id}: {doc} not in fixture corpus"
