@@ -149,7 +149,7 @@ def main():
 
     head = results[f"offered_{int(args.qps)}qps"]
     art = {
-        "metric": "served_p50_ms_at_offered_load_70k",
+        "metric": f"served_p50_ms_at_offered_load_{args.n // 1000}k",
         "value": head["p50_ms"],
         "unit": "ms",
         "vs_baseline": round(1100.0 / max(head["p50_ms"], 1e-9), 1),
@@ -165,8 +165,8 @@ def main():
                       "unit": art["unit"], "p95_ms": head["p95_ms"],
                       "vs_baseline": art["vs_baseline"]}))
     os.makedirs("/root/repo/eval_artifacts", exist_ok=True)
-    with open("/root/repo/eval_artifacts/BENCH_r4_served_latency.json",
-              "w") as f:
+    name = (f"BENCH_r5_served_latency_{args.n // 1000}k.json")
+    with open(f"/root/repo/eval_artifacts/{name}", "w") as f:
         json.dump(art, f, indent=1)
 
 

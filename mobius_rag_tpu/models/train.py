@@ -98,11 +98,20 @@ def train_encoder_on_corpus(
     tc: TrainConfig | None = None,
     seed: int = 0,
     log_every: int = 10,
+    lexicon=None,
+    augment: float = 0.0,
 ):
     """Fine-tune the encoder on ICT pairs mined from a ChunkStore.
     Returns (params, history). The end-to-end 'improve retrieval on MY
-    corpus' loop: mine → train (dp×tp) → re-embed via the workers."""
-    from mobius_rag_tpu.models.data import batches, mine_ict_pairs
+    corpus' loop: mine → train (dp×tp) → re-embed via the workers.
+
+    ``augment`` > 0 adds that multiple of paraphrase-augmented pairs
+    (lexicon alias swaps + colloquial synonym swaps + word dropout,
+    models/data.py augment_pairs) so the encoder learns surface-form
+    variation ICT alone cannot teach — the round-4 trained checkpoint
+    lost to the hash baseline on lexicon-free paraphrases exactly for
+    this reason (EVAL_r4 encoder_real_text)."""
+    from mobius_rag_tpu.models.data import mine_ict_pairs
     from mobius_rag_tpu.models.encoder import init_params
     from mobius_rag_tpu.models.tokenizer import HashTokenizer
     from mobius_rag_tpu.parallel.mesh import make_train_mesh
@@ -118,26 +127,29 @@ def train_encoder_on_corpus(
     if len(pairs) < batch:
         raise ValueError(f"corpus too small to mine {batch}-pair batches "
                          f"({len(pairs)} pairs)")
+    if augment > 0:
+        from mobius_rag_tpu.models.data import augment_pairs
+
+        pairs = augment_pairs(pairs, lexicon=lexicon, factor=augment,
+                              seed=seed)
 
     step_fn, shard_params, shard_batch, init_opt = make_train_step(cfg, tc, mesh)
     params = shard_params(params if params is not None
                           else init_params(cfg, jax.random.PRNGKey(seed)))
     opt_state = init_opt(params)
     history = []
-    done = 0
-    epoch = 0
-    while done < steps:
-        for qs, ds in batches(pairs, tokenizer, batch, seed=seed + epoch):
-            params, opt_state, metrics = step_fn(
-                params, opt_state, shard_batch(jnp.asarray(qs)),
-                shard_batch(jnp.asarray(ds)))
-            done += 1
-            if done % log_every == 0 or done == steps:
-                m = jax.device_get(metrics)
-                history.append({"step": done, **{k: float(v) for k, v in m.items()}})
-            if done >= steps:
-                break
-        epoch += 1
+    from mobius_rag_tpu.models.data import pretokenized_batches
+
+    for done, (qs, ds) in enumerate(
+            pretokenized_batches(pairs, tokenizer, batch, steps=steps,
+                                 seed=seed), start=1):
+        params, opt_state, metrics = step_fn(
+            params, opt_state, shard_batch(jnp.asarray(qs)),
+            shard_batch(jnp.asarray(ds)))
+        if done % log_every == 0 or done == steps:
+            m = jax.device_get(metrics)
+            history.append({"step": done,
+                            **{k: float(v) for k, v in m.items()}})
     return params, history
 
 
