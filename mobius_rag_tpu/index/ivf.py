@@ -39,6 +39,18 @@ from mobius_rag_tpu.utils import round_up
 _KM_BLOCK = 131072
 
 
+def _aligned_pad(raw: int) -> int:
+    """Cluster pad width: multiples of 8 (scatter-tile rule), and of
+    512 once clusters are big — the gated Pallas scan tiles the pad
+    axis in 512-slot blocks (a full 4888-slot block's f32 cast alone
+    is 3.7 MB of the 16 MB VMEM; Mosaic block dims must divide the
+    array dim, so the array is built pre-aligned). ≤4.7% memory
+    overhead at the 10M shape."""
+    if raw > 512:
+        return round_up(raw, 512)
+    return max(8, round_up(raw, 8))
+
+
 @functools.partial(jax.jit, static_argnames=("nlist", "iters", "n_pad"))
 def _kmeans(vectors: jnp.ndarray, init_idx: jnp.ndarray, nlist: int, iters: int,
             n_pad: int):
@@ -186,7 +198,7 @@ class IVFIndex:
     @classmethod
     def build(cls, vectors, valid: np.ndarray | None = None, *,
               nlist: int | None = None, iters: int = 10, pad_factor: float = 2.0,
-              seed: int = 0, choices: int = 8) -> "IVFIndex":
+              seed: int = 0, choices: int = 16) -> "IVFIndex":
         v = jnp.asarray(vectors)
         n, d = v.shape
         valid_np = (np.asarray(valid) > 0) if valid is not None else np.ones(n, bool)
@@ -215,7 +227,7 @@ class IVFIndex:
         centroids = _kmeans(v, jnp.asarray(init, jnp.int32), nlist, iters,
                             n_pad)
 
-        pad = max(8, round_up(int(pad_factor * max(n_live, 1) / nlist), 8))
+        pad = _aligned_pad(int(pad_factor * max(n_live, 1) / nlist))
         j = int(min(choices, nlist))
         ch_v = np.empty((n, j), np.float32)
         ch_i = np.empty((n, j), np.int32)
@@ -244,7 +256,7 @@ class IVFIndex:
                    valid: np.ndarray | None = None, *, nlist: int | None = None,
                    iters: int = 10, pad_factor: float = 2.0, seed: int = 0,
                    sample: int = 500_000, block: int = 250_000,
-                   choices: int = 8) -> "IVFIndex":
+                   choices: int = 16) -> "IVFIndex":
         """Build from a HOST-resident int8 matrix (the 10M codes-only
         regime: the full matrix never fits HBM next to its own index).
         k-means runs on an uploaded row sample; assignment streams the
@@ -276,7 +288,7 @@ class IVFIndex:
                             iters, n_pad)
         del sv
 
-        pad = max(8, round_up(int(pad_factor * max(n_live, 1) / nlist), 8))
+        pad = _aligned_pad(int(pad_factor * max(n_live, 1) / nlist))
         j = int(min(choices, nlist))
         ch_v = np.empty((n, j), np.float32)
         ch_i = np.empty((n, j), np.int32)

@@ -229,25 +229,40 @@ def _gated_kernel(tw: int, tag_level: int, probe_ref, qmeta_ref, qbits_ref,
     rid_ref[0, 0, 0] = rowids_ref[0, 0]
 
 
+# Pad-axis tile for the gated scan: a FULL cluster block at the 10M
+# shape (pad ~4888) blows the ~16 MB VMEM budget (the block's f32 cast
+# alone is 3.7 MB; measured scoped-vmem OOM at 16.89M). The pad axis
+# tiles in _PAD_TILE-slot chunks as a third grid axis (fastest-moving:
+# the DMA walks one cluster's chunks, then the next probe). IVF builds
+# align pad to 512 (index/ivf.py _aligned_pad) so the tile divides.
+_PAD_TILE = 512
+
+
 @functools.partial(jax.jit,
                    static_argnames=("tw", "tag_level", "interpret"))
 def _proj_gated(probe, qmeta, qbits, codes, scales, meta, jw, dpw,
                 rowids, q8, *, tw: int, tag_level: int, interpret: bool):
     b, np_ = probe.shape
     nlist, pad, p = codes.shape
+    # largest tile that divides pad: fewer grid steps amortize the
+    # per-step overhead (41.6k steps at tile 512 measured ~26 GB/s —
+    # step overhead, not DMA, was the floor)
+    tile = next((t for t in (2048, 1024, 512) if pad % t == 0 and pad > t),
+                pad)
+    n_tiles = pad // tile
 
     def blk3(width):
         return pl.BlockSpec(
-            (1, pad, width),
-            lambda bi, j, probe_ref, *_: (probe_ref[bi, j], 0, 0))
+            (1, tile, width),
+            lambda bi, j, c, probe_ref, *_: (probe_ref[bi, j], c, 0))
 
     def blk_row():
-        # [nlist, 1, pad] layout: the last two block dims (1, pad) then
-        # EQUAL the array dims — a plain (1, pad) block over a 2-D
-        # array violates Mosaic's (8, 128)-or-full rule
+        # [nlist, 1, pad] layout: the last two block dims (1, tile)
+        # then EQUAL/divide the array dims — a plain (1, pad) block
+        # over a 2-D array violates Mosaic's (8, 128)-or-full rule
         return pl.BlockSpec(
-            (1, 1, pad),
-            lambda bi, j, probe_ref, *_: (probe_ref[bi, j], 0, 0))
+            (1, 1, tile),
+            lambda bi, j, c, probe_ref, *_: (probe_ref[bi, j], 0, c))
 
     in_specs = [blk3(p), blk_row(), blk3(2)]
     inputs = [codes, scales[:, None, :], meta]
@@ -258,18 +273,19 @@ def _proj_gated(probe, qmeta, qbits, codes, scales, meta, jw, dpw,
         in_specs.append(blk3(2 * tw))
         inputs.append(dpw)
     in_specs += [blk_row(),
-                 pl.BlockSpec((b, p), lambda bi, j, probe_ref, *_: (0, 0))]
+                 pl.BlockSpec((b, p),
+                              lambda bi, j, c, probe_ref, *_: (0, 0))]
     inputs += [rowids[:, None, :], q8]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, np_),
+        grid=(b, np_, n_tiles),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, 1, pad),
-                         lambda bi, j, probe_ref, *_: (bi, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, pad),
-                         lambda bi, j, probe_ref, *_: (bi, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, tile),
+                         lambda bi, j, c, probe_ref, *_: (bi, j, 0, c)),
+            pl.BlockSpec((1, 1, 1, tile),
+                         lambda bi, j, c, probe_ref, *_: (bi, j, 0, c)),
         ],
     )
     out, rid = pl.pallas_call(

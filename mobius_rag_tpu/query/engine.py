@@ -432,7 +432,15 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
         assert axis is None, "candidate-local gating is single-chip"
         assert isinstance(ann, PackedProj)
         gate_t, dtag_t = local
-        strict_local = gating.strict_counts(index, q)
+        if "strict_total" in q:
+            # host-cached per-filter-signature counts (engine
+            # _strict_totals): the auto-relax branch's global count
+            # depends only on (payer, state, program, inherit, j_bits,
+            # generation), so repeated filters skip the corpus-wide
+            # pass entirely
+            strict_local = q["strict_total"]
+        else:
+            strict_local = gating.strict_counts(index, q)
         strict_total = strict_local[:, None]
         offset = 0
         strict_ok = strict_local >= k
@@ -927,6 +935,9 @@ class SearchEngine:
         self._ann_gate = None
         self._dtag_postings = None
         self._dtag_stale = False
+        # host strict-count cache (filter signature → global count)
+        self._strict_cache: "OrderedDict[tuple, float]" = OrderedDict()
+        self._strict_jit = None
         store.listeners.append(self._on_store_mutation)
         # parallel.ShardedEngine over the SAME store: when attached, the
         # compiled stage runs sharded over the mesh and the whole host
@@ -1575,7 +1586,65 @@ class SearchEngine:
                     weights[bi, seen[b]] = w
         q["lex_buckets"] = buckets
         q["lex_weights"] = weights
+        if (self.sharded is None and self._local_gating_active()
+                and self._ann is not None):
+            q["strict_total"] = self._strict_totals(prepared)
         return jax.device_put(q), [p[1] for p in prepared]
+
+    # Pad width for the strict-count miss batch: one compiled count
+    # program regardless of how many signatures missed.
+    _STRICT_MISS_PAD = 32
+
+    def _strict_totals(self, prepared) -> np.ndarray:
+        """Host-cached global strict-eligible counts per request (the
+        auto-relax branch's input). Key = the full filter signature +
+        store generation; misses batch through ONE jitted
+        gating.strict_counts call. Repeated filters — the dominant
+        serving pattern — cost nothing corpus-sized."""
+        from mobius_rag_tpu.query import gating
+
+        gen = self.store.generation
+        counts = np.zeros(len(prepared), np.float32)
+        missing: list[tuple[int, tuple]] = []
+        for i, (qq, _, _) in enumerate(prepared):
+            sig = (gen, int(qq["payer"]), int(qq["state"]),
+                   int(qq["program"]), float(qq["inherit_authority"]),
+                   qq["j_bits"].tobytes())
+            hit = self._strict_cache.get(sig)
+            if hit is None:
+                missing.append((i, sig))
+            else:
+                self._strict_cache.move_to_end(sig)
+                counts[i] = hit
+        if missing:
+            pad = self._STRICT_MISS_PAD
+            groups = [missing[o:o + pad] for o in range(0, len(missing), pad)]
+            tw = self.cfg.tag_words
+            for grp in groups:
+                mq = {
+                    "payer": np.full(pad, -2, np.int32),
+                    "state": np.full(pad, -2, np.int32),
+                    "program": np.full(pad, -2, np.int32),
+                    "inherit_authority": np.zeros(pad, np.float32),
+                    "j_bits": np.zeros((pad, tw), np.uint32),
+                }
+                for slot, (i, _) in enumerate(grp):
+                    qq = prepared[i][0]
+                    for key in ("payer", "state", "program",
+                                "inherit_authority"):
+                        mq[key][slot] = qq[key]
+                    mq["j_bits"][slot] = qq["j_bits"]
+                if self._strict_jit is None:
+                    self._strict_jit = jax.jit(gating.strict_counts)
+                vals = np.asarray(jax.device_get(
+                    self._strict_jit(self.store.index, mq)))
+                for slot, (i, sig) in enumerate(grp):
+                    v = float(vals[slot])
+                    counts[i] = v
+                    if len(self._strict_cache) >= 4096:
+                        self._strict_cache.popitem(last=False)
+                    self._strict_cache[sig] = v
+        return counts
 
     def _embeddings(self, reqs: Sequence[QueryRequest]) -> np.ndarray:
         def cache_key(q: str) -> str:
@@ -1707,6 +1776,12 @@ class SearchEngine:
         k = k or cfg.default_k
         t0 = time.perf_counter()
 
+        if self.sharded is None:
+            # ann must exist BEFORE prepare: the local-gating path bakes
+            # host-cached strict counts into the prepared batch, and a
+            # first batch prepared without them would compile a second
+            # (count-in-graph) variant of the big program
+            self.ensure_ann()
         q, exps = self.prepare_batch(reqs)
 
         t_prep = time.perf_counter()

@@ -325,3 +325,38 @@ def test_strict_counts_blocked_matches_naive(stores):
     with mock.patch.object(gating, "_COUNT_BLOCK", 64):
         got = np.asarray(gating.strict_counts(dense_store.index, q))
     np.testing.assert_array_equal(got, want)
+
+
+def test_strict_count_host_cache(stores):
+    """The served path bakes host-cached strict counts into the batch:
+    same results as the in-graph count, cache hits on repeats, and
+    invalidation when the store's generation moves."""
+    lex, _, local_store = stores
+    engine = SearchEngine(local_store, lex, cfg=local_store.cfg,
+                          embed_fn=hash_embed)
+    r1 = engine.search(QUERIES, k=8)
+    assert engine._strict_cache, "strict-count cache never populated"
+    n_cached = len(engine._strict_cache)
+    r2 = engine.search(QUERIES, k=8)  # all hits now
+    assert len(engine._strict_cache) == n_cached
+    for a, b in zip(r1, r2):
+        assert [h.chunk_id for h in a.hits] == [h.chunk_id for h in b.hits]
+        assert a.telemetry["strict_count"] == b.telemetry["strict_count"]
+    # strict counts equal the dense engine's
+    dense_store = stores[1]
+    dense = SearchEngine(dense_store, lex, cfg=dense_store.cfg,
+                         embed_fn=hash_embed)
+    rd = dense.search(QUERIES, k=8)
+    for a, d in zip(r2, rd):
+        assert a.telemetry["strict_count"] == d.telemetry["strict_count"]
+    # generation bump invalidates (new signature tuples)
+    text = "Yodel rider reimburses alpine horns within 10 days."
+    emb = hash_embed([text])[0]
+    local_store.add_chunks([ChunkRecord(
+        chunk_id="y1", doc_id="ydoc", source_id="ys1", text=text,
+        embedding=emb / np.linalg.norm(emb), payer="sunshine_health",
+        state="FL")])
+    r3 = engine.search(QUERIES, k=8)
+    assert len(engine._strict_cache) > n_cached
+    sc_new = r3[0].telemetry["strict_count"]
+    assert sc_new == r2[0].telemetry["strict_count"] + 1  # one more eligible row
