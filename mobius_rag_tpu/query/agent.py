@@ -153,6 +153,27 @@ class CorpusSearchAgent:
         # conflicting-number passages dropped by the last synthesis
         self._synth_conflicts: list[dict] = []
 
+    def _vocab_overlap(self, query: str) -> float | None:
+        """Fraction of the query's content words whose hash bucket is
+        populated in the corpus DF table — the gate's in-domain signal
+        for lexicon-free phrasing (run_gate vocab_overlap). None when
+        the store has no lexical stats (empty corpus)."""
+        from mobius_rag_tpu.query.gate import _plausible_words  # noqa: F401
+        from mobius_rag_tpu.query.text import hash_bucket, tokenize
+
+        try:
+            df, n_live = self.engine.store.lexical_stats()
+        except Exception:
+            return None
+        if not df or n_live <= 0:
+            return None
+        words = [w for w in tokenize(query) if len(w) >= 4]
+        if not words:
+            return None
+        h = self.engine.cfg.lexical_buckets
+        hits = sum(1 for w in words if df.get(hash_bucket(w, h), 0) > 0)
+        return hits / len(words)
+
     # -- corpus probe cache -------------------------------------------------
 
     def _tag_docs(self) -> dict:
@@ -372,7 +393,8 @@ class CorpusSearchAgent:
             req.query, self.engine.lexicon,
             {"union_docs": probe.union_docs, "intersection_docs": probe.intersection_docs},
         )
-        gate = run_gate(req.query, profile, probe)
+        gate = run_gate(req.query, profile, probe,
+                        vocab_overlap=self._vocab_overlap(req.query))
 
         # selectivity partition + cascading candidate pool (:1343, :1762)
         partition = partition_terms(profile, self.engine.lexicon)

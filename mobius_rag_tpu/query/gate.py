@@ -142,11 +142,31 @@ def fail_fast_check(query: str) -> str | None:
     return None
 
 
-def run_gate(query: str, profile: QueryProfile, probe: CorpusProbe) -> GateResult:
+# Deictic/anaphoric fragments: a query that points at unstated prior
+# context ("the thing from before", "that form", "it") can't be
+# classified by content — UNCLEAR, not OUT_OF_SCOPE (the reference's
+# malformed-vs-off-domain detector, retriever/shape/gate.py:65).
+_DEICTIC_RE = re.compile(
+    r"\b(the (thing|one|stuff|item)|from (before|earlier|last time)|"
+    r"that (one|thing)|as (discussed|mentioned)|you know)\b", re.IGNORECASE)
+
+# Minimum fraction of a no-codes query's plausible words that must
+# appear in the corpus vocabulary for the query to count as in-domain
+# (UNDERSPECIFIED — proceed on the vector arm) rather than
+# OUT_OF_SCOPE. Everyday paraphrases fire no lexicon code but share
+# most of their vocabulary with the corpus; a sourdough recipe shares
+# almost none.
+DOMAIN_VOCAB_MIN = 0.4
+
+
+def run_gate(query: str, profile: QueryProfile, probe: CorpusProbe,
+             vocab_overlap: float | None = None) -> GateResult:
     """Contour rules (reference gate.py:9-24 semantics, pinned against the
     live-verified contour bank queries_gate_contours.yaml):
-      no codes, malformed                  → UNCLEAR
-      no codes, well-formed                → OUT_OF_SCOPE
+      no codes, malformed/deictic          → UNCLEAR
+      no codes, corpus-vocab overlap ≥ min → UNDERSPECIFIED (lexicon-free
+                                             but in-domain: vector arm)
+      no codes, well-formed, off-domain    → OUT_OF_SCOPE
       tags matched, union == 0             → CORPUS_GAP
       D+J, D umbrella-only, no P/intent    → UNDERSPECIFIED (explore_siblings)
       D+J matched, intersection == 0       → VICINITY
@@ -156,6 +176,13 @@ def run_gate(query: str, profile: QueryProfile, probe: CorpusProbe) -> GateResul
       literal anchor                       → EXACT (the code IS the slot)
     Disambiguators for umbrella-D: a P tag, explicit process-intent
     phrasing, or a yes/no fact-lookup form.
+
+    ``vocab_overlap`` (optional, supplied by the agent from the store's
+    document-frequency table): fraction of the query's plausible words
+    whose hash bucket is populated in the corpus. Round-5 fix: all four
+    lexicon-free probe classes previously collapsed to OUT_OF_SCOPE —
+    a false fail-fast for in-domain colloquial phrasing the paraphrase
+    bank exists to catch.
     """
     reasons: list[str] = []
     ff = fail_fast_check(query)
@@ -167,8 +194,17 @@ def run_gate(query: str, profile: QueryProfile, probe: CorpusProbe) -> GateResul
     any_codes = bool(exp.matched_codes) or profile.has_literal
 
     if not any_codes:
-        if _plausible_words(query) < 2:
+        n_plausible = _plausible_words(query)
+        if n_plausible < 2:
             return GateResult(Contour.UNCLEAR, probe, ["no codes; malformed"])
+        if _DEICTIC_RE.search(query) and n_plausible < 8:
+            return GateResult(Contour.UNCLEAR, probe,
+                              ["no codes; deictic fragment needs context"])
+        if vocab_overlap is not None and vocab_overlap >= DOMAIN_VOCAB_MIN:
+            return GateResult(
+                Contour.UNDERSPECIFIED, probe,
+                [f"no codes but corpus vocabulary overlap "
+                 f"{vocab_overlap:.2f} — lexicon-free in-domain phrasing"])
         return GateResult(Contour.OUT_OF_SCOPE, probe, ["no codes; well-formed"])
 
     if exp.matched_codes and probe.union_docs == 0:

@@ -105,3 +105,26 @@ def test_gate_fail_fast_wins(lex, tag_docs):
     g = run_gate(q, profile, corpus_probe([], tag_docs))
     assert g.fail_fast == "phi"
     assert not g.should_answer
+
+
+def test_gate_lexicon_free_in_domain_is_not_out_of_scope():
+    """Round-5 fix: colloquial in-domain phrasing that fires no lexicon
+    code must classify UNDERSPECIFIED (vector arm proceeds) when the
+    corpus vocabulary covers it — not a false OUT_OF_SCOPE fail-fast.
+    Off-domain text stays OUT_OF_SCOPE; deictic fragments are UNCLEAR."""
+    from mobius_rag_tpu.query.classify import classify_query
+    from mobius_rag_tpu.query.gate import Contour, CorpusProbe, run_gate
+
+    probe = CorpusProbe(0, 0, {})
+
+    def gate(q, overlap):
+        return run_gate(q, classify_query(q, None), probe,
+                        vocab_overlap=overlap).contour
+
+    assert gate("What does the plan cover?", 1.0) == Contour.UNDERSPECIFIED
+    assert gate("What is a good recipe for sourdough starter?", 0.1) \
+        == Contour.OUT_OF_SCOPE
+    assert gate("the thing from before about the form?", 0.6) \
+        == Contour.UNCLEAR
+    # no overlap signal supplied (empty corpus) → prior behavior
+    assert gate("What does the plan cover?", None) == Contour.OUT_OF_SCOPE
