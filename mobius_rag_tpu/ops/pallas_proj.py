@@ -139,18 +139,7 @@ _NEG_INF = -1e30
 
 
 def _gated_kernel(tw: int, tag_level: int, probe_ref, qmeta_ref, qbits_ref,
-                  *refs):
-    if tag_level == 0:
-        codes_ref, scales_ref, meta_ref, rowids_ref, q_ref = refs[:5]
-        jw_ref = dpw_ref = None
-    elif tag_level == 1:
-        codes_ref, scales_ref, meta_ref, jw_ref, rowids_ref, q_ref = refs[:6]
-        dpw_ref = None
-    else:
-        (codes_ref, scales_ref, meta_ref, jw_ref, dpw_ref, rowids_ref,
-         q_ref) = refs[:7]
-    out_ref, rid_ref = refs[-2], refs[-1]
-
+                  codes_ref, words_ref, q_ref, out_ref, rid_ref):
     bi = pl.program_id(0)
     blk = codes_ref[0].astype(jnp.float32)  # [pad, p]
     q_all = q_ref[...].astype(jnp.float32)  # [B, p]
@@ -167,8 +156,9 @@ def _gated_kernel(tw: int, tag_level: int, probe_ref, qmeta_ref, qbits_ref,
     # All gate logic in i32 {0,1} arithmetic — Mosaic cannot legalize
     # vector-i1 selects (arith.select on vector<i1> fails), so AND = *,
     # OR = maximum, and the final blend is multiplicative.
-    meta = meta_ref[0]  # [pad, 2] i32
-    e0, e1 = meta[:, 0], meta[:, 1]
+    w = words_ref[0]  # [W_lvl, tile] i32, word-major (ProjGate layout)
+    e0, e1 = w[0], w[1]
+    scale = jax.lax.bitcast_convert_type(w[2], jnp.float32)
     none16 = jnp.int32(0xFFFF)
     payer = e0 & none16
     state = (e0 >> 16) & none16
@@ -200,21 +190,21 @@ def _gated_kernel(tw: int, tag_level: int, probe_ref, qmeta_ref, qbits_ref,
 
     if tag_level >= 1:
         j_ov = jnp.zeros_like(valid)
-        jw = jw_ref[0]  # [pad, TW]
-        for w in range(tw):
-            j_ov = jnp.maximum(j_ov, as01((jw[:, w] & qbits_ref[bi, w]) != 0))
+        for wi in range(tw):
+            j_ov = jnp.maximum(
+                j_ov, as01((w[4 + wi] & qbits_ref[bi, wi]) != 0))
         strict = valid * meta_ok * jnp.maximum(j_ov, 1 - has_j)
     else:
         strict = valid * meta_ok
     if tag_level >= 2:
         dp_ov = jnp.zeros_like(valid)
-        dpw = dpw_ref[0]  # [pad, 2*TW]
-        for w in range(tw):
+        for wi in range(tw):
             dp_ov = jnp.maximum(
-                dp_ov, as01((dpw[:, w] & qbits_ref[bi, tw + w]) != 0))
+                dp_ov, as01((w[4 + tw + wi] & qbits_ref[bi, tw + wi]) != 0))
             dp_ov = jnp.maximum(
                 dp_ov,
-                as01((dpw[:, tw + w] & qbits_ref[bi, 2 * tw + w]) != 0))
+                as01((w[4 + 2 * tw + wi]
+                      & qbits_ref[bi, 2 * tw + wi]) != 0))
         relaxed = valid * meta_ok * jnp.maximum(dp_ov, 1 - has_dp)
     else:
         relaxed = valid * meta_ok
@@ -224,9 +214,9 @@ def _gated_kernel(tw: int, tag_level: int, probe_ref, qmeta_ref, qbits_ref,
     gate = (is0 * auto + is1 * relaxed
             + (1 - is0) * (1 - is1) * valid).astype(jnp.float32)
 
-    score = raw * scales_ref[0, 0] * gate + (1.0 - gate) * _NEG_INF
+    score = raw * scale * gate + (1.0 - gate) * _NEG_INF
     out_ref[0, 0, 0] = score
-    rid_ref[0, 0, 0] = rowids_ref[0, 0]
+    rid_ref[0, 0, 0] = w[3]
 
 
 # Pad-axis tile for the gated scan: a FULL cluster block at the 10M
@@ -240,47 +230,35 @@ _PAD_TILE = 512
 
 @functools.partial(jax.jit,
                    static_argnames=("tw", "tag_level", "interpret"))
-def _proj_gated(probe, qmeta, qbits, codes, scales, meta, jw, dpw,
-                rowids, q8, *, tw: int, tag_level: int, interpret: bool):
+def _proj_gated(probe, qmeta, qbits, codes, words, q8, *, tw: int,
+                tag_level: int, interpret: bool):
+    from mobius_rag_tpu.ops.proj import gate_widths
+
     b, np_ = probe.shape
     nlist, pad, p = codes.shape
-    # largest tile that divides pad: fewer grid steps amortize the
-    # per-step overhead (41.6k steps at tile 512 measured ~26 GB/s —
-    # step overhead, not DMA, was the floor)
+    w_full, w01 = gate_widths(tw)
+    w_lvl = w_full if tag_level >= 2 else w01
+    words = words[:, :w_lvl]  # static prefix of the word rows
+    # largest tile that divides pad (index/ivf.py aligns pad to 512):
+    # a FULL ~4888-slot block blew the ~16 MB VMEM budget (its f32
+    # cast alone is 3.7 MB; measured scoped-vmem OOM at 16.89M)
     tile = next((t for t in (2048, 1024, 512) if pad % t == 0 and pad > t),
                 pad)
     n_tiles = pad // tile
 
-    def blk3(width):
-        return pl.BlockSpec(
-            (1, tile, width),
-            lambda bi, j, c, probe_ref, *_: (probe_ref[bi, j], c, 0))
-
-    def blk_row():
-        # [nlist, 1, pad] layout: the last two block dims (1, tile)
-        # then EQUAL/divide the array dims — a plain (1, pad) block
-        # over a 2-D array violates Mosaic's (8, 128)-or-full rule
-        return pl.BlockSpec(
-            (1, 1, tile),
-            lambda bi, j, c, probe_ref, *_: (probe_ref[bi, j], 0, c))
-
-    in_specs = [blk3(p), blk_row(), blk3(2)]
-    inputs = [codes, scales[:, None, :], meta]
-    if tag_level >= 1:
-        in_specs.append(blk3(tw))
-        inputs.append(jw)
-    if tag_level >= 2:
-        in_specs.append(blk3(2 * tw))
-        inputs.append(dpw)
-    in_specs += [blk_row(),
-                 pl.BlockSpec((b, p),
-                              lambda bi, j, c, probe_ref, *_: (0, 0))]
-    inputs += [rowids[:, None, :], q8]
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, np_, n_tiles),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile, p),
+                lambda bi, j, c, probe_ref, *_: (probe_ref[bi, j], c, 0)),
+            pl.BlockSpec(
+                (1, w_lvl, tile),
+                lambda bi, j, c, probe_ref, *_: (probe_ref[bi, j], 0, c)),
+            pl.BlockSpec((b, p),
+                         lambda bi, j, c, probe_ref, *_: (0, 0)),
+        ],
         out_specs=[
             pl.BlockSpec((1, 1, 1, tile),
                          lambda bi, j, c, probe_ref, *_: (bi, j, 0, c)),
@@ -294,18 +272,18 @@ def _proj_gated(probe, qmeta, qbits, codes, scales, meta, jw, dpw,
         out_shape=[jax.ShapeDtypeStruct((b, np_, 1, pad), jnp.float32),
                    jax.ShapeDtypeStruct((b, np_, 1, pad), jnp.int32)],
         interpret=interpret,
-    )(probe, qmeta, qbits, *inputs)
+    )(probe, qmeta, qbits, codes, words, q8)
     return out.reshape(b, np_, pad), rid.reshape(b, np_, pad)
 
 
-def proj_gated_blocks_pallas(probe, qmeta, qbits, codes, scales, meta,
-                             jw, dpw, rowids, q8, *, tw: int,
-                             tag_level: int):
+def proj_gated_blocks_pallas(probe, qmeta, qbits, codes, words, q8, *,
+                             tw: int, tag_level: int):
     """Gated block scores for every probed cluster: [B, P, pad] f32
-    (raw int dot × dequant scale where the row passes the query's
-    filter gate, NEG_INF otherwise) + the slot row ids [B, P, pad] i32.
-    The caller adds the per-cluster centroid score and the query-side
-    dequant scale (both per-[B, P] — cheap XLA elementwise)."""
-    return _proj_gated(probe, qmeta, qbits, codes, scales, meta, jw, dpw,
-                       rowids, q8, tw=tw, tag_level=tag_level,
+    (raw int dot x dequant scale where the row passes the query's
+    filter gate, NEG_INF otherwise) + the slot row ids [B, P, pad] i32
+    (word 3 of the gate pack). The caller adds the per-cluster centroid
+    score and the query-side dequant scale (both per-[B, P] - cheap XLA
+    elementwise)."""
+    return _proj_gated(probe, qmeta, qbits, codes, words, q8,
+                       tw=tw, tag_level=tag_level,
                        interpret=not _on_tpu())

@@ -417,17 +417,30 @@ def proj_search_packed(pp: PackedProj, queries: jnp.ndarray,
 # as the codes, so the probed scan evaluates eligibility on the blocks
 # it already streams — no corpus-sized per-query buffer exists at all.
 
+def gate_widths(tw: int) -> tuple[int, int]:
+    """(full word count W, metadata+j prefix W01) for the slot-word
+    array — both rounded to multiples of 8 so the sublane axis never
+    pads. Word-row layout (see ProjGate):
+      0 payer|state · 1 program|flags · 2 scale(f32 bits) · 3 rowid ·
+      4..4+tw j · 4+tw..4+2tw d · 4+2tw..4+3tw p · zero-padding."""
+    base = 4 + 3 * tw
+    w = -(-base // 8) * 8
+    w01 = min(w, -(-(4 + tw) // 8) * 8)
+    return w, w01
+
+
 class ProjGate:
-    """Cluster-layout eligibility pack for a PackedProj table.
+    """Cluster-layout eligibility pack for a PackedProj table:
+    ONE word-major array ``words [nlist, W, pad]`` i32 (layout in
+    :func:`gate_widths`). Word-major matters: a trailing small word
+    axis tiles as the 128-lane dimension and pads 16-64× — the first
+    10M compile OOMed HBM at 35 GB purely from that padding; with pad
+    as the lane axis and W a multiple of 8 sublanes there is ZERO
+    layout padding, and the dequant scale + rowid ride the same DMA
+    as the gate words (no separate per-slot streams)."""
 
-    meta [nlist, pad, 2] i32   (payer u16 | state<<16; program u16 |
-                                valid bit 16 | regulator bit 17)
-    jw   [nlist, pad, TW] i32  j-tag bitset words
-    dpw  [nlist, pad, 2TW] i32 d-tag then p-tag bitset words
-    """
-
-    def __init__(self, meta, jw, dpw, tw: int):
-        self.meta, self.jw, self.dpw, self.tw = meta, jw, dpw, int(tw)
+    def __init__(self, words, tw: int):
+        self.words, self.tw = words, int(tw)
 
     @staticmethod
     def pack_rows(index, rows) -> jnp.ndarray:
@@ -455,32 +468,38 @@ class ProjGate:
         return jnp.concatenate(
             [w0[:, None], w1[:, None], jw, dw, pw], axis=1)
 
+    @staticmethod
+    def slot_words(packed, scales, rowids, tw: int) -> jnp.ndarray:
+        """[n, W] slot words from pack_rows output + per-slot dequant
+        scales (f32, bitcast into word 2) + row ids (word 3)."""
+        w, _ = gate_widths(tw)
+        n = packed.shape[0]
+        cols = [packed[:, :2],
+                jax.lax.bitcast_convert_type(
+                    scales.astype(jnp.float32), jnp.int32)[:, None],
+                jnp.asarray(rowids, jnp.int32)[:, None],
+                packed[:, 2:]]
+        out = jnp.concatenate(cols, axis=1)
+        if out.shape[1] < w:
+            out = jnp.concatenate(
+                [out, jnp.zeros((n, w - out.shape[1]), jnp.int32)], axis=1)
+        return out
+
     @classmethod
     def build(cls, pp: PackedProj, index) -> "ProjGate":
         tw = index.j_tags.shape[1]
         nlist, pad = pp.rowids.shape
-        packed = _gate_pack_rows_jit(index, pp.rowids.reshape(-1))
-        # slots without a live row must carry valid=0 whatever row id
-        # the pad slot holds
-        slot_ok = (pp.valid.reshape(-1) > 0)
-        w1 = jnp.where(slot_ok, packed[:, 1],
-                       packed[:, 1] & ~jnp.int32(1 << 16))
-        packed = packed.at[:, 1].set(w1)
-        meta = packed[:, :2].reshape(nlist, pad, 2)
-        jw = packed[:, 2:2 + tw].reshape(nlist, pad, tw)
-        dpw = packed[:, 2 + tw:].reshape(nlist, pad, 2 * tw)
-        return cls(meta, jw, dpw, tw)
+        words = _gate_build_jit(index, pp.rowids, pp.valid, pp.scales, tw)
+        return cls(words, tw)
 
-    def scatter(self, cells, slots, packed) -> None:
+    def scatter(self, cells, slots, packed, scales, rowids) -> None:
         """Write freshly packed rows into (cell, slot) positions (the
-        engine's incremental insert path; donated in-place updates)."""
-        tw = self.tw
-        self.meta, self.jw, self.dpw = _gate_scatter(
-            self.meta, self.jw, self.dpw, cells, slots,
-            packed[:, :2], packed[:, 2:2 + tw], packed[:, 2 + tw:])
+        engine's incremental insert path; donated in-place update)."""
+        vals = ProjGate.slot_words(packed, scales, rowids, self.tw)
+        self.words = _gate_scatter(self.words, cells, slots, vals)
 
     def invalidate(self, cells, slots) -> None:
-        self.meta = _gate_invalidate(self.meta, cells, slots)
+        self.words = _gate_invalidate(self.words, cells, slots)
 
 
 def _as_i32(x):
@@ -488,22 +507,31 @@ def _as_i32(x):
         if x.dtype != jnp.int32 else x
 
 
-@jax.jit
-def _gate_pack_rows_jit(index, rows):
-    return ProjGate.pack_rows(index, rows)
-
-
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _gate_scatter(meta, jw, dpw, cells, slots, m_new, j_new, dp_new):
-    return (meta.at[cells, slots].set(m_new),
-            jw.at[cells, slots].set(j_new),
-            dpw.at[cells, slots].set(dp_new))
+@functools.partial(jax.jit, static_argnames=("tw",))
+def _gate_build_jit(index, rowids, valid, scales, tw: int):
+    nlist, pad = rowids.shape
+    packed = ProjGate.pack_rows(index, rowids.reshape(-1))
+    # slots without a live row must carry valid=0 whatever row id the
+    # pad slot holds
+    slot_ok = (valid.reshape(-1) > 0)
+    w1 = jnp.where(slot_ok, packed[:, 1],
+                   packed[:, 1] & ~jnp.int32(1 << 16))
+    packed = packed.at[:, 1].set(w1)
+    flat = ProjGate.slot_words(packed, scales.reshape(-1),
+                               rowids.reshape(-1), tw)  # [S, W]
+    w = flat.shape[1]
+    return flat.reshape(nlist, pad, w).transpose(0, 2, 1)  # [nlist, W, pad]
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _gate_invalidate(meta, cells, slots):
-    w1 = meta[cells, slots, 1] & ~jnp.int32(1 << 16)
-    return meta.at[cells, slots, 1].set(w1)
+def _gate_scatter(words, cells, slots, vals):
+    return words.at[cells, :, slots].set(vals)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _gate_invalidate(words, cells, slots):
+    w1 = words[cells, 1, slots] & ~jnp.int32(1 << 16)
+    return words.at[cells, 1, slots].set(w1)
 
 
 def encode_qmeta(q: dict, strict_ok) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -585,21 +613,20 @@ def _gate_blocks_xla(meta_blk, jw_blk, dpw_blk, qmeta, qbits, tw: int,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "approx",
-                                             "tag_level"))
-def proj_search_gated(pp: PackedProj, gate: "tuple", queries: jnp.ndarray,
+                                             "tag_level", "tw"))
+def proj_search_gated(pp: PackedProj, gate, queries: jnp.ndarray,
                       qmeta: jnp.ndarray, qbits: jnp.ndarray, k: int,
                       nprobe: int, approx: float = 0.0,
-                      tag_level: int = 2):
+                      tag_level: int = 2, tw: int = 8):
     """Probed top-k over projected-residual codes with the filter gate
     evaluated CANDIDATE-LOCALLY on the streamed cluster blocks — the
-    [B, C]-free form of proj_search_packed. `gate` is the ProjGate
-    arrays (meta, jw, dpw) as a tuple (jit-traceable). `qmeta`/`qbits`
-    from encode_qmeta (strict_ok already folded in). `tag_level`
-    statically selects how many gate words the scan reads: 0 = metadata
-    only, 1 = + j words, 2 = + d/p words (the caller derives it from
-    which tag bits the batch actually carries)."""
-    g_meta, g_jw, g_dpw = gate
-    tw = g_jw.shape[-1]
+    [B, C]-free form of proj_search_packed. ``gate`` is ProjGate.words
+    [nlist, W, pad] (word-major; carries metadata, dequant scale and
+    rowid per slot — see gate_widths). `qmeta`/`qbits` from
+    encode_qmeta (strict_ok already folded in). `tag_level` statically
+    selects how many gate word rows the scan reads: ≤1 = the
+    metadata+j prefix, 2 = everything."""
+    g_words = gate
     b = queries.shape[0]
     q32 = queries.astype(jnp.float32)
     cscores = jnp.dot(q32, pp.centroids.T,
@@ -622,8 +649,8 @@ def proj_search_gated(pp: PackedProj, gate: "tuple", queries: jnp.ndarray,
         from mobius_rag_tpu.ops.pallas_proj import proj_gated_blocks_pallas
 
         gated, rid = proj_gated_blocks_pallas(
-            probe, qmeta, qbits, pp.codes, pp.scales, g_meta, g_jw,
-            g_dpw, pp.rowids, q8, tw=tw, tag_level=tag_level)
+            probe, qmeta, qbits, pp.codes, g_words, q8,
+            tw=tw, tag_level=tag_level)
         cs = jnp.take_along_axis(cscores, probe, axis=1)  # [B, P]
         s = jnp.where(gated > NEG_INF / 2,
                       gated * q_scale[:, None, None] + cs[..., None],
@@ -634,11 +661,14 @@ def proj_search_gated(pp: PackedProj, gate: "tuple", queries: jnp.ndarray,
 
     def scan_probe(tok, pc):
         blk = jnp.take(pp.codes, pc, axis=0)  # [B, pad, p] int8
-        sc = jnp.take(pp.scales, pc, axis=0)  # [B, pad]
-        rid = jnp.take(pp.rowids, pc, axis=0)
-        meta_blk = jnp.take(g_meta, pc, axis=0)  # [B, pad, 2]
-        jw_blk = jnp.take(g_jw, pc, axis=0) if tag_level >= 1 else None
-        dpw_blk = jnp.take(g_dpw, pc, axis=0) if tag_level >= 2 else None
+        wblk = jnp.take(g_words, pc, axis=0)  # [B, W, pad]
+        sc = jax.lax.bitcast_convert_type(wblk[:, 2], jnp.float32)
+        rid = wblk[:, 3]
+        meta_blk = jnp.moveaxis(wblk[:, 0:2], 1, -1)  # [B, pad, 2]
+        jw_blk = (jnp.moveaxis(wblk[:, 4:4 + tw], 1, -1)
+                  if tag_level >= 1 else None)
+        dpw_blk = (jnp.moveaxis(wblk[:, 4 + tw:4 + 3 * tw], 1, -1)
+                   if tag_level >= 2 else None)
         acc = jax.lax.dot_general(
             blk, q8, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.int32).astype(jnp.float32)  # [B, pad]

@@ -447,7 +447,7 @@ def arm_candidates(index: DeviceIndex, q: dict, k: int, m: int, *,
         qmeta, qbits = encode_qmeta(q, strict_ok)
         vec_vals, vec_idx = proj_search_gated(
             ann, gate_t, q["vec"], qmeta, qbits, m, nprobe, approx,
-            tag_level)
+            tag_level, tw=index.j_tags.shape[1])
         vec_vals = vec_vals + jnp.where(
             vec_vals < q["min_sim"][:, None], NEG_INF, 0.0)
         cos = None
@@ -1046,8 +1046,7 @@ class SearchEngine:
             self._dtag_postings = DTagPostings.build(
                 self.store.index, self.cfg.dtag_postings)
             self._dtag_stale = False
-        return ((self._ann_gate.meta, self._ann_gate.jw,
-                 self._ann_gate.dpw), self._dtag_postings.as_tuple())
+        return (self._ann_gate.words, self._dtag_postings.as_tuple())
 
     @staticmethod
     def _batch_tag_level(exps) -> int:
@@ -1179,7 +1178,9 @@ class SearchEngine:
                     jnp.asarray(rblk, jnp.int32))
                 if self._ann_gate is not None:
                     packed = ProjGate.pack_rows(index, jnp.asarray(rblk))
-                    self._ann_gate.scatter(cells, slots, packed)
+                    self._ann_gate.scatter(
+                        cells, slots, packed, scales,
+                        jnp.asarray(rblk, jnp.int32))
         return True
 
     def ensure_ann(self):

@@ -259,7 +259,11 @@ class DTagPostings:
         w1 = jnp.where(rows_dev >= 0, meta[..., 1],
                        meta[..., 1] & ~jnp.int32(1 << 16))
         meta = meta.at[..., 1].set(w1)
-        return cls(rows_dev, jnp.asarray(all_auth), meta, pd)
+        # word-major [T, 2, Pd]: a trailing size-2 word axis would tile
+        # as the 128-lane dimension and pad the array 64x (the 10M HBM
+        # OOM lesson — see ProjGate)
+        return cls(rows_dev, jnp.asarray(all_auth),
+                   meta.transpose(0, 2, 1), pd)
 
     def as_tuple(self):
         return (self.rows, self.auth, self.meta)
@@ -293,11 +297,11 @@ def dtag_candidates_local(dtp: tuple, q, qmeta, m: int, tok=None):
     live_tag = (tag_ids >= 0)[..., None]  # [B, T_q, 1]
     rows = jnp.where(live_tag, jnp.take(t_rows, safe, axis=0), -1)
     auth = jnp.take(t_auth, safe, axis=0)  # [B, T_q, Pd]
-    meta = jnp.take(t_meta, safe, axis=0)  # [B, T_q, Pd, 2]
+    meta = jnp.take(t_meta, safe, axis=0)  # [B, T_q, 2, Pd] word-major
     b, tq, pd = rows.shape
     s = tq * pd
     rows_f = rows.reshape(b, s)
-    meta_f = meta.reshape(b, s, 2)
+    meta_f = jnp.moveaxis(meta, 2, -1).reshape(b, s, 2)
     meta_ok, valid = meta_ok_from_words(meta_f, qmeta)
     score = jnp.where(
         (rows_f >= 0) & valid & meta_ok,

@@ -109,8 +109,8 @@ def test_gated_scan_matches_penalized_scan(stores):
     from mobius_rag_tpu.ops.proj import proj_search_gated
 
     v_new, i_new = proj_search_gated(
-        ann, (gate.meta, gate.jw, gate.dpw), q["vec"], qmeta, qbits,
-        k, 8, tag_level=2)
+        ann, gate.words, q["vec"], qmeta, qbits,
+        k, 8, tag_level=2, tw=dense_store.index.j_tags.shape[1])
     live = np.asarray(v_ref) > NEG_INF / 2
     np.testing.assert_allclose(np.asarray(v_new)[live],
                                np.asarray(v_ref)[live], rtol=1e-5)
@@ -285,8 +285,9 @@ q = {
 }
 qmeta, qbits = encode_qmeta(q, jnp.asarray([True, False, True, True]))
 for lvl in (0, 1, 2):
-    v, i = proj_search_gated(pp, (gate.meta, gate.jw, gate.dpw),
-                             q["vec"], qmeta, qbits, 12, 5, tag_level=lvl)
+    v, i = proj_search_gated(pp, gate.words,
+                             q["vec"], qmeta, qbits, 12, 5, tag_level=lvl,
+                             tw=tw)
     np.save("/tmp/gated_parity_%s_l%d.npy"
             % (os.environ.get("MRAG_PROJ_GATED_SCAN", "xla"), lvl),
             np.concatenate([np.asarray(v), np.asarray(i, np.float32)],
