@@ -39,6 +39,17 @@ class EncoderConfig:
     max_seq: int = 512
     out_dim: int = 1536
     dtype: str = "bfloat16"  # activation dtype
+    # Hybrid anchor (round 5): embedding = normalize(bag-of-tokens
+    # random projection + |alpha| * transformer output). The anchor is a
+    # FIXED seeded projection (stop_gradient; adamw's decay moves it
+    # ~0.25% over a full run — negligible), so at alpha=0 the model
+    # EQUALS the hash baseline and training can only add semantics on
+    # top of exact token overlap. A from-scratch 4-layer ICT model on a
+    # ~5k-paragraph corpus cannot otherwise out-rank bag-of-words on
+    # lexicon-free paraphrases (EVAL_r4/EVAL_r5 plain runs) — the
+    # reference's bar is a trillion-token pretrained API embedder, and
+    # the anchor supplies the lexical prior pretraining would.
+    hybrid_anchor: bool = False
 
     @classmethod
     def from_env(cls) -> "EncoderConfig":
@@ -79,13 +90,20 @@ def init_params(cfg: EncoderConfig, key: jax.Array) -> dict:
             "mlp_in": dense(lk[2], (dm, cfg.mlp_dim)),
             "mlp_out": dense(lk[3], (cfg.mlp_dim, dm)),
         })
-    return {
+    params = {
         "embed": dense(ks[0], (cfg.vocab_size, dm)),
         "pos": dense(ks[1], (cfg.max_seq, dm)),
         "ln_f_scale": jnp.ones((dm,), jnp.float32),
         "proj": dense(ks[2], (dm, cfg.out_dim)),
         "layers": layers,
     }
+    if cfg.hybrid_anchor:
+        ak = jax.random.fold_in(ks[3], 777)
+        params["anchor_proj"] = jax.random.normal(
+            ak, (cfg.vocab_size, cfg.out_dim), jnp.float32
+        ) / (cfg.out_dim ** 0.5)
+        params["alpha"] = jnp.asarray(0.5, jnp.float32)
+    return params
 
 
 def param_specs(cfg: EncoderConfig) -> dict:
@@ -100,13 +118,17 @@ def param_specs(cfg: EncoderConfig) -> dict:
         "mlp_in": P(None, "tp"),
         "mlp_out": P("tp", None),
     }
-    return {
+    specs = {
         "embed": P(None, "tp"),
         "pos": P(None, "tp"),
         "ln_f_scale": P(),
         "proj": P(None, "tp"),
         "layers": [dict(layer) for _ in range(cfg.num_layers)],
     }
+    if cfg.hybrid_anchor:
+        specs["anchor_proj"] = P(None, "tp")
+        specs["alpha"] = P()
+    return specs
 
 
 def _rms_norm(x, scale):
@@ -150,7 +172,16 @@ def encode(params: dict, tokens: jnp.ndarray, cfg: EncoderConfig) -> jnp.ndarray
     pooled = (x.astype(jnp.float32) * mask[..., None]).sum(axis=1) / denom
     out = pooled @ params["proj"]
     norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
-    return out / jnp.maximum(norm, 1e-6)
+    out = out / jnp.maximum(norm, 1e-6)
+    if cfg.hybrid_anchor:
+        e_fix = jax.lax.stop_gradient(params["anchor_proj"])
+        bag = (e_fix[tokens] * mask[..., None]).sum(axis=1)  # tf-weighted
+        bnorm = jnp.linalg.norm(bag, axis=-1, keepdims=True)
+        bag = bag / jnp.maximum(bnorm, 1e-6)
+        mix = bag + jnp.abs(params["alpha"]) * out
+        mnorm = jnp.linalg.norm(mix, axis=-1, keepdims=True)
+        out = mix / jnp.maximum(mnorm, 1e-6)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

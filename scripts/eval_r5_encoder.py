@@ -49,6 +49,8 @@ def main() -> None:
     ap.add_argument("--augment", type=float, default=1.5)
     ap.add_argument("--distractors", type=int, default=1200)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--plain", action="store_true",
+                    help="disable the hybrid bag-of-tokens anchor")
     ap.add_argument("--out", default=os.path.join(REPO, "eval_artifacts",
                                                   "EVAL_r5_encoder.json"))
     args = ap.parse_args()
@@ -96,7 +98,9 @@ def main() -> None:
 
     enc_cfg = EncoderConfig(
         vocab_size=16384, num_layers=4, num_heads=8, model_dim=512,
-        mlp_dim=2048, max_seq=128, out_dim=cfg.embed_dim)
+        mlp_dim=2048, max_seq=128, out_dim=cfg.embed_dim,
+        hybrid_anchor=not args.plain)
+    artifact["hybrid_anchor"] = not args.plain
     mesh = make_train_mesh(dp=1, tp=1)
 
     for draw in range(args.redraws):
@@ -108,9 +112,25 @@ def main() -> None:
         recs = [r for r in store.records if r is not None]
 
         rng = np.random.default_rng(1000 + draw)
+        # Target = fact-bearing paragraph IN THE CITED DOCUMENT. The r4
+        # criterion (any paragraph where any must_fact scores > 0) now
+        # over-matches: the 51-query bank carries short generic facts
+        # ("annually", "monthly") that appear corpus-wide, and holding
+        # out every match left 498 of 5506 paragraphs to train on.
+        def _doc_tokens(name):
+            import re as _re
+
+            return frozenset(_re.findall(r"[a-z0-9]+", name.lower()))
+
         target_rows = set()
         for q in bank.queries:
+            gc = (q.expected.get("golden_citation") or {}).get("document", "")
+            gtok = _doc_tokens(gc.rsplit(".", 1)[0]) if gc else None
             for i, r in enumerate(recs):
+                if gtok is not None:
+                    rtok = _doc_tokens(r.filename or r.doc_id)
+                    if not (gtok <= rtok or rtok <= gtok):
+                        continue
                 if check_facts(q.must_facts, [r.text]).recall > 0:
                     target_rows.add(i)
         extra = rng.choice(len(recs), size=len(recs) // 5, replace=False)

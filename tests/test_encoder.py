@@ -163,3 +163,36 @@ def test_seq_bucket_selection_bounds():
     empty = np.zeros((2, cfg.max_seq), np.int32)
     assert model._seq_bucket(empty).shape[1] == min(
         b for b in enc_mod._SEQ_BUCKETS if b < cfg.max_seq or True)
+
+
+def test_hybrid_anchor_alpha_zero_equals_bag():
+    """hybrid_anchor contract: at alpha=0 the embedding IS the fixed
+    bag-of-tokens projection — the model can never score below the
+    hash-projection baseline family by construction (round-5 encoder
+    campaign, EVAL_r5_encoder.json)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mobius_rag_tpu.models.encoder import (EncoderConfig, EncoderModel,
+                                               encode)
+
+    cfg = dataclasses.replace(EncoderConfig.tiny(), hybrid_anchor=True)
+    m = EncoderModel(cfg)
+    assert "anchor_proj" in m.params and "alpha" in m.params
+    toks = m.tokenizer.encode_batch(
+        ["timely filing deadline for claims submission"])
+    p0 = dict(m.params)
+    p0["alpha"] = jnp.asarray(0.0)
+    bag_only = np.asarray(encode(p0, jnp.asarray(toks), cfg))[0]
+    e = np.asarray(m.params["anchor_proj"])
+    live = toks[0][toks[0] != 0]
+    ref = e[live].sum(0)
+    ref = ref / np.linalg.norm(ref)
+    np.testing.assert_allclose(bag_only, ref, atol=1e-5)
+    # alpha>0 changes the embedding but keeps it unit-norm
+    full = np.asarray(encode(m.params, jnp.asarray(toks), cfg))[0]
+    assert abs(np.linalg.norm(full) - 1.0) < 1e-4
+    assert np.abs(full - bag_only).max() > 1e-3
