@@ -18,8 +18,26 @@ def test_decide_returns_ordered_strategies():
     assert d.priors_version
 
 
-def test_vague_withdraws_low_recall_arms():
-    r = Router()
+def test_vague_withdraws_low_recall_arms(tmp_path):
+    """Withdrawal MECHANISM: arms whose effective score falls below the
+    threshold are withdrawn. Pinned against a synthetic priors file —
+    the live data/router_priors.json is calibration OUTPUT and moves
+    with every derive_priors run (it did in round 5, which is why this
+    test no longer hard-codes the shipped cells)."""
+    import json
+
+    from mobius_rag_tpu.query.router import _default_priors_path
+
+    raw = json.load(open(_default_priors_path()))
+    for sid in ("c", "d"):
+        cell = raw["priors"][sid].setdefault(
+            "vague", dict(next(iter(raw["priors"][sid].values()))))
+        cell["accuracy"] = 0.01
+        cell["recall_capacity"] = 0.01
+        cell["accuracy_std"] = 0.02
+    p = tmp_path / "priors.json"
+    p.write_text(json.dumps(raw))
+    r = Router(priors_path=str(p))
     d = r.decide(_features(query_class="vague"), RoutePreferences(accuracy_need=0.9))
     # c and d have ~0 effective recall on vague → withdrawn
     assert "c" in d.withdrawn and "d" in d.withdrawn
