@@ -88,34 +88,57 @@ class MicroBatcher:
                 return b
         return _BUCKETS[-1]
 
+    # Queue depth beyond one full batch drains through the engine's
+    # PIPELINED path: up to this many same-tick batches dispatch
+    # before any fetch, so host fetch/assembly of batch N overlaps the
+    # device executing batch N+1. The sync-per-batch loop was the 1M
+    # served ceiling (~24 qps achieved at 100 offered while the
+    # pipelined engine measured ~600 qps on the same corpus —
+    # BENCH_r5_served_latency_1000k.json).
+    PIPELINE_DEPTH = 4
+
     async def _drain(self, loop) -> None:
         try:
             while self._queue:
-                items = self._queue[: self.max_batch]
-                del self._queue[: len(items)]
-                reqs = [it[0] for it in items]
-                k = max(it[1] for it in items)
-                pad = self._bucket(len(reqs))
-                padded: Sequence[QueryRequest] = (
-                    list(reqs) + [reqs[-1]] * (pad - len(reqs)))
+                groups: list[list[tuple]] = []
+                while self._queue and len(groups) < self.PIPELINE_DEPTH:
+                    items = self._queue[: self.max_batch]
+                    del self._queue[: len(items)]
+                    groups.append(items)
+                k = max(it[1] for g in groups for it in g)
+                padded_groups: list[Sequence[QueryRequest]] = []
+                for items in groups:
+                    reqs = [it[0] for it in items]
+                    pad = self._bucket(len(reqs))
+                    padded_groups.append(
+                        list(reqs) + [reqs[-1]] * (pad - len(reqs)))
                 try:
-                    results = await loop.run_in_executor(
-                        self._pool, lambda: self.engine.search(padded, k=k))
+                    if len(padded_groups) == 1:
+                        results_groups = [await loop.run_in_executor(
+                            self._pool,
+                            lambda: self.engine.search(padded_groups[0], k=k))]
+                    else:
+                        results_groups = await loop.run_in_executor(
+                            self._pool,
+                            lambda: self.engine.search_pipelined(
+                                padded_groups, k=k))
                 except Exception as e:
-                    for _, _, fut in items:
-                        if not fut.done():
-                            fut.set_exception(_clone_exc(e))
+                    for items in groups:
+                        for _, _, fut in items:
+                            if not fut.done():
+                                fut.set_exception(_clone_exc(e))
                     continue
-                self.stats["batches"] += 1
-                self.stats["queries"] += len(items)
-                self.stats["max_batch_seen"] = max(
-                    self.stats["max_batch_seen"], len(items))
-                for (req, want_k, fut), res in zip(items, results):
-                    if fut.done():
-                        continue
-                    if want_k < len(res.hits):
-                        res.hits = res.hits[:want_k]
-                    fut.set_result(res)
+                for items, results in zip(groups, results_groups):
+                    self.stats["batches"] += 1
+                    self.stats["queries"] += len(items)
+                    self.stats["max_batch_seen"] = max(
+                        self.stats["max_batch_seen"], len(items))
+                    for (req, want_k, fut), res in zip(items, results):
+                        if fut.done():
+                            continue
+                        if want_k < len(res.hits):
+                            res.hits = res.hits[:want_k]
+                        fut.set_result(res)
         finally:
             self._running = False
             # arrivals during the last executor hop can race the flag

@@ -195,3 +195,62 @@ def test_overload_sheds_with_bounded_queue():
         assert b.stats["shed"] == shed
 
     _run(go())
+
+
+def test_deep_queue_drains_through_pipelined_path():
+    """Queue depth beyond one batch must drain via search_pipelined
+    (device/host overlap — the 1M served ceiling fix), with every
+    caller's result routed correctly."""
+    calls = {"sync": 0, "pipelined": []}
+
+    class Eng:
+        def search(self, reqs, k=10):
+            calls["sync"] += 1
+            return [FakeResult(r.query, list(range(k))) for r in reqs]
+
+        def search_pipelined(self, batches, k=10):
+            calls["pipelined"].append([len(b) for b in batches])
+            time.sleep(0.01)
+            return [[FakeResult(r.query, list(range(k))) for r in b]
+                    for b in batches]
+
+    b = MicroBatcher(Eng(), max_batch=4)
+
+    async def go():
+        # stuff 12 requests in one tick: first drains solo (queue was
+        # empty at first arrival), the backlog drains as pipelined groups
+        tasks = [asyncio.ensure_future(
+            b.search_one(QueryRequest(query=f"q{i}"), 5))
+            for i in range(12)]
+        res = await asyncio.gather(*tasks)
+        assert [r.query for r in res] == [f"q{i}" for i in range(12)]
+        assert all(len(r.hits) == 5 for r in res)
+        assert calls["pipelined"], "backlog never used the pipelined path"
+        assert b.stats["queries"] == 12
+
+    _run(go())
+
+
+def test_real_engine_pipelined_drain_matches_sync():
+    """Through the real engine: deep-queue (pipelined drain) results
+    must equal per-request sync results."""
+    from mobius_rag_tpu.index.store import ChunkStore
+    from mobius_rag_tpu.query.engine import SearchEngine
+    from mobius_rag_tpu.testing import hash_embed, sample_lexicon, toy_corpus
+
+    lex = sample_lexicon()
+    store = ChunkStore()
+    store.add_chunks(toy_corpus(lex, pad_docs=20))
+    eng = SearchEngine(store, lex, embed_fn=hash_embed)
+    b = MicroBatcher(eng, max_batch=2)
+    queries = [f"timely filing deadline {i % 3}" for i in range(8)]
+
+    async def go():
+        tasks = [asyncio.ensure_future(
+            b.search_one(QueryRequest(query=q), 5)) for q in queries]
+        return await asyncio.gather(*tasks)
+
+    res = _run(go())
+    for q, r in zip(queries, res):
+        want = eng.search(QueryRequest(query=q), k=5)[0]
+        assert [h.row for h in r.hits] == [h.row for h in want.hits], q
